@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 shape) at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each. Column names
+and types are aligned pairwise (see operator modules in
+``pypers_spark/operators/``).
 """
 
 from __future__ import annotations
@@ -14,25 +14,34 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
+    from pypers_spark.sources import load_tables
+
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return fn(tables)
+
+    return runner
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    from pypers_spark.operators.relational import q1_pricing_summary
+    from pypers_spark.sources import load_tables
+
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    return q1_pricing_summary(tables)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pypers_spark.operators import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for each key in ``queries()``."""
+    from pypers_spark.operators import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,21 @@
+"""Operator library: each module exposes
+
+- plain functions ``(tables: dict[str, DataFrame]) -> DataFrame`` that
+  compose lazily (usable directly or wrapped in pipeline Stages), and
+- ``ORACLES: dict[str, str]`` — DuckDB SQL reproducing each query
+  bit-for-bit for the driver's correctness gate.
+
+``REGISTRY`` merges all modules' query functions; ``ORACLES`` likewise.
+"""
+
+from __future__ import annotations
+
+from pypers_spark.operators import dedup, events, relational, similarity, text
+
+MODULES = (relational, events, dedup, similarity, text)
+
+REGISTRY = {}
+ORACLES = {}
+for _m in MODULES:
+    REGISTRY.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)

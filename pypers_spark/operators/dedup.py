@@ -1,0 +1,357 @@
+"""Deduplication operators (SURVEY.md §2.D) over the ``documents`` table.
+
+The raw test corpus is dup-free, so every query runs on ``corpus`` =
+documents ∪ a deterministically perturbed copy (uppercased + leading
+whitespace, doc_id + 1_000_000). Normalization must collapse the copies —
+this exercises the real dedup path end-to-end and gives the DuckDB
+oracle a known-dup ground truth.
+
+Scale design (100 TB):
+- exact dedup: one hash-aggregate shuffle on the md5 fingerprint.
+- MinHash+LSH: O(n·bands) — signatures are per-row column expressions
+  (whole-stage codegen, no UDF), candidate pairs come from equi-joins on
+  band keys, and the quadratic Jaccard verify runs only *within* LSH
+  buckets. No all-pairs anywhere.
+- SimHash: per-token explode + hash-agg (two shuffles), grouping on the
+  32-bit signature.
+- n-gram Jaccard: pairwise only within a bounded blocking key (source
+  here; an LSH band or URL-domain in production).
+
+All hashes go through the portable md5→int64 scheme
+(functions/hashing.py) so DuckDB reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.hashing import (
+    duck_md5_int64,
+    duck_md5_int64_seeded,
+    md5_int64,
+    md5_int64_seeded,
+)
+from pypers_spark.functions.text import duck_normalize_text, normalize_text
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.8
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+DUCK_CORPUS = """
+corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) AS text, lang, source, n_chars
+  FROM documents
+)
+"""
+
+
+def corpus(t: dict[str, DataFrame]) -> DataFrame:
+    """documents ∪ perturbed copy (known duplicates for dedup testing)."""
+    d = t["documents"].select("doc_id", "text", "lang", "source", "n_chars")
+    dup = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dup)
+
+
+def _word_ngrams(toks, n: int):
+    """Word n-gram array from a token array (codegen-friendly)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _duck_word_ngrams(toks: str, n: int) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {parts}) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def dd_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → group, keep min id."""
+    c = corpus(t).withColumn("fp", F.md5(normalize_text(F.col("text"))))
+    return (
+        c.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+ORACLE_DD_EXACT = f"""
+WITH {DUCK_CORPUS}
+SELECT md5({duck_normalize_text('text')}) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY 1 ORDER BY keep_id
+"""
+
+
+def dd_exact_keep(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup keeping the full surviving row (first writer wins)."""
+    c = corpus(t).withColumn("fp", F.md5(normalize_text(F.col("text"))))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DD_EXACT_KEEP = f"""
+WITH {DUCK_CORPUS}
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5({duck_normalize_text('text')}) ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def _shingles(col):
+    toks = F.split(normalize_text(col), " ")
+    return F.array_distinct(_word_ngrams(toks, 3))
+
+
+def _duck_shingles(expr: str) -> str:
+    toks = f"string_split({duck_normalize_text(expr)}, ' ')"
+    return f"list_distinct({_duck_word_ngrams(toks, 3)})"
+
+
+def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """MinHash + LSH near-dup pairs, Jaccard-verified.
+
+    signature: 16 md5-seeded min-hashes over distinct word 3-shingles;
+    4 bands × 4 rows; candidates = equi-join on band key; verify exact
+    Jaccard ≥ 0.8 within candidates only.
+    """
+    docs = (
+        corpus(t)
+        .withColumn("sh", _shingles(F.col("text")))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh")
+    )
+    mh = docs.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform(F.col("sh"), lambda s, j=j: md5_int64_seeded(s, j))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    bands = None
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+        )
+        part = mh.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    right = bands.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .withColumn("jaccard", rnd(inter / union, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _duck_minhash_sql() -> str:
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> {duck_md5_int64_seeded('s', j)})) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, CAST(mh{i0} AS VARCHAR) || ',' || CAST(mh{i1} AS VARCHAR)"
+        " || ',' || CAST(mh{i2} AS VARCHAR) || ',' || CAST(mh{i3} AS VARCHAR) AS band_key FROM mh".format(
+            b=b, i0=b * 4, i1=b * 4 + 1, i2=b * 4 + 2, i3=b * 4 + 3
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {DUCK_CORPUS},
+docs AS (
+  SELECT doc_id, {_duck_shingles('text')} AS sh FROM corpus
+  WHERE len({_duck_shingles('text')}) > 0
+),
+mh AS (
+  SELECT doc_id, sh,
+       {mh_cols}
+  FROM docs
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       {duck_rnd('len(list_intersect(a.sh, b.sh)) * 1.0 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 4)} AS jaccard
+FROM cand
+JOIN docs a ON a.doc_id = id_a
+JOIN docs b ON b.doc_id = id_b
+WHERE {duck_rnd('len(list_intersect(a.sh, b.sh)) * 1.0 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 4)} >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def dd_simhash(t: dict[str, DataFrame]) -> DataFrame:
+    """32-bit SimHash groups: identical signatures cluster near-dups.
+
+    Per-token explode → hash-agg on doc → signature from 32 majority
+    bits; output one row per signature group.
+    """
+    toks = (
+        corpus(t)
+        .select("doc_id", F.explode(F.array_distinct(F.split(normalize_text(F.col("text")), " "))).alias("tok"))
+        .withColumn("h", md5_int64(F.col("tok")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    sig = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    per_doc = sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+    return (
+        per_doc.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .orderBy("keep_id")
+    )
+
+
+def _duck_simhash_sql() -> str:
+    sum_cols = ",\n         ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH {DUCK_CORPUS},
+toks AS (
+  SELECT doc_id, {duck_md5_int64('tok')} AS h
+  FROM (
+    SELECT doc_id, unnest(list_distinct(string_split({duck_normalize_text('text')}, ' '))) AS tok
+    FROM corpus
+  )
+),
+sums AS (
+  SELECT doc_id,
+         {sum_cols}
+  FROM toks GROUP BY doc_id
+),
+per_doc AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+)
+SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM per_doc GROUP BY simhash ORDER BY keep_id
+"""
+
+
+# --- n-gram Jaccard within blocking buckets ----------------------------------
+
+
+def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
+    """Char-4-gram Jaccard near-dup pairs within a blocking key (source).
+
+    The pairwise compare is bounded to one block — the blocking key is
+    what keeps this linear-ish at scale (swap source for an LSH band or
+    domain key in production).
+    """
+    from pypers_spark.functions.text import char_ngrams
+
+    docs = (
+        corpus(t)
+        .withColumn("g", F.array_distinct(char_ngrams(F.col("text"), 4)))
+        .filter(F.size("g") > 0)
+        .select("doc_id", "source", "g")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("g").alias("g_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", rnd(inter / union, 4))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .select("source", "id_a", "id_b", "jaccard")
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+def _duck_ngram_sql() -> str:
+    from pypers_spark.functions.text import duck_char_ngrams
+
+    grams = f"list_distinct({duck_char_ngrams('text', 4)})"
+    return f"""
+WITH {DUCK_CORPUS},
+docs AS (
+  SELECT doc_id, source, {grams} AS g FROM corpus WHERE len({grams}) > 0
+)
+SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+       {duck_rnd('len(list_intersect(a.g, b.g)) * 1.0 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))', 4)} AS jaccard
+FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE {duck_rnd('len(list_intersect(a.g, b.g)) * 1.0 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))', 4)} >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY source, id_a, id_b
+"""
+
+
+QUERIES = {
+    "dd_exact": dd_exact,
+    "dd_exact_keep": dd_exact_keep,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+}
+
+ORACLES = {
+    "dd_exact": ORACLE_DD_EXACT,
+    "dd_exact_keep": ORACLE_DD_EXACT_KEEP,
+    "dd_minhash_lsh": _duck_minhash_sql(),
+    "dd_simhash": _duck_simhash_sql(),
+    "dd_ngram_jaccard": _duck_ngram_sql(),
+}

@@ -1,0 +1,144 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.D).
+
+- ``ann_topk_cosine``: brute-force top-k — the correctness baseline.
+  One scan, dot products as JVM-side higher-order functions, global
+  top-k via TakeOrderedAndProject (no full sort, no collect).
+- ``ann_lsh_bucketed``: random-hyperplane LSH — the 100 TB path. The
+  hyperplanes are deterministic module-level literals (seeded numpy) so
+  the DuckDB oracle reproduces bucket assignment bit-for-bit. At scale
+  the bucket id becomes the shuffle/storage partition key and probes
+  touch only their own bucket.
+- ``dd_embedding_cos``: embedding near-dup pairs, pairwise only within
+  a bounded block (label here; an IVF/LSH cell in production).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.vectors import cosine_similarity, duck_cosine
+
+N_PLANES = 8
+EMB_DIM = 64
+COS_THRESHOLD = 0.9
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+# Deterministic ±1 hyperplanes — fixed seed, embedded as literals in both
+# engines (no runtime RNG anywhere).
+_rng = np.random.RandomState(42)
+PLANES: list[list[float]] = (
+    _rng.choice([-1.0, 1.0], size=(N_PLANES, EMB_DIM)).tolist()
+)
+
+
+def _plane_col(p: int):
+    return F.array(*[F.lit(float(v)) for v in PLANES[p]])
+
+
+def _duck_plane(p: int) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in PLANES[p]) + "]::DOUBLE[]"
+
+
+def _dot_plane(vec, p: int):
+    return F.aggregate(
+        F.zip_with(vec, _plane_col(p), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_topk_cosine(t: dict[str, DataFrame]) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of QUERY_VEC_ID."""
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def ann_lsh_bucketed(t: dict[str, DataFrame]) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the partition key at scale)."""
+    emb = t["embeddings"]
+    bucket = None
+    for p in range(N_PLANES):
+        bit = F.when(_dot_plane(F.col("embedding"), p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+def _duck_lsh_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_duck_plane(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+SELECT CAST({bits} AS INT) AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1 ORDER BY bucket
+"""
+
+
+def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.9) within label blocks."""
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", rnd(cosine_similarity(F.col("e_a"), F.col("e_b")), 4))
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+        .select("label", "id_a", "id_b", "cos_sim")
+        .orderBy("label", "id_a", "id_b")
+    )
+
+
+ORACLE_DD_EMB = f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {COS_THRESHOLD}
+ORDER BY label, id_a, id_b
+"""
+
+
+QUERIES = {
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "dd_embedding_cos": dd_embedding_cos,
+}
+
+ORACLES = {
+    "ann_topk_cosine": ORACLE_ANN_TOPK,
+    "ann_lsh_bucketed": _duck_lsh_sql(),
+    "dd_embedding_cos": ORACLE_DD_EMB,
+}

