@@ -1,0 +1,75 @@
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line with per-query wall times.
+
+Each query is forced end-to-end with a ``noop`` sink write so every
+column is materialized (a bare ``count()`` would let Catalyst prune the
+computed columns away and under-report the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "op_window_running",
+    "ev_sessionize",
+    "ev_asof_join",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "ann_topk_cosine",
+    "txt_quality",
+    "txt_token_count",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from pypers_spark.session import get_session
+
+    spark = get_session("pypers_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # warm the JVM + file listing so q1 doesn't absorb session startup
+    qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,10 @@ from pyspark.sql import functions as F
 
 from pypers_spark.functions.rounding import duck_rnd, rnd
 from pypers_spark.functions.hashing import (
+    affine_hash,
+    duck_affine_hash,
     duck_md5_int64,
-    duck_md5_int64_seeded,
     md5_int64,
-    md5_int64_seeded,
 )
 from pypers_spark.functions.text import duck_normalize_text, normalize_text
 
@@ -52,7 +52,14 @@ corpus AS (
 
 
 def corpus(t: dict[str, DataFrame]) -> DataFrame:
-    """documents ∪ perturbed copy (known duplicates for dedup testing)."""
+    """documents ∪ perturbed copy (known duplicates for dedup testing).
+
+    Hash-repartitioned on doc_id before the compute-heavy signature
+    stages: a small input file yields 1-2 scan splits, which would pin
+    shingling/hashing to 1-2 cores. At 100 TB the scan has thousands of
+    splits and AQE coalesces this exchange away; on skinny inputs it is
+    what unlocks the cluster's parallelism.
+    """
     d = t["documents"].select("doc_id", "text", "lang", "source", "n_chars")
     dup = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -61,7 +68,11 @@ def corpus(t: dict[str, DataFrame]) -> DataFrame:
         "source",
         "n_chars",
     )
-    return d.unionByName(dup)
+    both = d.unionByName(dup)
+    # Explicit count: AQE would coalesce a bare repartition(col) down to
+    # one partition for byte-small inputs, re-serializing the compute.
+    n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return both.repartition(n, F.col("doc_id"))
 
 
 def _word_ngrams(toks, n: int):
@@ -144,31 +155,57 @@ def _duck_shingles(expr: str) -> str:
 def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     """MinHash + LSH near-dup pairs, Jaccard-verified.
 
-    signature: 16 md5-seeded min-hashes over distinct word 3-shingles;
-    4 bands × 4 rows; candidates = equi-join on band key; verify exact
-    Jaccard ≥ 0.8 within candidates only.
+    signature: ONE md5 base hash per distinct word 3-shingle, then 16
+    affine-family min-hashes (``(a_j·h + b_j) mod p`` — integer-only,
+    whole-stage codegen; computing 16 separate md5 digests per shingle
+    would dominate the whole pipeline). 4 bands × 4 rows; candidates =
+    equi-join on band key; exact Jaccard ≥ 0.8 verified on the hashed
+    shingle sets within candidates only — no all-pairs anywhere.
     """
+    # Signature table: doc_id + hashed shingle set. Persisted — the band
+    # join and the Jaccard verify each consume it, and recomputing the
+    # shingle+hash pass per consumer dominates the whole pipeline. At
+    # 100 TB this is the stage you checkpoint to parquet: it is tiny
+    # relative to the raw text (one int64 per distinct shingle) and
+    # every downstream stage is cheap joins over it.
+    from pyspark.storagelevel import StorageLevel
+
     docs = (
         corpus(t)
         .withColumn("sh", _shingles(F.col("text")))
         .filter(F.size("sh") > 0)
-        .select("doc_id", "sh")
+        .select("doc_id", F.transform(F.col("sh"), md5_int64).alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    def _min_affine(j: int):
+        # NB: a plain unary lambda — a two-parameter lambda would make
+        # Spark's transform() pass the array index as the second arg.
+        return F.array_min(F.transform(F.col("hs"), lambda h: affine_hash(h, j)))
+
     mh = docs.select(
         "doc_id",
-        "sh",
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, j=j: md5_int64_seeded(s, j))).alias(f"mh{j}")
-            for j in range(N_HASHES)
-        ],
+        *[_min_affine(j).alias(f"mh{j}") for j in range(N_HASHES)],
     )
-    bands = None
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-        )
-        part = mh.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
+    # One (band, band_key) row per band via explode — a 4-way union here
+    # would re-run the whole scan→shingle→hash subtree once per band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
     left = bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
     right = bands.select(F.col("doc_id").alias("id_b"), "band", "band_key")
     cand = (
@@ -177,12 +214,15 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # Verify joins: broadcast the candidate-pair set (bounded by the LSH
+    # bucket sizes, orders of magnitude smaller than the corpus) so the
+    # hashed-shingle table never shuffles.
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cand.join(a, "id_a")
+        a.join(F.broadcast(cand), "id_a")
         .join(b_, "id_b")
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -193,7 +233,7 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
 
 def _duck_minhash_sql() -> str:
     mh_cols = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> {duck_md5_int64_seeded('s', j)})) AS mh{j}"
+        f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)})) AS mh{j}"
         for j in range(N_HASHES)
     )
     band_selects = "\n  UNION ALL\n".join(
@@ -206,11 +246,12 @@ def _duck_minhash_sql() -> str:
     return f"""
 WITH {DUCK_CORPUS},
 docs AS (
-  SELECT doc_id, {_duck_shingles('text')} AS sh FROM corpus
+  SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
+  FROM corpus
   WHERE len({_duck_shingles('text')}) > 0
 ),
 mh AS (
-  SELECT doc_id, sh,
+  SELECT doc_id, hs,
        {mh_cols}
   FROM docs
 ),
@@ -223,11 +264,11 @@ cand AS (
   WHERE l.doc_id < r.doc_id
 )
 SELECT id_a, id_b,
-       {duck_rnd('len(list_intersect(a.sh, b.sh)) * 1.0 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 4)} AS jaccard
+       {duck_rnd('len(list_intersect(a.hs, b.hs)) * 1.0 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))', 4)} AS jaccard
 FROM cand
 JOIN docs a ON a.doc_id = id_a
 JOIN docs b ON b.doc_id = id_b
-WHERE {duck_rnd('len(list_intersect(a.sh, b.sh)) * 1.0 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 4)} >= {JACCARD_THRESHOLD}
+WHERE {duck_rnd('len(list_intersect(a.hs, b.hs)) * 1.0 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))', 4)} >= {JACCARD_THRESHOLD}
 ORDER BY id_a, id_b
 """
 

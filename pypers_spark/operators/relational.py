@@ -73,8 +73,8 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q3 (adapted: no o_shippriority column): top unshipped orders."""
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-    ords = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
-    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    ords = t["orders"].filter(F.col("o_orderdate") < F.lit("1997-03-15"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1997-03-15"))
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, ords.o_custkey == cust.c_custkey)
@@ -91,8 +91,8 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1995-03-15'
-  AND l_shipdate > TIMESTAMP '1995-03-15'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
@@ -117,8 +117,8 @@ def q5_local_supplier(t: dict[str, DataFrame]) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(
             (F.col("r_name") == "ASIA")
-            & (F.col("o_orderdate") >= F.lit("1994-01-01"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01"))
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
         )
         .groupBy("n_name")
         .agg(rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -135,7 +135,7 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
@@ -144,8 +144,8 @@ ORDER BY revenue DESC, n_name
 def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q6: scalar aggregate with tightly pushed-down scan filters."""
     li = t["lineitem"].filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -156,7 +156,7 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
 ORACLE_Q6 = f"""
 SELECT {duck_rnd(duck_dsum('l_extendedprice * l_discount'), 2)} AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
@@ -165,7 +165,7 @@ def q10_returned_items(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q10: top customers by returned-item revenue."""
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     ords = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01")) & (F.col("o_orderdate") < F.lit("1994-01-01"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -185,7 +185,7 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1993-10-01' AND o_orderdate < TIMESTAMP '1994-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
