@@ -1,0 +1,183 @@
+"""Batch execution over a task tree (SURVEY.md §2.A A13).
+
+Parity with the reference ``repype.batch`` (reference: batch.py:132):
+recursive ``task.yml`` discovery, task identity by path, ``contexts`` /
+``pending`` run-context lists, an async ``run`` that executes pending
+tasks in deterministic path order, and ``cancel``.
+
+Spark-native shift: the reference forks one OS process per task to get
+isolation and parallelism. Under Spark the parallelism belongs *inside*
+the cluster — every task's jobs should get all executors — so tasks run
+async-sequentially in-process against the shared SparkSession, and
+cancellation goes through ``SparkContext.cancelAllJobs`` rather than a
+process kill (reference: batch.py:309).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import pathlib
+import traceback
+from typing import Dict, List, Optional, Type
+
+import yaml
+
+from pypers_spark import status as status_mod
+from pypers_spark.config import Config
+from pypers_spark.pipeline import Pipeline, StageError
+from pypers_spark.task import Task, TaskData
+
+
+class RunContext:
+    """The pipeline + config a runnable task will run with."""
+
+    def __init__(self, task: Task):
+        assert task.runnable
+        self.task = task
+        self.pipeline: Pipeline = task.create_pipeline()
+        self.config: Config = task.create_config()
+        self.pending: str = task.is_pending(self.pipeline, self.config)
+
+    def run(self, *args, **kwargs) -> TaskData:
+        return self.task.run(self.config, *args, pipeline=self.pipeline, **kwargs)
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, type(self))
+            and self.task == other.task
+            and self.pipeline == other.pipeline
+            and self.config == other.config
+            and self.pending == other.pending
+        )
+
+    def __repr__(self) -> str:
+        return f'<{type(self).__name__} "{self.task.path}">'
+
+
+class Batch:
+    """Tasks discovered from a directory tree, keyed by path."""
+
+    def __init__(self, task_cls: Type[Task] = Task):
+        self.tasks: Dict[pathlib.Path, Task] = {}
+        self.task_cls = task_cls
+        self._running: Optional[asyncio.Task] = None
+        self._cancelled = False
+
+    @property
+    def resolved_tasks(self) -> Dict[pathlib.Path, Task]:
+        return {task.path.resolve(): task for task in self.tasks.values()}
+
+    def task(self, path, spec: Optional[dict] = None) -> Optional[Task]:
+        """Load (or return the already-loaded) task at ``path``.
+
+        The spec comes from the ``spec`` argument or the directory's
+        ``task.yml``; parent tasks are attached by directory nesting.
+        """
+        assert path is not None
+        path = pathlib.Path(path)
+        task = self.resolved_tasks.get(path.resolve())
+        if spec is None:
+            spec_filepath = path / "task.yml"
+            if not spec_filepath.is_file():
+                return task
+            with spec_filepath.open("r") as fh:
+                spec = yaml.safe_load(fh)
+        if task is None:
+            parent = self.task(path.parent) if path.parent else None
+            task = self.task_cls(path=path, spec=spec, parent=parent)
+            assert path not in self.tasks
+            self.tasks[path] = task
+            return task
+        assert task.spec == spec, (
+            f"{path}: spec {spec} does not match previously loaded {task.spec}"
+        )
+        return task
+
+    def load(self, root_path) -> None:
+        """Discover every ``task.yml`` under ``root_path`` (recursively)."""
+        root_path = pathlib.Path(root_path)
+        assert root_path.is_dir()
+        for spec_path in sorted(root_path.glob("**/task.yml")):
+            self.task(spec_path.parent)
+
+    @property
+    def contexts(self) -> List[RunContext]:
+        return [RunContext(task) for task in self.tasks.values() if task.runnable]
+
+    @property
+    def pending(self) -> List[RunContext]:
+        return [rc for rc in self.contexts if rc.pending]
+
+    def context(self, path) -> Optional[RunContext]:
+        for rc in self.contexts:
+            if rc.task.path.resolve() == pathlib.Path(path).resolve():
+                return rc
+        return None
+
+    async def run(
+        self,
+        contexts: Optional[List[RunContext]] = None,
+        status=None,
+    ) -> bool:
+        """Run the pending tasks (deterministic path order).
+
+        Returns True if every task completed; a task error records an
+        ``error`` status entry (with traceback and failing stage) and
+        stops the batch.
+        """
+        self._cancelled = False
+        contexts = self.pending if contexts is None else contexts
+        contexts = sorted(contexts, key=lambda rc: rc.task.path.resolve())
+        for rc_idx, rc in enumerate(contexts):
+            if self._cancelled:
+                return False
+            task_status = status_mod.derive(status)
+            status_mod.update(
+                task_status,
+                info="enter",
+                task=str(rc.task.path.resolve()),
+                step=rc_idx,
+                step_count=len(contexts),
+            )
+            try:
+                # To a thread so the event loop (status readers, UIs)
+                # stays responsive while Spark jobs run. The active
+                # SparkSession is thread-local — re-activate it in the
+                # worker thread so stages see the same session.
+                def _run_in_thread(rc=rc, task_status=task_status):
+                    from pypers_spark.session import current_session
+
+                    spark = current_session()
+                    try:
+                        spark.sparkContext.setLocalProperty(
+                            "spark.jobGroup.id", str(rc.task.path)
+                        )
+                    except Exception:
+                        pass
+                    return rc.run(status=task_status)
+
+                self._running = asyncio.ensure_future(asyncio.to_thread(_run_in_thread))
+                await self._running
+            except (Exception, asyncio.CancelledError) as exc:
+                status_mod.update(
+                    status,
+                    info="error" if not isinstance(exc, asyncio.CancelledError) else "interrupted",
+                    task=str(rc.task.path.resolve()),
+                    traceback=traceback.format_exc(),
+                    stage=exc.stage.id if isinstance(exc, StageError) else None,
+                )
+                return False
+            finally:
+                self._running = None
+        return True
+
+    async def cancel(self) -> None:
+        """Cancel the currently running task (if any)."""
+        self._cancelled = True
+        if self._running is not None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                spark.sparkContext.cancelAllJobs()
+            self._running.cancel()

@@ -17,6 +17,19 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def current_session() -> SparkSession:
+    """The session for the current thread, falling back to the process-wide
+    instantiated session (``getActiveSession`` is thread-local — worker
+    threads, e.g. batch task runners, would otherwise see None)."""
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return spark
+    spark = getattr(SparkSession, "_instantiatedSession", None)
+    if spark is not None:
+        return spark
+    return get_session()
+
+
 def get_session(app_name: str = "pypers_spark", master: str | None = None) -> SparkSession:
     """Create (or reuse) a SparkSession with scale-aware defaults.
 

@@ -1,0 +1,259 @@
+"""Task + Batch end-to-end tests (parity behaviors from reference
+tests/test_task.py and tests/test_batch.py): spec inheritance, config
+assembly, sha dirtiness, parquet store/load, pickup resume, batch
+discovery and runs."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+import pytest
+import yaml
+
+from pypers_spark.batch import Batch, RunContext
+from pypers_spark.config import Config
+from pypers_spark.stage import Stage
+from pypers_spark.task import Task, decode_input_ids, deep_merge
+
+
+# Module-level stages so task specs can reference them by dotted name.
+class ScanDocs(Stage):
+    outputs = ("docs",)
+
+    def process(self, pipeline, config, status=None, **inputs):
+        from pypers_spark.session import current_session
+
+        return {"docs": current_session().read.parquet(config["path"])}
+
+
+class CountChars(Stage):
+    inputs = ("docs",)
+    outputs = ("stats",)
+
+    def process(self, pipeline, config, status=None, docs=None, **inputs):
+        from pyspark.sql import functions as F
+
+        limit = config.get("min_chars", 0)
+        return {
+            "stats": docs.filter(F.col("n_chars") >= limit)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"))
+        }
+
+
+class Summarize(Stage):
+    inputs = ("stats",)
+    outputs = ("summary",)
+
+    def process(self, pipeline, config, status=None, stats=None, **inputs):
+        from pyspark.sql import functions as F
+
+        return {"summary": stats.agg(F.sum("n_docs").alias("total"))}
+
+
+def write_spec(path, spec):
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "task.yml").write_text(yaml.safe_dump(spec))
+
+
+@pytest.fixture
+def task_tree(tmp_path, sf_dir):
+    """Root task + child task overriding one hyperparameter."""
+    write_spec(
+        tmp_path / "root",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": [
+                "tests.test_task_batch.ScanDocs",
+                "tests.test_task_batch.CountChars",
+                "tests.test_task_batch.Summarize",
+            ],
+            "config": {
+                "scan-docs": {"path": f"{sf_dir}/documents.parquet"},
+                "count-chars": {"min_chars": 0},
+            },
+        },
+    )
+    write_spec(
+        tmp_path / "root" / "strict",
+        {"config": {"count-chars": {"min_chars": 200}}},
+    )
+    return tmp_path / "root"
+
+
+# -- unit bits ----------------------------------------------------------------
+
+
+def test_decode_input_ids():
+    assert decode_input_ids("1,3,5-8") == [1, 3, 5, 6, 7, 8]
+    assert decode_input_ids([3, 1, 1]) == [1, 3]
+    assert decode_input_ids(7) == [7]
+    assert decode_input_ids("a, b") == ["a", "b"]
+    with pytest.raises(ValueError):
+        decode_input_ids("8-5")
+
+
+def test_deep_merge():
+    assert deep_merge({}, {"a": {"x": 1}}, {"a": {"y": 2}}) == {"a": {"x": 1, "y": 2}}
+
+
+def test_full_spec_inheritance(task_tree):
+    batch = Batch()
+    batch.load(task_tree)
+    child = batch.task(task_tree / "strict")
+    assert child.full_spec["config"]["count-chars"]["min_chars"] == 200
+    assert child.full_spec["runnable"] is True
+    assert child.input_ids == [1]
+
+
+def test_create_config_includes_base_config(tmp_path, sf_dir):
+    base = tmp_path / "base.yml"
+    base.write_text(yaml.safe_dump({"count-chars": {"min_chars": 50}, "extra": 1}))
+    write_spec(
+        tmp_path / "t",
+        {
+            "runnable": True,
+            "base_config_path": str(base),
+            "config": {"count-chars": {"min_chars": 99}},
+        },
+    )
+    batch = Batch()
+    task = batch.task(tmp_path / "t")
+    config = task.create_config()
+    assert config["count-chars/min_chars"] == 99  # spec config wins
+    assert config["extra"] == 1  # base config contributes
+
+
+# -- end-to-end run / store / load / dirtiness -------------------------------
+
+
+def test_task_run_store_load_and_dirtiness(task_tree, spark):
+    batch = Batch()
+    batch.load(task_tree)
+    rc = batch.context(task_tree)
+    assert rc.pending == "incomplete"
+
+    data = rc.run()
+    stats = data[1]["stats"]
+    assert stats.count() > 0
+
+    # Completed: no longer pending, digests in place.
+    rc2 = RunContext(batch.task(task_tree))
+    assert rc2.pending == ""
+    assert (task_tree / ".sha.json").is_file()
+    assert (task_tree / "data" / "1" / "stats.parquet").is_dir()
+
+    # Reload: fields come back as lazy parquet scans.
+    loaded = batch.task(task_tree).load(rc.pipeline)
+    assert loaded[1]["stats"].count() == stats.count()
+    assert loaded[1]["input_id"] == 1
+
+    # Changing a hyperparameter marks the task dirty with reason
+    # 'specification'.
+    spec = yaml.safe_load((task_tree / "task.yml").read_text())
+    spec["config"]["count-chars"]["min_chars"] = 123
+    (task_tree / "task.yml").write_text(yaml.safe_dump(spec))
+    fresh = Batch()
+    fresh.load(task_tree)
+    assert fresh.context(task_tree).pending == "specification"
+
+
+def test_pickup_resume_from_parent(task_tree, spark):
+    batch = Batch()
+    batch.load(task_tree)
+    parent_rc = batch.context(task_tree)
+    parent_rc.run()
+
+    child = batch.task(task_tree / "strict")
+    child_rc = RunContext(child)
+    assert child_rc.pending == "incomplete"
+
+    pickup = child.find_pickup_task(child_rc.pipeline, child_rc.config)
+    assert pickup["task"] is not None
+    assert pickup["task"].path == task_tree
+    assert pickup["first_diverging_stage"].id == "count-chars"
+
+    data = child_rc.run()
+    assert (task_tree / "strict" / "data" / "1" / "summary.parquet").is_dir()
+    # Stricter filter keeps fewer docs than the parent's total.
+    parent_total = parent_rc.run()[1]["summary"].collect()[0]["total"]
+    child_total = data[1]["summary"].collect()[0]["total"]
+    assert child_total < parent_total
+
+
+def test_reset_clears_results(task_tree, spark):
+    batch = Batch()
+    batch.load(task_tree)
+    rc = batch.context(task_tree)
+    rc.run()
+    task = batch.task(task_tree)
+    task.reset()
+    assert not (task_tree / ".sha.json").exists()
+    assert not (task_tree / "data").exists()
+    assert RunContext(task).pending == "incomplete"
+
+
+def test_marginal_fields_not_persisted(task_tree, spark):
+    spec = yaml.safe_load((task_tree / "task.yml").read_text())
+    spec["marginal_stages"] = ["count-chars"]
+    (task_tree / "task.yml").write_text(yaml.safe_dump(spec))
+    batch = Batch()
+    batch.load(task_tree)
+    rc = batch.context(task_tree)
+    rc.run()
+    assert not (task_tree / "data" / "1" / "stats.parquet").exists()
+    assert (task_tree / "data" / "1" / "summary.parquet").is_dir()
+
+
+# -- batch --------------------------------------------------------------------
+
+
+def test_batch_discovery_and_pending(task_tree):
+    batch = Batch()
+    batch.load(task_tree)
+    assert len(batch.tasks) == 2
+    assert len(batch.contexts) == 2
+    assert {rc.task.path.name for rc in batch.pending} == {"root", "strict"}
+
+
+def test_batch_run_all(task_tree, spark):
+    batch = Batch()
+    batch.load(task_tree)
+    ok = asyncio.run(batch.run())
+    assert ok
+    fresh = Batch()
+    fresh.load(task_tree)
+    assert fresh.pending == []
+
+
+def test_batch_run_reports_errors(tmp_path, spark):
+    write_spec(
+        tmp_path / "bad",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": "/nonexistent/nowhere.parquet"}},
+        },
+    )
+    batch = Batch()
+    batch.load(tmp_path / "bad")
+    from pypers_spark import status as status_mod
+
+    with status_mod.create() as status:
+        ok = asyncio.run(batch.run(status=status))
+        entries = json.loads(status.filepath.read_text())
+    assert not ok
+    assert any(isinstance(e, dict) and e.get("info") == "error" for e in entries)
+
+
+def test_times_benchmark_persisted(task_tree, spark):
+    batch = Batch()
+    batch.load(task_tree)
+    rc = batch.context(task_tree)
+    rc.run()
+    times = batch.task(task_tree).times
+    assert times["scan-docs", "1"] >= 0
+    assert (task_tree / "times.csv").is_file()
