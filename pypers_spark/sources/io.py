@@ -1,0 +1,83 @@
+"""Readers and sinks beyond the parquet registry (SURVEY.md §2.E).
+
+All readers return lazy scans; all sinks are plan terminators. Scale
+discipline: CSV/JSON readers take explicit schemas (runtime inference
+is a full extra pass over the data — acceptable at test scale, a
+100 TB mistake); the partitioned sink writes ``partitionBy`` layouts so
+downstream reads get partition pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[StructType] = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan. Pass ``schema`` in production; inference needs a full
+    extra read of every file."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.options(**options).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.option("header", header).mode(mode).csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[StructType] = None,
+    multiline: bool = False,
+    **options,
+) -> DataFrame:
+    """NDJSON (or multiline JSON) scan; explicit schema preferred."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[Iterable[str]] = None,
+    sort_within_partitions: Optional[Iterable[str]] = None,
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Partitioned, optionally sorted parquet sink.
+
+    ``partition_by`` gives readers partition pruning on those columns;
+    ``sort_within_partitions`` clusters rows so min/max page stats make
+    row-group skipping effective; ``max_records_per_file`` caps file
+    size for balanced downstream splits.
+    """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

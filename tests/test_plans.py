@@ -1,0 +1,114 @@
+"""Plan-shape assertions (SURVEY.md §5): the scale-discipline gate.
+
+Checks the *physical plans* of the headline operators: filters reach
+the parquet scans, column pruning holds, dimension joins broadcast,
+top-N uses TakeOrderedAndProject, and no Python row-UDF appears in any
+relational/dedup/text hot path (Arrow-batched Pandas UDFs in ANN /
+multimodal are the only sanctioned Python).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_explain(spark, sf_dir, name: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    explained = full_explain(spark, sf_dir, "q6_forecast_revenue")
+    # Explain truncates long filter lists — match the stable prefix.
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in explained
+    assert "GreaterThanOrEqual(l_shipda" in explained
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    explained = full_explain(spark, sf_dir, "q6_forecast_revenue")
+    read_schema = explained.split("ReadSchema:")[-1]
+    # Only the 4 needed columns of lineitem's 16 are read.
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_q5_dims_broadcast_even_when_optimizer_would_not(spark, sf_dir):
+    """With auto-broadcast off (the 100 TB regime, where nothing is
+    auto-small), the explicit hints must still broadcast the dims while
+    the fact-fact join shuffles."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "q5_local_supplier")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastHashJoin") >= 3  # hinted dims
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # fact join
+
+
+def test_q3_top_n_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sort_limit_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "op_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_row_udf_in_hot_paths(spark, sf_dir):
+    """Relational, dedup, event, and text operators must stay JVM-side."""
+    hot = [
+        name
+        for name in entry_mod.queries()
+        if name.split("_")[0] in ("q1", "q3", "q5", "q6", "q10", "q18", "op", "ev", "dd", "txt")
+    ]
+    offenders = []
+    for name in hot:
+        plan = plan_of(spark, sf_dir, name)
+        if "BatchEvalPython" in plan:  # row-at-a-time Python UDF node
+            offenders.append(name)
+    assert not offenders, f"Python row-UDFs in hot paths: {offenders}"
+
+
+def test_whole_stage_codegen_and_partial_agg(spark, sf_dir):
+    import re
+
+    df = entry_mod.queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # codegen spans appear in the finalized adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen spans.
+    assert re.search(r"\*\(\d+\)", plan), plan[:500]
+    # Map-side combine: the aggregation must run partial → final.
+    assert "partial_sum" in plan
+
+
+def test_minhash_broadcasts_candidates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dd_minhash_lsh")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dd_exact")
+    # hash-agg dedup: partial agg + one exchange + final agg (plus the
+    # deliberate corpus repartition), never a join or nested loop.
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ev_asof_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

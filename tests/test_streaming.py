@@ -1,0 +1,111 @@
+"""Structured Streaming semantics tests (SURVEY.md §2.G) — memory sinks.
+
+Rows-only by nature (streaming results aren't DuckDB-oracle-able); the
+batch twins in operators/events.py are the oracled surface. These tests
+check: windowed aggregation over a file stream, watermark config,
+streaming dedup state bounding, and the stateful sessionizer's gap
+semantics vs the batch sessionizer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pypers_spark.streaming import (
+    sessionize_stateful,
+    stream_events,
+    streaming_dedup,
+    streaming_sliding_counts,
+    streaming_tumbling_counts,
+)
+
+
+def run_stream_to_memory(stream_df, name, mode="append", timeout=120):
+    """Drain a stream into a memory sink and return the result table."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(timeout), f"stream {name} did not finish"
+    finally:
+        query.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    return stream_events(spark, sf_dir)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, tables, event_stream):
+    result = run_stream_to_memory(
+        streaming_tumbling_counts(event_stream), "t_tumbling", mode="complete"
+    ).toPandas()
+    assert len(result) > 0
+    assert set(result.columns) == {
+        "window_start", "window_end", "event_type", "n_events", "approx_users",
+    }
+    # Totals equal the batch count (complete mode, no late drops at rest).
+    assert result["n_events"].sum() == tables["events"].count()
+
+
+def test_sliding_windows_overlap(spark, event_stream):
+    result = run_stream_to_memory(
+        streaming_sliding_counts(event_stream, window="1 hour", slide="30 minutes"),
+        "t_sliding",
+        mode="complete",
+    ).toPandas()
+    assert len(result) > 0
+    # An event falls into window/slide = 2 overlapping windows, so the
+    # sum over window rows must exceed the per-user event count.
+    one_user = result.groupby("user_id")["n_events"].sum()
+    assert one_user.max() >= 2
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_dir, tables, event_stream):
+    # The raw events table may contain exact duplicates; union the
+    # stream with itself is not possible at rest, so dedup the stream
+    # and compare against batch distinct.
+    result = run_stream_to_memory(
+        streaming_dedup(event_stream, keys=("user_id", "event_type", "ts")),
+        "t_dedup",
+    ).toPandas()
+    batch_distinct = (
+        tables["events"].select("user_id", "event_type", "ts").distinct().count()
+    )
+    assert len(result) == batch_distinct
+
+
+def test_stateful_sessionizer_gap_semantics(spark, sf_dir, tables, event_stream):
+    sessions = run_stream_to_memory(
+        sessionize_stateful(event_stream, gap_minutes=30), "t_sessions"
+    ).toPandas()
+    # Sessions close on a silence gap mid-stream, or via event-time
+    # timeout once the watermark passes the gap horizon.
+    assert set(sessions["closed_by"]) <= {"gap", "timeout"}
+    assert len(sessions) > 0
+
+    from pypers_spark.operators.events import ev_sessionize
+
+    batch = ev_sessionize({"events": tables["events"]}).toPandas()
+    # Every emitted streaming session exists in the batch sessionization
+    # (same user, same start, same event count).
+    merged = sessions.merge(
+        batch,
+        left_on=["user_id", "n_events"],
+        right_on=["user_id", "n_events"],
+        how="left",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").mean() > 0.95
+
+
+def test_watermark_present_in_plan(event_stream):
+    stream = streaming_tumbling_counts(event_stream, watermark="2 hours")
+    assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
