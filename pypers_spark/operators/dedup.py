@@ -51,14 +51,16 @@ corpus AS (
 """
 
 
-def corpus(t: dict[str, DataFrame]) -> DataFrame:
+def corpus(t: dict[str, DataFrame], repartition: bool = True) -> DataFrame:
     """documents ∪ perturbed copy (known duplicates for dedup testing).
 
     Hash-repartitioned on doc_id before the compute-heavy signature
     stages: a small input file yields 1-2 scan splits, which would pin
     shingling/hashing to 1-2 cores. At 100 TB the scan has thousands of
     splits and AQE coalesces this exchange away; on skinny inputs it is
-    what unlocks the cluster's parallelism.
+    what unlocks the cluster's parallelism. Pass ``repartition=False``
+    when the caller inserts its own exchange at a better point (see
+    ``_signature_table``).
     """
     d = t["documents"].select("doc_id", "text", "lang", "source", "n_chars")
     dup = d.select(
@@ -69,10 +71,17 @@ def corpus(t: dict[str, DataFrame]) -> DataFrame:
         "n_chars",
     )
     both = d.unionByName(dup)
+    if not repartition:
+        return both
     # Explicit count: AQE would coalesce a bare repartition(col) down to
     # one partition for byte-small inputs, re-serializing the compute.
     n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return both.repartition(n, F.col("doc_id"))
+
+
+def _repartitioned(df: DataFrame) -> DataFrame:
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col("doc_id"))
 
 
 def _word_ngrams(toks, n: int):
@@ -147,6 +156,45 @@ def _shingles(col):
     return F.array_distinct(_word_ngrams(toks, 3))
 
 
+def _signature_table(t: dict[str, DataFrame]) -> DataFrame:
+    """doc_id + hashed word-3-shingle set, persisted.
+
+    Two structural rules make this pass fast and scalable:
+
+    1. Tokenization happens BELOW the repartition exchange, so the
+       n-gram/hash lambdas reference a materialized array column. If the
+       ``split(normalize(text))`` expression were inlined into the
+       ``transform`` lambda (which Catalyst's project-collapsing does to
+       adjacent projections), the whole normalize+split subtree would be
+       re-evaluated per array ELEMENT — a measured ~16x slowdown.
+    2. The table is persisted: the LSH band join and the Jaccard verify
+       both consume it, and at 100 TB this is the stage you checkpoint
+       to parquet (one int64 per distinct shingle, tiny next to the raw
+       text; every downstream stage is cheap joins over it).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = corpus(t, repartition=False).select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
+    )
+    toks = _repartitioned(toks)  # exchange = parallelism + collapse barrier
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1),
+        F.element_at(F.col("tk"), i + 2),
+    )
+    hs = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: md5_int64(gram(i)))
+    )
+    # Filter on tk BEFORE projecting hs: a filter on size(hs) would be
+    # pushed below the projection and re-evaluate the whole transform
+    # expression a second time per row (measured ~20x cost).
+    return (
+        toks.filter(F.size("tk") >= 3)
+        .select("doc_id", hs.alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def _duck_shingles(expr: str) -> str:
     toks = f"string_split({duck_normalize_text(expr)}, ' ')"
     return f"list_distinct({_duck_word_ngrams(toks, 3)})"
@@ -162,21 +210,7 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     equi-join on band key; exact Jaccard ≥ 0.8 verified on the hashed
     shingle sets within candidates only — no all-pairs anywhere.
     """
-    # Signature table: doc_id + hashed shingle set. Persisted — the band
-    # join and the Jaccard verify each consume it, and recomputing the
-    # shingle+hash pass per consumer dominates the whole pipeline. At
-    # 100 TB this is the stage you checkpoint to parquet: it is tiny
-    # relative to the raw text (one int64 per distinct shingle) and
-    # every downstream stage is cheap joins over it.
-    from pyspark.storagelevel import StorageLevel
-
-    docs = (
-        corpus(t)
-        .withColumn("sh", _shingles(F.col("text")))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.transform(F.col("sh"), md5_int64).alias("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    docs = _signature_table(t)
     def _min_affine(j: int):
         # NB: a plain unary lambda — a two-parameter lambda would make
         # Spark's transform() pass the array index as the second arg.
@@ -342,21 +376,47 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     what keeps this linear-ish at scale (swap source for an LSH band or
     domain key in production).
     """
-    from pypers_spark.functions.text import char_ngrams
-
-    docs = (
-        corpus(t)
-        .withColumn("g", F.array_distinct(char_ngrams(F.col("text"), 4)))
-        .filter(F.size("g") > 0)
-        .select("doc_id", "source", "g")
+    # Normalize below the exchange so the per-offset substring lambda
+    # slices a materialized string column, not a re-evaluated regex
+    # subtree (see _signature_table note 1).
+    norm = corpus(t, repartition=False).select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("nt")
     )
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("g").alias("g_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("g").alias("g_b"))
+    norm = _repartitioned(norm)
+    # Hashed grams: the pairwise intersect inside each block compares
+    # int64s instead of strings — same Jaccard, far cheaper compares.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("nt") - 3),
+        lambda i: md5_int64(F.col("nt").substr(i, F.lit(4))),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    # Pre-filter on nt (not on size(g)) — see _signature_table note.
+    # Persisted: both self-join sides consume it, and any later derived
+    # column (ng below) would otherwise re-inline the gram pipeline.
+    docs = (
+        norm.filter(F.length("nt") >= 4)
+        .select("doc_id", "source", F.array_distinct(grams).alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs = docs.withColumn("ng", F.size("g"))
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("g").alias("g_a"),
+        F.col("ng").alias("ng_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), "source", F.col("g").alias("g_b"),
+        F.col("ng").alias("ng_b"),
+    )
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
-    union = F.size("g_a") + F.size("g_b") - inter
+    union = F.col("ng_a") + F.col("ng_b") - inter
+    # Lossless size-ratio prune: J >= tau forces
+    # min(|A|,|B|) >= tau * max(|A|,|B|) — filter on the cheap set sizes
+    # BEFORE paying for the intersect on each candidate pair.
+    size_ok = F.least("ng_a", "ng_b") >= NGRAM_JACCARD_THRESHOLD * F.greatest("ng_a", "ng_b")
     return (
         a.join(b, "source")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .select("source", "id_a", "id_b", "jaccard")
@@ -367,7 +427,10 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
 def _duck_ngram_sql() -> str:
     from pypers_spark.functions.text import duck_char_ngrams
 
-    grams = f"list_distinct({duck_char_ngrams('text', 4)})"
+    grams = (
+        f"list_distinct(list_transform({duck_char_ngrams('text', 4)}, "
+        f"s -> {duck_md5_int64('s')}))"
+    )
     return f"""
 WITH {DUCK_CORPUS},
 docs AS (

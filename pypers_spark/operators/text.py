@@ -30,9 +30,18 @@ from pypers_spark.functions.text import (
 )
 
 
+def _spread(d):
+    """Repartition per-doc compute across the cluster: a single-file
+    documents scan yields 1-2 splits, which would serialize the regex/
+    tokenization work onto 1-2 cores (AQE coalesces this exchange away
+    when the scan is already wide)."""
+    n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return d.repartition(n, F.col("doc_id"))
+
+
 def txt_token_count(t: dict[str, DataFrame]) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document."""
-    d = t["documents"]
+    d = _spread(t["documents"])
     return d.select(
         "doc_id",
         F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
@@ -52,7 +61,7 @@ FROM documents ORDER BY doc_id
 
 def txt_quality(t: dict[str, DataFrame]) -> DataFrame:
     """Quality score: blend of length, punctuation, stopword, case ratios."""
-    d = t["documents"]
+    d = _spread(t["documents"])
     txt = F.col("text")
     len_score = F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
     quality = (
@@ -86,7 +95,7 @@ def txt_langid(t: dict[str, DataFrame]) -> DataFrame:
     Deterministic argmax with fixed priority order on ties; 'und' when
     no marker matches.
     """
-    d = t["documents"]
+    d = _spread(t["documents"])
     txt = F.col("text")
     scores = {code: lang_score(txt, markers) for code, markers in LANG_MARKERS.items()}
     codes = list(LANG_MARKERS)  # fixed priority order: en, de, fr, es
@@ -121,7 +130,7 @@ FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang
 
 def txt_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
     """Document fingerprints: full-text md5, sorted-bag md5, prefix md5."""
-    d = t["documents"]
+    d = _spread(t["documents"])
     norm = normalize_text(F.col("text"))
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " "))))
     return d.select(
