@@ -10,9 +10,9 @@
 
 from __future__ import annotations
 
-from pypers_spark.operators import dedup, events, relational, similarity, text
+from pypers_spark.operators import dedup, events, relational, similarity, text, tpch_extra
 
-MODULES = (relational, events, dedup, similarity, text)
+MODULES = (relational, tpch_extra, events, dedup, similarity, text)
 
 REGISTRY = {}
 ORACLES = {}
