@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,14 +109,39 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 
 
 def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.9) within label blocks."""
-    emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("e_b"))
+    """Embedding near-dup pairs (cosine ≥ 0.9) within label blocks.
+
+    The per-vector norm is computed ONCE on a persisted projection —
+    folding it into the pairwise cosine would re-run the 64-element
+    norm aggregation for every candidate pair (3x the lambda work).
+    cos = dot / (norm_a · norm_b) is value-identical to the oracle's
+    formula (sqrt is deterministic), so rounding still matches.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from pypers_spark.functions.vectors import dot, l2_norm
+
+    n = int(t["embeddings"].sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    emb = (
+        t["embeddings"]
+        .repartition(n, F.col("vec_id"))
+        .select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > 0, dot(F.col("e_a"), F.col("e_b")) / denom).otherwise(F.lit(0.0))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", rnd(cosine_similarity(F.col("e_a"), F.col("e_b")), 4))
+        .withColumn("cos_sim", rnd(cos, 4))
         .filter(F.col("cos_sim") >= COS_THRESHOLD)
         .select("label", "id_a", "id_b", "cos_sim")
         .orderBy("label", "id_a", "id_b")
@@ -131,14 +157,62 @@ ORDER BY label, id_a, id_b
 """
 
 
+def ann_topk_pandas(t: dict[str, DataFrame]) -> DataFrame:
+    """Brute-force top-k via an Arrow-batched numpy Pandas UDF.
+
+    The vectorized scan path for wide embeddings: one matrix-vector
+    product per Arrow batch instead of per-element JVM lambda folds.
+    Float caveat: numpy's dot uses pairwise/BLAS summation while the
+    JVM/DuckDB fold is sequential — values can differ in the last ulp,
+    so this variant rounds to 4 decimals like the rest and shares the
+    brute-force oracle (mismatches would only occur for vectors whose
+    cosine sits exactly on a 1e-4 rounding boundary).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    emb = t["embeddings"]
+    q_row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+
+    @pandas_udf("double")
+    def cos_to_query(col: pd.Series) -> pd.Series:
+        # The query vector arrives via closure capture — tiny, constant,
+        # shipped once per task like a broadcast variable.
+        q = np.asarray(_QUERY_CACHE["vec"], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1) * qn
+        dots = mat @ q
+        out = np.where(norms > 0, dots / np.where(norms == 0, 1.0, norms), 0.0)
+        return pd.Series(out)
+
+    # Resolve the query vector eagerly (one tiny job) so the UDF closure
+    # carries plain floats, not a DataFrame.
+    _QUERY_CACHE["vec"] = [float(x) for x in q_row.first()["embedding"]]
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            rnd(cos_to_query(F.col("embedding")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+_QUERY_CACHE: dict = {}
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
+    "ann_topk_pandas": ann_topk_pandas,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "dd_embedding_cos": dd_embedding_cos,
 }
 
 ORACLES = {
     "ann_topk_cosine": ORACLE_ANN_TOPK,
+    "ann_topk_pandas": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": _duck_lsh_sql(),
     "dd_embedding_cos": ORACLE_DD_EMB,
 }
