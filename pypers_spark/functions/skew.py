@@ -1,0 +1,78 @@
+"""Skew-handling helpers (SURVEY.md §6).
+
+AQE's skew-join splitting handles most runtime skew; these helpers cover
+the two cases it cannot: aggregation skew (one hot group overwhelming a
+single reducer) and pre-planned join salting when the hot keys are known.
+
+Salting uses Spark's native ``rand``/``pmod`` — cross-engine
+determinism is NOT needed here (salt never leaves the plan; results are
+salt-independent by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
+    """Add a uniform random salt column in ``[0, n_salts)``.
+
+    Deterministic per task attempt (seeded rand), so retries reproduce
+    the same partitioning.
+    """
+    return df.withColumn(col_name, F.pmod(F.floor(F.rand(seed=7) * n_salts), n_salts))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    n_salts: int = 16,
+    merge_aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 aggregates on (keys + salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the per-salt partials. The
+    default merge re-SUMS every partial column (correct for sum/count);
+    for min/max partials pass explicit ``merge_aggs``
+    (e.g. ``min_merge(["lo"])``). avg must be decomposed into
+    sum+count partials by the caller.
+
+    Example::
+
+        salted_agg(lineitem, ["l_orderkey"],
+                   [F.sum("l_quantity").alias("qty"), F.count("*").alias("n")])
+    """
+    partial = salted(df, n_salts).groupBy(*keys, "_salt").agg(*aggs)
+    if merge_aggs is None:
+        partial_cols = [c for c in partial.columns if c not in (*keys, "_salt")]
+        merge_aggs = [F.sum(name).alias(name) for name in partial_cols]
+    return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the big side.
+
+    The big side gets a random salt; the small side is exploded
+    ``n_salts``-fold so every (key, salt) combination exists. The join
+    shuffles on (key, salt) — a hot key's rows land on ``n_salts``
+    reducers instead of one. The small side must tolerate the
+    replication (dims, aggregated lookups).
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    small_exploded = small.withColumn("_salt", F.explode(salts))
+    return salted(big, n_salts).join(small_exploded, [key, "_salt"]).drop("_salt")
+
+
+def min_merge(names: Iterable[str]) -> list[Column]:
+    """Merge columns for min-partials in :func:`salted_agg` phase 2."""
+    return [F.min(n).alias(n) for n in names]

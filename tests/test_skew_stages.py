@@ -1,0 +1,161 @@
+"""Tests for skew helpers (functions/skew.py) and the operator↔Stage
+bridge (operators/stages.py), plus property tests for spec parsing."""
+
+from __future__ import annotations
+
+import pytest
+import yaml
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pypers_spark.config import Config
+from pypers_spark.functions.skew import min_merge, salted, salted_agg, salted_join
+from pypers_spark.task import decode_input_ids
+
+
+# -- skew helpers -------------------------------------------------------------
+
+
+def test_salted_adds_bounded_salt(spark, tables):
+    df = salted(tables["lineitem"], n_salts=8)
+    stats = df.agg(F.min("_salt"), F.max("_salt"), F.countDistinct("_salt")).collect()[0]
+    assert stats[0] >= 0 and stats[1] < 8 and stats[2] > 1
+
+
+def test_salted_agg_matches_plain_agg(spark, tables):
+    li = tables["lineitem"]
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"), F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    via_salt = (
+        salted_agg(
+            li,
+            ["l_returnflag"],
+            [F.sum("l_quantity").alias("qty"), F.count("*").alias("n")],
+            n_salts=8,
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [(r.l_returnflag, r.qty, r.n) for r in plain] == [
+        (r.l_returnflag, r.qty, r.n) for r in via_salt
+    ]
+
+
+def test_salted_agg_min_merge(spark, tables):
+    li = tables["lineitem"]
+    plain = li.groupBy("l_returnflag").agg(F.min("l_quantity").alias("lo"))
+    via_salt = salted_agg(
+        li, ["l_returnflag"], [F.min("l_quantity").alias("lo")],
+        n_salts=4, merge_aggs=min_merge(["lo"]),
+    )
+    a = {(r.l_returnflag, r.lo) for r in plain.collect()}
+    b = {(r.l_returnflag, r.lo) for r in via_salt.collect()}
+    assert a == b
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ords = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(ords, "l_orderkey").count()
+    via_salt = salted_join(li, ords, "l_orderkey", n_salts=4).count()
+    assert plain == via_salt
+
+
+def test_salted_join_spreads_shuffle_key(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ords = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plan = (
+        salted_join(li, ords, "l_orderkey", n_salts=4)
+        ._jdf.queryExecution().toString()
+    )
+    assert "_salt" in plan  # the join key includes the salt
+
+
+# -- operator ↔ stage bridge --------------------------------------------------
+
+
+def test_query_stage_in_task(tmp_path, sf_dir, spark):
+    (tmp_path / "q").mkdir(parents=True)
+    (tmp_path / "q" / "task.yml").write_text(
+        yaml.safe_dump(
+            {
+                "runnable": True,
+                "input_ids": [1],
+                "pipeline": [
+                    "pypers_spark.operators.stages.LoadTablesStage",
+                    "pypers_spark.operators.stages.QueryStage",
+                ],
+                "marginal_stages": ["load-tables"],
+                "config": {
+                    "load-tables": {"sf_dir": sf_dir},
+                    "query": {"name": "q1_pricing_summary"},
+                },
+            }
+        )
+    )
+    from pypers_spark.batch import Batch
+
+    batch = Batch()
+    batch.load(tmp_path / "q")
+    rc = batch.context(tmp_path / "q")
+    data = rc.run()
+    assert (tmp_path / "q" / "data" / "1" / "result.parquet").is_dir()
+    stored = spark.read.parquet(str(tmp_path / "q" / "data" / "1" / "result.parquet"))
+    assert stored.count() == data[1]["result"].count() > 0
+    assert "sum_qty" in stored.columns
+
+
+# -- property tests -----------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        st.one_of(st.integers(), st.text(max_size=5)),
+        max_size=5,
+    )
+)
+def test_config_roundtrip_flat(d):
+    c = Config()
+    for k, v in d.items():
+        c[k] = v
+    for k, v in d.items():
+        assert c[k] == v
+    assert Config(dict(d)) == Config(dict(d))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=999), max_size=20))
+def test_decode_input_ids_list_idempotent(ids):
+    out = decode_input_ids(ids)
+    assert out == sorted(set(ids))
+    assert decode_input_ids(out) == out
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99), st.integers(min_value=0, max_value=99)
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_decode_input_ids_ranges(pairs):
+    spec = ",".join(f"{min(a, b)}-{max(a, b)}" if a != b else str(a) for a, b in pairs)
+    expected = sorted(
+        {i for a, b in pairs for i in range(min(a, b), max(a, b) + 1)}
+    )
+    assert decode_input_ids(spec) == expected
