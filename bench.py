@@ -25,7 +25,10 @@ HEADLINE = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_profit_rollup",
     "q10_returned_items",
+    "q13_custdist",
     "q18_large_orders",
     "op_window_running",
     "ev_sessionize",
@@ -33,6 +36,8 @@ HEADLINE = (
     "dd_exact",
     "dd_minhash_lsh",
     "dd_simhash",
+    "dd_ngram_jaccard",
+    "dd_embedding_cos",
     "ann_topk_cosine",
     "txt_quality",
     "txt_token_count",

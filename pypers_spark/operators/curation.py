@@ -1,0 +1,96 @@
+"""Training-data curation stages: the flagship end-to-end pipeline.
+
+Composable Stage forms of the dedup/quality/token operators, wired for
+the Task/Batch machinery. A task spec lists them (see
+``examples/training_data_pipeline/task.yml``); because every stage is a
+plan transformation, the WHOLE curation pipeline is one Catalyst plan —
+the quality filter pushes down into the scan feeding dedup, and only
+Task.store materializes the curated corpus (as partitioned parquet).
+
+At 100 TB: ingest repartitions the scan, dedup is one hash-agg shuffle
+on the content fingerprint, quality/token scoring are pure column
+expressions (whole-stage codegen), and the final store partitions by
+language so downstream training jobs prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pypers_spark.stage import Stage
+
+
+class IngestDocuments(Stage):
+    """Open the documents table as a lazy scan, spread for compute."""
+
+    outputs = ("docs",)
+
+    def process(self, pipeline, config, status=None, **inputs):
+        from pypers_spark.session import current_session
+
+        spark = current_session()
+        df = spark.read.parquet(f'{config["sf_dir"]}/documents.parquet')
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return {"docs": df.repartition(n, F.col("doc_id"))}
+
+
+class ExactDedup(Stage):
+    """Drop exact duplicates (normalized-text md5, first writer wins)."""
+
+    consumes = ("docs",)
+    outputs = ("deduped",)
+
+    def process(self, pipeline, config, status=None, docs=None, **inputs):
+        from pyspark.sql import Window
+
+        from pypers_spark.functions.text import normalize_text
+
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        deduped = (
+            docs.withColumn("fp", F.md5(normalize_text(F.col("text"))))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("fp", "rn")
+        )
+        return {"deduped": deduped}
+
+
+class QualityFilter(Stage):
+    """Keep documents above a quality threshold (pure column exprs)."""
+
+    consumes = ("deduped",)
+    outputs = ("filtered",)
+
+    def process(self, pipeline, config, status=None, deduped=None, **inputs):
+        from pypers_spark.functions.text import punct_ratio, stopword_ratio, upper_ratio
+
+        txt = F.col("text")
+        len_score = F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
+        quality = (
+            0.4 * len_score
+            + 0.3 * stopword_ratio(txt)
+            + 0.2 * (1 - punct_ratio(txt))
+            + 0.1 * (1 - upper_ratio(txt))
+        )
+        min_q = config.get("min_quality", 0.5)
+        return {"filtered": deduped.withColumn("quality", quality).filter(F.col("quality") >= min_q)}
+
+
+class TokenStats(Stage):
+    """Attach token counts; emit the curated corpus + a per-lang rollup."""
+
+    consumes = ("filtered",)
+    outputs = ("curated", "lang_stats")
+
+    def process(self, pipeline, config, status=None, filtered=None, **inputs):
+        from pypers_spark.functions.text import tokenize_bpeish, tokenize_ws
+
+        curated = filtered.withColumn(
+            "n_tokens_ws", F.size(tokenize_ws(F.col("text")))
+        ).withColumn("n_tokens_bpeish", F.size(tokenize_bpeish(F.col("text"))))
+        lang_stats = curated.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_ws").alias("total_tokens"),
+            F.avg("quality").alias("avg_quality"),
+        )
+        return {"curated": curated, "lang_stats": lang_stats}

@@ -1,0 +1,53 @@
+"""End-to-end curation pipeline test: the flagship Stage composition."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pypers_spark.batch import Batch
+
+
+@pytest.fixture
+def example_task(tmp_path, sf_dir):
+    src = "examples/training_data_pipeline/task.yml"
+    dst = tmp_path / "curation"
+    dst.mkdir()
+    text = open(src).read().replace("/root/testdata/sf0.001", sf_dir)
+    (dst / "task.yml").write_text(text)
+    return dst
+
+
+def test_curation_pipeline_end_to_end(example_task, spark):
+    batch = Batch()
+    batch.load(example_task)
+    rc = batch.context(example_task)
+    assert [s.id for s in rc.pipeline.stages] == [
+        "ingest-documents", "exact-dedup", "quality-filter", "token-stats",
+    ]
+    data = rc.run()
+    curated = data[1]["curated"]
+    stats = data[1]["lang_stats"]
+    n_docs = spark.read.parquet(f"{batch.task(example_task).resolve_path('data/1/curated.parquet')}").count()
+    assert n_docs == curated.count() > 0
+    assert {"n_tokens_ws", "n_tokens_bpeish", "quality"} <= set(curated.columns)
+    # consumed intermediates are not persisted
+    assert not (example_task / "data" / "1" / "docs.parquet").exists()
+    assert not (example_task / "data" / "1" / "filtered.parquet").exists()
+    # quality floor enforced
+    assert curated.filter("quality < 0.5").count() == 0
+    # rollup consistent with the corpus
+    total = stats.groupBy().sum("n_docs").collect()[0][0]
+    assert total == n_docs
+
+
+def test_curation_is_one_catalyst_plan(example_task, spark):
+    """The dedup/quality/token stages must collapse into one plan whose
+    scan only reads the needed columns."""
+    batch = Batch()
+    batch.load(example_task)
+    rc = batch.context(example_task)
+    data, _, _ = rc.pipeline.process(input_id=1, config=rc.config)
+    explained = data["lang_stats"]._jdf.queryExecution().toString()
+    assert explained.count("FileScan") == 1  # single source scan feeds all stages
