@@ -112,3 +112,36 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
 def test_asof_join_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ev_asof_join")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key pre-partitions the data so
+    the join needs NO exchange — the §6 co-located-join strategy."""
+    from pypers_spark.sources import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    n_buckets = 8
+    (
+        tables["lineitem"].select("l_orderkey", "l_quantity").write
+        .bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+    )
+    (
+        tables["orders"].select("o_orderkey", "o_totalprice").write
+        .bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            spark.table("li_bucketed").l_orderkey == spark.table("ord_bucketed").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
