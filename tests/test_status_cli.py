@@ -162,3 +162,12 @@ def test_cli_task_selection(tmp_path, sf_dir, capsys):
     ok = run_cli_ex(tmp_path / "jobs", run=False, tasks=[tmp_path / "jobs" / "t1"])
     out = capsys.readouterr().out
     assert ok and "1 task(s) selected for running" in out
+
+
+def test_cli_task_dir_selection(tmp_path, sf_dir, capsys):
+    _write_task(tmp_path / "jobs" / "grp" / "t1", sf_dir)
+    _write_task(tmp_path / "jobs" / "grp" / "t2", sf_dir)
+    _write_task(tmp_path / "jobs" / "other", sf_dir)
+    ok = run_cli_ex(tmp_path / "jobs", run=False, task_dirs=[tmp_path / "jobs" / "grp"])
+    out = capsys.readouterr().out
+    assert ok and "2 task(s) selected for running" in out

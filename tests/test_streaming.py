@@ -109,3 +109,41 @@ def test_stateful_sessionizer_gap_semantics(spark, sf_dir, tables, event_stream)
 def test_watermark_present_in_plan(event_stream):
     stream = streaming_tumbling_counts(event_stream, watermark="2 hours")
     assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_static_join(spark, sf_dir, tables, event_stream):
+    """Streaming events enrich against a static dimension (per-user event
+    totals joined to nothing heavier than a batch-side aggregate)."""
+    from pyspark.sql import functions as F
+
+    user_types = tables["events"].groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    enriched = event_stream.join(user_types, "user_id")
+    result = run_stream_to_memory(enriched.groupBy("user_id").count(), "t_enrich", mode="complete")
+    assert result.count() == user_types.count()
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, event_stream, tmp_path):
+    """foreachBatch: arbitrary batch sinks from a stream (partitioned
+    parquet per micro-batch via the library sink)."""
+    from pypers_spark.sources import write_parquet
+
+    out = str(tmp_path / "stream_out")
+
+    def sink(batch_df, batch_id):
+        write_parquet(batch_df, f"{out}/b{batch_id}", partition_by=["event_type"])
+
+    query = (
+        event_stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert query.awaitTermination(120)
+    finally:
+        query.stop()
+    written = spark.read.parquet(f"{out}/b*")
+    assert written.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert "event_type=view" in str(list((tmp_path / "stream_out").rglob("event_type=*"))[:5])
