@@ -10,9 +10,17 @@
 
 from __future__ import annotations
 
-from pypers_spark.operators import dedup, events, relational, similarity, text, tpch_extra
+from pypers_spark.operators import (
+    dedup,
+    events,
+    relational,
+    semistructured,
+    similarity,
+    text,
+    tpch_extra,
+)
 
-MODULES = (relational, tpch_extra, events, dedup, similarity, text)
+MODULES = (relational, tpch_extra, semistructured, events, dedup, similarity, text)
 
 REGISTRY = {}
 ORACLES = {}
