@@ -321,3 +321,44 @@ ORACLES = {
     "ev_retention": ORACLE_RETENTION,
     "ev_props_extract": ORACLE_PROPS_EXTRACT,
 }
+
+
+def ev_range_window(t: dict[str, DataFrame]) -> DataFrame:
+    """Moving 1-hour event-time range window per user (RANGE BETWEEN).
+
+    Unlike row-count frames, the frame is bounded by event-time distance
+    — the right primitive for rate limits / rolling activity. Single
+    shuffle on user_id.
+    """
+    ev = t["events"].withColumn("ts_s", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("events_last_hour"),
+            rnd(F.sum(F.col("value").cast("double")).over(w), 2).alias("value_last_hour"),
+        )
+        .orderBy("event_id")
+        .limit(20000)
+    )
+
+
+ORACLE_RANGE_WINDOW = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS events_last_hour,
+       {duck_rnd('sum(CAST(value AS DOUBLE)) OVER w', 2)} AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+LIMIT 20000
+"""
+
+QUERIES["ev_range_window"] = ev_range_window
+ORACLES["ev_range_window"] = ORACLE_RANGE_WINDOW

@@ -735,3 +735,35 @@ ORACLES = {
     "op_approx_quantile": ORACLE_APPROX_QUANTILE,
     "op_sample": ORACLE_SAMPLE,
 }
+
+
+def op_grouping_sets(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS: chosen aggregation combinations only
+    (finer than rollup/cube), with grouping_id disambiguation."""
+    return (
+        t["lineitem"]
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            rnd(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {duck_rnd(duck_dsum('l_quantity'), 2)} AS sum_qty,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+QUERIES["op_grouping_sets"] = op_grouping_sets
+ORACLES["op_grouping_sets"] = ORACLE_GROUPING_SETS
