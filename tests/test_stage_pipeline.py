@@ -285,3 +285,28 @@ def test_stages_compose_lazy_dataframe_plan(spark, sf_dir):
     assert "LessThan(l_quantity" in explained, explained
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explained
     assert data["result"].count() > 0
+
+
+def test_pipeline_append_after():
+    p = create_pipeline([Alpha(), Beta()])
+    class Mid(Stage):
+        inputs = ("a",)
+        outputs = ("m",)
+        def process(self, pipeline, config, status=None, a=None, **inputs):
+            return {"m": a}
+    idx = p.append(Mid(), after="alpha")
+    assert idx == 1
+    assert [s.id for s in p.stages] == ["alpha", "mid", "beta"]
+    with pytest.raises(RuntimeError):
+        p.append(Mid())  # duplicate id
+
+
+def test_remove_callback():
+    events = []
+    cb = lambda stage, event, **kw: events.append(event)
+    stage = Alpha()
+    stage.add_callback("after", cb)
+    stage.remove_callback("after", cb)
+    p = create_pipeline([stage])
+    p.process(input_id=0, config=Config())
+    assert events == []

@@ -257,3 +257,16 @@ def test_times_benchmark_persisted(task_tree, spark):
     times = batch.task(task_tree).times
     assert times["scan-docs", "1"] >= 0
     assert (task_tree / "times.csv").is_file()
+
+
+def test_marginal_stages_by_dotted_name(task_tree, spark):
+    spec = yaml.safe_load((task_tree / "task.yml").read_text())
+    spec["marginal_stages"] = ["tests.test_task_batch.CountChars"]
+    (task_tree / "task.yml").write_text(yaml.safe_dump(spec))
+    batch = Batch()
+    batch.load(task_tree)
+    task = batch.task(task_tree)
+    assert list(task.marginal_stages) == ["count-chars"]
+    rc = batch.context(task_tree)
+    rc.run()
+    assert not (task_tree / "data" / "1" / "stats.parquet").exists()
