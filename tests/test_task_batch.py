@@ -270,3 +270,33 @@ def test_marginal_stages_by_dotted_name(task_tree, spark):
     rc = batch.context(task_tree)
     rc.run()
     assert not (task_tree / "data" / "1" / "stats.parquet").exists()
+
+
+def test_task_multiple_input_ids(tmp_path, sf_dir, spark):
+    """The run loop processes each input id with its own config adoption
+    and persists per-input parquet subtrees."""
+
+    write_spec(
+        tmp_path / "multi",
+        {
+            "runnable": True,
+            "input_ids": "1-3",
+            "pipeline": [
+                "tests.test_task_batch.ScanDocs",
+                "tests.test_task_batch.CountChars",
+            ],
+            "config": {"scan-docs": {"path": f"{sf_dir}/documents.parquet"}},
+        },
+    )
+    batch = Batch()
+    batch.load(tmp_path / "multi")
+    task = batch.task(tmp_path / "multi")
+    assert task.input_ids == [1, 2, 3]
+    rc = batch.context(tmp_path / "multi")
+    data = rc.run()
+    assert set(data.keys()) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert (tmp_path / "multi" / "data" / str(i) / "stats.parquet").is_dir()
+        assert data[i]["input_id"] == i
+    times = task.times
+    assert set(times.df.columns.astype(str)) == {"1", "2", "3"}
