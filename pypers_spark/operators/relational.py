@@ -767,3 +767,95 @@ ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST
 
 QUERIES["op_grouping_sets"] = op_grouping_sets
 ORACLES["op_grouping_sets"] = ORACLE_GROUPING_SETS
+
+
+def op_intersect(t: dict[str, DataFrame]) -> DataFrame:
+    """INTERSECT (distinct set semantics): customers active in both
+    halves of the order history."""
+    orders = t["orders"]
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select("o_custkey")
+    return early.intersect(late).orderBy("o_custkey")
+
+
+ORACLE_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+ORDER BY o_custkey
+"""
+
+
+def op_except(t: dict[str, DataFrame]) -> DataFrame:
+    """EXCEPT (distinct set semantics): late-only customers — ordered in
+    the final year but never in the early years."""
+    orders = t["orders"]
+    late = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01")).select("o_custkey")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")).select("o_custkey")
+    return late.subtract(early).orderBy("o_custkey")
+
+
+ORACLE_EXCEPT = """
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+ORDER BY o_custkey
+"""
+
+
+def op_window_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Distribution window functions: ntile, percent_rank, cume_dist
+    over customer balances per market segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+            rnd(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION = f"""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       {duck_rnd('percent_rank() OVER w', 6)} AS pct_rank,
+       {duck_rnd('cume_dist() OVER w', 6)} AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def op_explode(t: dict[str, DataFrame]) -> DataFrame:
+    """Lateral explode: one row per whitespace token of each document
+    name-like field, with token position."""
+    toks = F.split(F.col("p_name"), " ")
+    return (
+        t["part"]
+        .select("p_partkey", F.posexplode(toks).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+ORACLE_EXPLODE = """
+SELECT p_partkey, CAST(u.pos - 1 AS BIGINT) AS pos, u.token
+FROM part,
+     LATERAL (SELECT unnest(string_split(p_name, ' ')) AS token,
+                     generate_subscripts(string_split(p_name, ' '), 1) AS pos) u
+ORDER BY p_partkey, pos
+"""
+
+QUERIES["op_intersect"] = op_intersect
+QUERIES["op_except"] = op_except
+QUERIES["op_window_distribution"] = op_window_distribution
+QUERIES["op_explode"] = op_explode
+ORACLES["op_intersect"] = ORACLE_INTERSECT
+ORACLES["op_except"] = ORACLE_EXCEPT
+ORACLES["op_window_distribution"] = ORACLE_WINDOW_DISTRIBUTION
+ORACLES["op_explode"] = ORACLE_EXPLODE
