@@ -859,3 +859,63 @@ ORACLES["op_intersect"] = ORACLE_INTERSECT
 ORACLES["op_except"] = ORACLE_EXCEPT
 ORACLES["op_window_distribution"] = ORACLE_WINDOW_DISTRIBUTION
 ORACLES["op_explode"] = ORACLE_EXPLODE
+
+
+def op_window_firstlast(t: dict[str, DataFrame]) -> DataFrame:
+    """first_value / last_value / nth_value over each customer's order
+    history (full-partition frames)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_WINDOW_FIRSTLAST = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
+def op_percentile_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles per group (vs the approx variant in
+    op_approx_quantile)."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            rnd(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).alias("p50"),
+            rnd(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILE_EXACT = f"""
+SELECT l_returnflag,
+       {duck_rnd('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50,
+       {duck_rnd('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["op_window_firstlast"] = op_window_firstlast
+QUERIES["op_percentile_exact"] = op_percentile_exact
+ORACLES["op_window_firstlast"] = ORACLE_WINDOW_FIRSTLAST
+ORACLES["op_percentile_exact"] = ORACLE_PERCENTILE_EXACT
