@@ -109,9 +109,14 @@ class Batch:
         return [rc for rc in self.contexts if rc.pending]
 
     def context(self, path) -> Optional[RunContext]:
-        for rc in self.contexts:
-            if rc.task.path.resolve() == pathlib.Path(path).resolve():
-                return rc
+        # Resolve the task first, then build ONE RunContext — going
+        # through self.contexts would construct pipeline+config for
+        # every runnable task per lookup (the CLI dry-run listing calls
+        # this once per listed task, which would be quadratic).
+        target = pathlib.Path(path).resolve()
+        for task in self.tasks.values():
+            if task.runnable and task.path.resolve() == target:
+                return RunContext(task)
         return None
 
     async def run(

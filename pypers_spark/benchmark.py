@@ -31,18 +31,23 @@ class Benchmark(Generic[ValueType]):
         return self
 
     def __getitem__(self, where: Tuple[str, object]) -> ValueType:
+        # Input-id columns are keyed as strings throughout: the CSV
+        # roundtrip stringifies column labels, and mixing int/str keys
+        # would fork duplicate columns and silently drop inherited
+        # times on pickup resume.
         stage_id, input_id = where
-        return self.df.at[stage_id, input_id]
+        return self.df.at[stage_id, str(input_id)]
 
     def __setitem__(self, where: Tuple[str, object], value: ValueType) -> "Benchmark":
         stage_id, input_id = where
-        self.df.at[stage_id, input_id] = value
+        self.df.at[stage_id, str(input_id)] = value
         return self
 
     def retain(self, stage_ids: Iterable[str], input_ids: Iterable) -> "Benchmark":
         """Drop rows/columns outside the given stages/inputs (order kept)."""
+        self.df.columns = [str(c) for c in self.df.columns]
         keep_stages = frozenset(stage_ids) & frozenset(self.df.index)
-        keep_inputs = frozenset(input_ids) & frozenset(self.df.columns)
+        keep_inputs = frozenset(str(i) for i in input_ids) & frozenset(self.df.columns)
         rows = sorted(keep_stages, key=self.df.index.get_loc)
         cols = sorted(keep_inputs, key=self.df.columns.get_loc)
         self.df = self.df.loc[rows, cols]

@@ -45,6 +45,10 @@ class StatusReaderConsoleAdapter(status_mod.StatusReader):
         self.batch = batch
         self.margin: Optional[str] = None
         self._carry = 0  # length of the intermediate line to overwrite
+        # Initialized here: a progress status can be first OBSERVED at
+        # step > 0 (the poller may miss step 0), and the ETA branch must
+        # not crash the reader task on a missing attribute.
+        self._progress_t0 = time.time()
         super().__init__(*args, **kwargs)
 
     def clear_line(self, line: str) -> str:

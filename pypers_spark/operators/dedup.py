@@ -84,17 +84,6 @@ def _repartitioned(df: DataFrame) -> DataFrame:
     return df.repartition(n, F.col("doc_id"))
 
 
-def _word_ngrams(toks, n: int):
-    """Word n-gram array from a token array (codegen-friendly)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-
-
 def _duck_word_ngrams(toks: str, n: int) -> str:
     parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
     return (
@@ -151,11 +140,6 @@ FROM (
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def _shingles(col):
-    toks = F.split(normalize_text(col), " ")
-    return F.array_distinct(_word_ngrams(toks, 3))
-
-
 def _signature_table(t: dict[str, DataFrame]) -> DataFrame:
     """doc_id + hashed word-3-shingle set, persisted.
 
@@ -172,7 +156,7 @@ def _signature_table(t: dict[str, DataFrame]) -> DataFrame:
        to parquet (one int64 per distinct shingle, tiny next to the raw
        text; every downstream stage is cheap joins over it).
     """
-    from pyspark.storagelevel import StorageLevel
+    from pypers_spark.functions.caching import tracked_persist
 
     toks = corpus(t, repartition=False).select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
@@ -188,10 +172,9 @@ def _signature_table(t: dict[str, DataFrame]) -> DataFrame:
     # Filter on tk BEFORE projecting hs: a filter on size(hs) would be
     # pushed below the projection and re-evaluate the whole transform
     # expression a second time per row (measured ~20x cost).
-    return (
-        toks.filter(F.size("tk") >= 3)
-        .select("doc_id", hs.alias("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return tracked_persist(
+        toks.filter(F.size("tk") >= 3).select("doc_id", hs.alias("hs")),
+        "dedup.signature_table",
     )
 
 
@@ -389,15 +372,15 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
         F.sequence(F.lit(1), F.length("nt") - 3),
         lambda i: md5_int64(F.col("nt").substr(i, F.lit(4))),
     )
-    from pyspark.storagelevel import StorageLevel
+    from pypers_spark.functions.caching import tracked_persist
 
     # Pre-filter on nt (not on size(g)) — see _signature_table note.
     # Persisted: both self-join sides consume it, and any later derived
     # column (ng below) would otherwise re-inline the gram pipeline.
-    docs = (
+    docs = tracked_persist(
         norm.filter(F.length("nt") >= 4)
-        .select("doc_id", "source", F.array_distinct(grams).alias("g"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", "source", F.array_distinct(grams).alias("g")),
+        "dedup.ngram_grams",
     )
     docs = docs.withColumn("ng", F.size("g"))
     a = docs.select(

@@ -117,16 +117,15 @@ def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
     cos = dot / (norm_a · norm_b) is value-identical to the oracle's
     formula (sqrt is deterministic), so rounding still matches.
     """
-    from pyspark.storagelevel import StorageLevel
-
+    from pypers_spark.functions.caching import tracked_persist
     from pypers_spark.functions.vectors import dot, l2_norm
 
     n = int(t["embeddings"].sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    emb = (
+    emb = tracked_persist(
         t["embeddings"]
         .repartition(n, F.col("vec_id"))
-        .select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")),
+        "similarity.embedding_norms",
     )
     a = emb.select(
         F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("e_a"),

@@ -37,10 +37,12 @@ def q4_priority_check(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-07-01"))
         & (F.col("o_orderdate") < F.lit("1996-10-01"))
     )
+    # Full-timestamp interval arithmetic (date_add would truncate the
+    # time-of-day and diverge from the oracle on non-midnight stamps).
     late_orders = ords.join(
         t["lineitem"],
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         "leftsemi",
     )
     return (

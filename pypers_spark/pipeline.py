@@ -108,7 +108,13 @@ class Pipeline:
         if self.stages and first_stage == self.stages[0].id:
             first_stage = None
         if first_stage is not None and first_stage.endswith("+"):
-            first_stage = self.stages[1 + self.find(first_stage[:-1])].id
+            base = self.find(first_stage[:-1], None)
+            if base is None:
+                raise ValueError(f'unknown stage id: "{first_stage[:-1]}"')
+            if base + 1 >= len(self.stages):
+                # "after the last stage" — nothing to run.
+                return data, config, {}
+            first_stage = self.stages[base + 1].id
         if (
             first_stage is not None
             and last_stage is not None

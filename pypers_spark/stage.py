@@ -200,11 +200,20 @@ class Stage:
             if name in skip:
                 continue
             value = getattr(self, name)
-            # Collections (sets, frozensets, dicts, …) are kept only if
-            # their listed form is JSON-serializable.
+            # Collections are kept only if JSON-serializable — and
+            # canonicalized: dicts keep their ITEMS (sorted; listing a
+            # dict would keep only keys and miss value changes), sets
+            # are sorted (their iteration order is hash-seed-dependent
+            # and would make the sha differ between processes).
             if not callable(value) and not isinstance(value, (str, int, float, bool, type(None))):
                 try:
-                    value = json.loads(json.dumps(list(value)))
+                    if isinstance(value, dict):
+                        listed = sorted(value.items())
+                    elif isinstance(value, (set, frozenset)):
+                        listed = sorted(value)
+                    else:
+                        listed = list(value)
+                    value = json.loads(json.dumps(listed))
                 except TypeError:
                     continue
             if callable(value):

@@ -313,6 +313,14 @@ class Task:
                 else:
                     scalars[field] = value
             (input_dir / "scalars.json").write_text(json.dumps(scalars))
+            # Remove parquet fields from a previous completion that the
+            # current pipeline no longer produces — load() asserts exact
+            # field-set equality, so a stale file would permanently
+            # break pickup/resume for this task.
+            current = {f"{field}.parquet" for field in chunk}
+            for stale in input_dir.glob("*.parquet"):
+                if stale.name not in current:
+                    shutil.rmtree(stale)
         self.digest_task_filepath.write_text(
             json.dumps(self.get_full_spec_with_config(config))
         )
@@ -349,9 +357,16 @@ class Task:
             data[input_id] = chunk
         if pipeline is not None:
             required = pipeline.persistent_fields - self.get_marginal_fields(pipeline)
-            assert all(
-                frozenset(chunk.keys()) == required for chunk in data.values()
-            ), "Loaded data is inconsistent with the pipeline."
+            for input_id, chunk in data.items():
+                missing = required - frozenset(chunk.keys())
+                assert not missing, (
+                    f"Loaded data is inconsistent with the pipeline (missing: {missing})."
+                )
+                # Fields a previous pipeline version produced but the
+                # current one does not are dropped (store() also removes
+                # their parquet) — asserting on extras would permanently
+                # brick pickup after any stage removal.
+                data[input_id] = {k: v for k, v in chunk.items() if k in required}
         return data
 
     # -- incremental resume --------------------------------------------------

@@ -310,3 +310,43 @@ def test_remove_callback():
     p = create_pipeline([stage])
     p.process(input_id=0, config=Config())
     assert events == []
+
+
+def test_signature_tracks_dict_values_and_set_order():
+    class WithDict(Stage):
+        id = "wd"
+        outputs = ("x",)
+        thresholds = {"a": 1}
+
+        def process(self, pipeline, config, status=None, **inputs):
+            return {"x": 0}
+
+    class WithDict2(WithDict):
+        id = "wd"
+        thresholds = {"a": 2}
+
+    assert WithDict().sha != WithDict2().sha  # dict VALUES must count
+
+    class WithSet(Stage):
+        id = "ws"
+        outputs = ("x",)
+        tags = {"zeta", "alpha", "mid"}
+
+        def process(self, pipeline, config, status=None, **inputs):
+            return {"x": 0}
+
+    assert WithSet().sha == WithSet().sha
+
+
+def test_first_stage_plus_on_last_stage_is_noop():
+    p = make_pipeline()
+    data, _, times = p.process(
+        input_id=0, config=Config(), first_stage="gamma-consumer+", data={"c": 1}
+    )
+    assert times == {}
+
+
+def test_first_stage_plus_unknown_raises():
+    p = make_pipeline()
+    with pytest.raises(ValueError):
+        p.process(input_id=0, config=Config(), first_stage="nope+", data={})

@@ -300,3 +300,40 @@ def test_task_multiple_input_ids(tmp_path, sf_dir, spark):
         assert data[i]["input_id"] == i
     times = task.times
     assert set(times.df.columns.astype(str)) == {"1", "2", "3"}
+
+
+def test_store_removes_stale_fields(task_tree, spark):
+    """Dropping a stage between runs must not leave its parquet behind —
+    load() asserts exact field sets and would break resume forever."""
+    batch = Batch()
+    batch.load(task_tree)
+    batch.context(task_tree).run()
+    assert (task_tree / "data" / "1" / "summary.parquet").is_dir()
+
+    spec = yaml.safe_load((task_tree / "task.yml").read_text())
+    spec["pipeline"] = spec["pipeline"][:2]  # drop Summarize
+    (task_tree / "task.yml").write_text(yaml.safe_dump(spec))
+    fresh = Batch()
+    fresh.load(task_tree)
+    rc = fresh.context(task_tree)
+    rc.run()
+    assert not (task_tree / "data" / "1" / "summary.parquet").exists()
+    # And the stored data loads cleanly against the new pipeline.
+    fresh.task(task_tree).load(rc.pipeline)
+
+
+def test_times_survive_pickup(task_tree, spark):
+    """Inherited stage times must survive the CSV roundtrip on pickup
+    (int input ids vs stringified CSV columns)."""
+    batch = Batch()
+    batch.load(task_tree)
+    batch.context(task_tree).run()
+    child_rc = RunContext(batch.task(task_tree / "strict"))
+    child_rc.run()
+    times = batch.task(task_tree / "strict").times
+    # The child only re-ran count-chars onward; scan-docs time was
+    # inherited from the parent and must still be present.
+    import math
+
+    assert not math.isnan(times["scan-docs", 1])
+    assert not math.isnan(times["count-chars", 1])
