@@ -18,9 +18,19 @@ from pypers_spark.operators import (
     similarity,
     text,
     tpch_extra,
+    tpch_rest,
 )
 
-MODULES = (relational, tpch_extra, semistructured, events, dedup, similarity, text)
+MODULES = (
+    relational,
+    tpch_extra,
+    tpch_rest,
+    semistructured,
+    events,
+    dedup,
+    similarity,
+    text,
+)
 
 REGISTRY = {}
 ORACLES = {}
