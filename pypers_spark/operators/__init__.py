@@ -13,6 +13,7 @@ from __future__ import annotations
 from pypers_spark.operators import (
     dedup,
     events,
+    events_extra,
     relational,
     semistructured,
     similarity,
@@ -27,6 +28,7 @@ MODULES = (
     tpch_rest,
     semistructured,
     events,
+    events_extra,
     dedup,
     similarity,
     text,

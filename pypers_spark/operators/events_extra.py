@@ -1,0 +1,282 @@
+"""Additional time-series operators over ``events`` (SURVEY.md §2.C).
+
+Sequence analytics beyond the round-1 set: inter-event gap statistics,
+first-touch attribution, event-type transition (Markov) counts,
+statistical outlier flagging, and a rolling 7-day active-user count.
+
+Scale notes (100 TB intent):
+- Every per-user sequence op is ONE shuffle keyed on user_id (lag /
+  struct-min aggregations — no self-joins).
+- The rolling-WAU op deliberately avoids an inequality self-join (which
+  Spark would execute as a broadcast nested loop): each (day, user) row
+  explodes into the ≤7 windows it belongs to — a bounded fan-out that
+  keeps the op a plain hash aggregation at any scale.
+- Outlier stats use exact decimal sums (order-independent) so the
+  mean/σ are bit-identical across engines; per-type stats broadcast
+  back onto the event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+
+# DuckDB twin of Spark's unix_timestamp() (second precision).
+_DUCK_EPOCH = "epoch(date_trunc('second', {col}))"
+
+
+def ev_gap_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user inter-event gap statistics (seconds between events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .withColumn("ts_s", F.unix_timestamp("ts"))
+        .withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w))
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("gap_s").alias("n_gaps"),
+            rnd(F.sum("gap_s").cast("double") / F.count("gap_s"), 4).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EP = _DUCK_EPOCH.format(col="ts")
+
+ORACLE_GAP_STATS = f"""
+WITH g AS (
+  SELECT user_id,
+         {_EP} - lag({_EP}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, count(gap_s) AS n_gaps,
+       {duck_rnd('CAST(sum(gap_s) AS DOUBLE) / count(gap_s)', 4)} AS avg_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ev_first_touch(t: dict[str, DataFrame]) -> DataFrame:
+    """First-touch attribution: every purchase joined to its user's
+    first-ever event.
+
+    The per-user "first event" is a struct-min aggregation (ts, then
+    event_id tie-break) — a single partial-aggregatable shuffle, no
+    window materialization, broadcastable result.
+    """
+    ev = t["events"]
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("f"))
+        .select(
+            "user_id",
+            F.col("f.ts").alias("first_ts"),
+            F.col("f.event_id").alias("first_event_id"),
+            F.col("f.event_type").alias("first_event_type"),
+        )
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .join(first, "user_id")
+        .withColumn(
+            "secs_since_first",
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("first_ts"),
+        )
+        .select(
+            "purchase_id", "user_id", "purchase_ts",
+            "first_event_id", "first_event_type", "secs_since_first",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_FIRST_TOUCH = f"""
+WITH first AS (
+  SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+         event_type AS first_event_type
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       f.first_event_id, f.first_event_type,
+       CAST({_DUCK_EPOCH.format(col='p.ts')} - {_DUCK_EPOCH.format(col='f.first_ts')}
+            AS BIGINT) AS secs_since_first
+FROM events p JOIN first f ON p.user_id = f.user_id
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+def ev_type_transitions(t: dict[str, DataFrame]) -> DataFrame:
+    """Event-type transition matrix: counts of consecutive (prev → curr)
+    pairs per user sequence, with each row's share of its source state.
+
+    The Markov-chain building block for behavioral modeling; one lag
+    window + one aggregation.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count("*").alias("n")
+    )
+    w_src = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p", rnd(F.col("n").cast("double") / F.sum("n").over(w_src), 4)
+        )
+        .orderBy("prev_type", "curr_type")
+    )
+
+
+ORACLE_TRANSITIONS = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS curr_type
+  FROM events
+), counts AS (
+  SELECT prev_type, curr_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, curr_type, n,
+       {duck_rnd('CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)', 4)} AS p
+FROM counts
+ORDER BY prev_type, curr_type
+"""
+
+
+def ev_zscore_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Value outliers per event type: |value| beyond mean + 2σ.
+
+    Mean/σ come from exact decimal sums (Σv, Σv²) so both engines
+    derive identical doubles; the tiny per-type stats table broadcasts
+    back onto the stream — two scans, no window over the full data.
+    """
+    ev = t["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    cut = (mean + F.lit(2.0) * F.sqrt(var)).alias("cutoff")
+    limits = stats.select("event_type", cut, mean.alias("mean"), F.sqrt(var).alias("sd"))
+    return (
+        ev.join(F.broadcast(limits), "event_type")
+        .filter(F.col("value") > F.col("cutoff"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            rnd((F.col("value") - F.col("mean")) / F.col("sd"), 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_S1 = duck_dsum("value")
+_S2 = duck_dsum("value * value")
+
+ORACLE_ZSCORE = f"""
+WITH stats AS (
+  SELECT event_type, count(*) AS n, {_S1} AS s1, {_S2} AS s2
+  FROM events GROUP BY 1
+), limits AS (
+  SELECT event_type,
+         s1 / n AS mean,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd,
+         s1 / n + 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS cutoff
+  FROM stats
+)
+SELECT event_id, e.event_type AS event_type, value,
+       {duck_rnd('(value - mean) / sd', 4)} AS zscore
+FROM events e JOIN limits l ON e.event_type = l.event_type
+WHERE value > cutoff
+ORDER BY event_id
+"""
+
+
+def ev_rolling_wau(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily + rolling-7-day distinct active users.
+
+    No inequality self-join: each distinct (day, user) fans out into
+    the ≤7 window-end days it contributes to (bounded explode), then a
+    plain distinct-count aggregation — hash-partitionable at any scale.
+    """
+    du = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    real_days = du.select("day").distinct()
+    fanout = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+    ).select(
+        (F.col("day") + F.expr("make_dt_interval(off)")).alias("wday"), "user_id"
+    )
+    wau = (
+        fanout.join(real_days, fanout["wday"] == real_days["day"], "leftsemi")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+fanout AS (
+  SELECT du.day + INTERVAL 1 DAY * t.off AS wday, user_id
+  FROM du, (SELECT unnest(generate_series(0, 6)) AS off) t
+),
+wau AS (
+  SELECT wday, count(DISTINCT user_id) AS wau
+  FROM fanout
+  WHERE wday IN (SELECT day FROM du)
+  GROUP BY 1
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT dau.day AS day, dau, wau
+FROM dau JOIN wau ON dau.day = wau.wday
+ORDER BY day
+"""
+
+
+QUERIES = {
+    "ev_gap_stats": ev_gap_stats,
+    "ev_first_touch": ev_first_touch,
+    "ev_type_transitions": ev_type_transitions,
+    "ev_zscore_outliers": ev_zscore_outliers,
+    "ev_rolling_wau": ev_rolling_wau,
+}
+
+ORACLES = {
+    "ev_gap_stats": ORACLE_GAP_STATS,
+    "ev_first_touch": ORACLE_FIRST_TOUCH,
+    "ev_type_transitions": ORACLE_TRANSITIONS,
+    "ev_zscore_outliers": ORACLE_ZSCORE,
+    "ev_rolling_wau": ORACLE_ROLLING_WAU,
+}
