@@ -18,6 +18,7 @@ from pypers_spark.operators import (
     semistructured,
     similarity,
     text,
+    text_extra,
     tpch_extra,
     tpch_rest,
 )
@@ -32,6 +33,7 @@ MODULES = (
     dedup,
     similarity,
     text,
+    text_extra,
 )
 
 REGISTRY = {}

@@ -201,11 +201,49 @@ def ann_topk_pandas(t: dict[str, DataFrame]) -> DataFrame:
 
 _QUERY_CACHE: dict = {}
 
+RANGE_TAU = 0.2
+
+
+def ann_range_search(t: dict[str, DataFrame]) -> DataFrame:
+    """Range search: every vector within cosine radius τ of the query.
+
+    The fixed-radius dual of top-k — one broadcast of the query vector,
+    one scan, a pushable filter on the similarity expression. At scale
+    the same LSH bucket key as ``ann_lsh_bucketed`` bounds the scan to
+    the query's neighboring buckets.
+    """
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+    )
+
+
+ORACLE_ANN_RANGE = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+  AND {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} >= {RANGE_TAU}
+ORDER BY cos_sim DESC, vec_id
+"""
+
 
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_pandas": ann_topk_pandas,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_range_search": ann_range_search,
     "dd_embedding_cos": dd_embedding_cos,
 }
 
@@ -213,5 +251,6 @@ ORACLES = {
     "ann_topk_cosine": ORACLE_ANN_TOPK,
     "ann_topk_pandas": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": _duck_lsh_sql(),
+    "ann_range_search": ORACLE_ANN_RANGE,
     "dd_embedding_cos": ORACLE_DD_EMB,
 }

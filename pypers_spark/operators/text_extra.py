@@ -1,0 +1,173 @@
+"""Corpus-level text analytics over ``documents`` (SURVEY.md §2.D).
+
+Inverted-index-shaped statistics for training-data curation: document
+frequency, TF-IDF term extraction, and lexical-diversity scoring.
+
+Scale notes (100 TB intent):
+- The exploded token table is the classic inverted-index build: one
+  explode (no Python), partial-aggregated counts keyed on the token —
+  the same shuffle an index builder would do. At 100 TB the df table is
+  Zipf-skewed; AQE skew-split handles the head tokens, and the df side
+  of the TF-IDF join is orders of magnitude smaller than the postings,
+  so it broadcasts.
+- All scores are ratio-of-integer-counts doubles (ln-free TF-IDF
+  variant) — bit-identical across engines, no transcendental functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.text import duck_normalize_text, tokenize_ws
+
+DF_TOP_K = 50
+
+_DUCK_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
+
+
+def txt_df_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-50 tokens by document frequency (corpus stopword discovery)."""
+    docs = t["documents"]
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_ws(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(DF_TOP_K)
+    )
+
+
+ORACLE_DF_TOPK = f"""
+SELECT token, count(*) AS df
+FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY df DESC, token
+LIMIT {DF_TOP_K}
+"""
+
+
+def txt_tfidf_top(t: dict[str, DataFrame]) -> DataFrame:
+    """Each document's most characteristic term by ln-free TF-IDF
+    (score = tf · N / df), ties broken lexicographically.
+
+    Postings (doc, token, tf) shuffle on the token once to build df,
+    then join df back — the df side broadcasts at any scale (vocabulary
+    ≪ postings). Top term per doc is a struct-max aggregation keyed on
+    doc_id, not a row_number materialization.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token", "tf", "df", rnd(F.col("score"), 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TFIDF_TOP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token AS token, tf, df,
+         CAST(tf AS DOUBLE) * n_docs / df AS score
+  FROM tf JOIN dft ON tf.token = dft.token, n
+)
+SELECT doc_id, token, tf, df, {duck_rnd('score', 4)} AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def txt_lexical_diversity(t: dict[str, DataFrame]) -> DataFrame:
+    """Type-token ratio per document, rolled up per source.
+
+    Pure column expressions (array_distinct over the token array — no
+    shuffle for the per-doc part); the rollup is one tiny aggregation.
+    Averages use exact decimal sums so they are order-independent.
+    """
+    docs = t["documents"]
+    toks = tokenize_ws(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).withColumn(
+        "ttr",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_types").cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            rnd(dsum(F.col("ttr")) / F.count(F.lit(1)), 4).alias("avg_ttr"),
+            rnd(F.min("ttr"), 4).alias("min_ttr"),
+            rnd(F.max("ttr"), 4).alias("max_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LEXICAL_DIVERSITY = f"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN len({_DUCK_TOKS}) > 0
+              THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE) / len({_DUCK_TOKS})
+              ELSE 0.0 END AS ttr
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       {duck_rnd(duck_dsum('ttr') + ' / count(*)', 4)} AS avg_ttr,
+       {duck_rnd('min(ttr)', 4)} AS min_ttr,
+       {duck_rnd('max(ttr)', 4)} AS max_ttr
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "txt_df_topk": txt_df_topk,
+    "txt_tfidf_top": txt_tfidf_top,
+    "txt_lexical_diversity": txt_lexical_diversity,
+}
+
+ORACLES = {
+    "txt_df_topk": ORACLE_DF_TOPK,
+    "txt_tfidf_top": ORACLE_TFIDF_TOP,
+    "txt_lexical_diversity": ORACLE_LEXICAL_DIVERSITY,
+}
