@@ -290,6 +290,121 @@ ORDER BY id_a, id_b
 """
 
 
+def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
+    """Sketch accuracy: estimated (minhash-agreement) vs exact Jaccard
+    for every LSH candidate pair.
+
+    The estimator is the textbook one — the fraction of the 16 minhash
+    components on which the two signatures agree — computed with a
+    zip_with/filter fold over the signature arrays (codegen, no UDF).
+    Emitting both estimates lets a pipeline calibrate band/row counts
+    against measured error before running at full scale.
+    """
+    docs = _signature_table(t)
+
+    def _min_affine(j: int):
+        return F.array_min(F.transform(F.col("hs"), lambda h: affine_hash(h, j)))
+
+    mh = docs.select(
+        "doc_id",
+        F.array(*[_min_affine(j) for j in range(N_HASHES)]).alias("mh"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("mh"), b * ROWS_PER_BAND + r + 1).cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    from pypers_spark.functions.caching import tracked_persist
+
+    mh = tracked_persist(mh, "dedup.minhash_est_signatures")
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
+              ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a_sig = mh.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
+    b_sig = mh.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mh_b"))
+    a_hs = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b_hs = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(F.broadcast(a_sig), "id_a")
+        .join(F.broadcast(b_sig), "id_b")
+        .join(a_hs, "id_a")
+        .join(b_hs, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rnd(agree / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
+            rnd(inter / union, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _duck_minhash_est_sql() -> str:
+    mh_elems = ", ".join(
+        f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)}))"
+        for j in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, CAST(mh[{i0}] AS VARCHAR) || ',' || CAST(mh[{i1}] AS VARCHAR)"
+        " || ',' || CAST(mh[{i2}] AS VARCHAR) || ',' || CAST(mh[{i3}] AS VARCHAR) AS band_key FROM mh".format(
+            b=b, i0=b * 4 + 1, i1=b * 4 + 2, i2=b * 4 + 3, i3=b * 4 + 4
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {DUCK_CORPUS},
+docs AS (
+  SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
+  FROM corpus
+  WHERE len({_duck_shingles('text')}) > 0
+),
+mh AS (
+  SELECT doc_id, hs, [{mh_elems}] AS mh FROM docs
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       {duck_rnd(f'len(list_filter(range(1, {N_HASHES} + 1), i -> a.mh[i] = b.mh[i])) * 1.0 / {N_HASHES}', 4)} AS est_jaccard,
+       {duck_rnd('len(list_intersect(a.hs, b.hs)) * 1.0 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))', 4)} AS jaccard
+FROM cand
+JOIN mh a ON a.doc_id = id_a
+JOIN mh b ON b.doc_id = id_b
+ORDER BY id_a, id_b
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
@@ -431,6 +546,7 @@ QUERIES = {
     "dd_exact": dd_exact,
     "dd_exact_keep": dd_exact_keep,
     "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_minhash_est": dd_minhash_est,
     "dd_simhash": dd_simhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
 }
@@ -439,6 +555,7 @@ ORACLES = {
     "dd_exact": ORACLE_DD_EXACT,
     "dd_exact_keep": ORACLE_DD_EXACT_KEEP,
     "dd_minhash_lsh": _duck_minhash_sql(),
+    "dd_minhash_est": _duck_minhash_est_sql(),
     "dd_simhash": _duck_simhash_sql(),
     "dd_ngram_jaccard": _duck_ngram_sql(),
 }
