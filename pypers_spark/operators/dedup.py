@@ -470,9 +470,15 @@ FROM per_doc GROUP BY simhash ORDER BY keep_id
 def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     """Char-4-gram Jaccard near-dup pairs within a blocking key (source).
 
-    The pairwise compare is bounded to one block — the blocking key is
-    what keeps this linear-ish at scale (swap source for an LSH band or
-    domain key in production).
+    Jaccard is a function of the gram SET, so exact-duplicate sets are
+    collapsed first (md5 of the sorted hashed-gram array): the quadratic
+    compare runs once per distinct set pair, and member pairs expand
+    back afterwards (same-set pairs are J = 1.0 by construction, no
+    intersect at all). Exact-dup collapse before near-dup search is the
+    standard curation ordering — at 100 TB web scale the collapse
+    factor is far larger than this corpus's 2x. The remaining pairwise
+    compare is bounded to one block (swap source for an LSH band or
+    URL-domain key in production) and size-ratio pruned.
     """
     # Normalize below the exchange so the per-offset substring lambda
     # slices a materialized string column, not a re-evaluated regex
@@ -481,8 +487,8 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
         "doc_id", "source", normalize_text(F.col("text")).alias("nt")
     )
     norm = _repartitioned(norm)
-    # Hashed grams: the pairwise intersect inside each block compares
-    # int64s instead of strings — same Jaccard, far cheaper compares.
+    # Hashed grams: the pairwise intersect compares int64s instead of
+    # strings — same Jaccard, far cheaper compares.
     grams = F.transform(
         F.sequence(F.lit(1), F.length("nt") - 3),
         lambda i: md5_int64(F.col("nt").substr(i, F.lit(4))),
@@ -490,36 +496,71 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     from pypers_spark.functions.caching import tracked_persist
 
     # Pre-filter on nt (not on size(g)) — see _signature_table note.
-    # Persisted: both self-join sides consume it, and any later derived
-    # column (ng below) would otherwise re-inline the gram pipeline.
+    sets = norm.filter(F.length("nt") >= 4).select(
+        "doc_id", "source", F.array_distinct(grams).alias("g")
+    )
+    # Set signature: md5 over the sorted hashed grams. docs is persisted:
+    # the rep table, both expansion joins, and the self-pair join read it.
     docs = tracked_persist(
-        norm.filter(F.length("nt") >= 4)
-        .select("doc_id", "source", F.array_distinct(grams).alias("g")),
+        sets.withColumn(
+            "sig",
+            F.md5(F.concat_ws(",", F.transform(F.array_sort("g"), lambda x: x.cast("string")))),
+        ),
         "dedup.ngram_grams",
     )
-    docs = docs.withColumn("ng", F.size("g"))
-    a = docs.select(
-        F.col("doc_id").alias("id_a"), "source", F.col("g").alias("g_a"),
-        F.col("ng").alias("ng_a"),
+    # One representative row per distinct (source, set).
+    reps = tracked_persist(
+        docs.groupBy("source", "sig").agg(
+            F.first("g").alias("g"), F.count("*").alias("n_members")
+        ).withColumn("ng", F.size("g")),
+        "dedup.ngram_reps",
     )
-    b = docs.select(
-        F.col("doc_id").alias("id_b"), "source", F.col("g").alias("g_b"),
-        F.col("ng").alias("ng_b"),
-    )
+    a = reps.select(F.col("sig").alias("sig_a"), "source", F.col("g").alias("g_a"),
+                    F.col("ng").alias("ng_a"))
+    b = reps.select(F.col("sig").alias("sig_b"), "source", F.col("g").alias("g_b"),
+                    F.col("ng").alias("ng_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.col("ng_a") + F.col("ng_b") - inter
     # Lossless size-ratio prune: J >= tau forces
     # min(|A|,|B|) >= tau * max(|A|,|B|) — filter on the cheap set sizes
     # BEFORE paying for the intersect on each candidate pair.
     size_ok = F.least("ng_a", "ng_b") >= NGRAM_JACCARD_THRESHOLD * F.greatest("ng_a", "ng_b")
-    return (
+    sig_pairs = (
         a.join(b, "source")
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .filter((F.col("sig_a") < F.col("sig_b")) & size_ok)
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
-        .select("source", "id_a", "id_b", "jaccard")
-        .orderBy("source", "id_a", "id_b")
+        .select("source", "sig_a", "sig_b", "jaccard")
     )
+    # Expand distinct-set pairs back to doc pairs (either orientation of
+    # the doc ids can occur, so re-order with least/greatest).
+    ma = docs.select(F.col("sig").alias("ma_sig"), F.col("source").alias("ma_src"),
+                     F.col("doc_id").alias("m_a"))
+    mb = docs.select(F.col("sig").alias("mb_sig"), F.col("source").alias("mb_src"),
+                     F.col("doc_id").alias("m_b"))
+    cross = (
+        sig_pairs
+        .join(ma, (F.col("sig_a") == F.col("ma_sig")) & (F.col("source") == F.col("ma_src")))
+        .join(mb, (F.col("sig_b") == F.col("mb_sig")) & (F.col("source") == F.col("mb_src")))
+        .select(
+            "source",
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # Same-set doc pairs are exact dups: J = 1.0 without any intersect.
+    twins = (
+        ma.join(mb, (F.col("ma_sig") == F.col("mb_sig")) & (F.col("ma_src") == F.col("mb_src")))
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("ma_src").alias("source"),
+            F.col("m_a").alias("id_a"),
+            F.col("m_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(twins).orderBy("source", "id_a", "id_b")
 
 
 def _duck_ngram_sql() -> str:
