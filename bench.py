@@ -30,9 +30,11 @@ HEADLINE = (
     "q10_returned_items",
     "q13_custdist",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "op_window_running",
     "ev_sessionize",
     "ev_asof_join",
+    "ev_rolling_wau",
     "dd_exact",
     "dd_minhash_lsh",
     "dd_simhash",
@@ -41,6 +43,7 @@ HEADLINE = (
     "ann_topk_cosine",
     "txt_quality",
     "txt_token_count",
+    "txt_tfidf_top",
 )
 
 

@@ -15,6 +15,7 @@ from pypers_spark.operators import (
     events,
     events_extra,
     relational,
+    relational_extra,
     semistructured,
     similarity,
     text,
@@ -25,6 +26,7 @@ from pypers_spark.operators import (
 
 MODULES = (
     relational,
+    relational_extra,
     tpch_extra,
     tpch_rest,
     semistructured,

@@ -1,0 +1,218 @@
+"""Additional relational operators (SURVEY.md §2.B widening, round 2).
+
+Gap-filling date spines, fixed-width histograms, ordered string
+aggregation, filtered distinct counts, and banded range joins — the
+everyday analytics shapes that round out the §2.B inventory.
+
+Scale notes (100 TB intent):
+- The date spine explodes from a single min/max row — the spine side is
+  always tiny and broadcasts; the fact side never re-shuffles.
+- Histograms are one hash aggregation on a computed bucket key.
+- string_agg uses sort-inside-group semantics via array_sort AFTER
+  collect_list — deterministic output without a global sort of the
+  input (collect order is nondeterministic in a distributed shuffle;
+  sorting the collected array fixes it engine-independently).
+- The range join broadcasts the band dimension; Spark plans it as a
+  BroadcastNestedLoopJoin over ≤ a handful of bands — bounded fan-out,
+  never a shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+
+
+def op_date_spine(t: dict[str, DataFrame]) -> DataFrame:
+    """Continuous daily spine over the orders date range with zero-filled
+    order counts — the gap-filling pattern (no missing days in output).
+    """
+    ords = t["orders"]
+    bounds = ords.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ords.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("rev"),
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            rnd(F.coalesce(F.col("rev"), F.lit(0.0)), 2).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DATE_SPINE = f"""
+WITH bounds AS (
+  SELECT date_trunc('day', min(o_orderdate)) AS lo,
+         date_trunc('day', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders,
+         {duck_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+)
+SELECT spine.day AS day, coalesce(n_orders, 0) AS n_orders,
+       {duck_rnd('coalesce(rev, 0.0)', 2)} AS revenue
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY day
+"""
+
+
+def op_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-width histogram of order totals (width 25k) with per-bucket
+    stats — one hash aggregation on the computed bucket key."""
+    width = 25000.0
+    bucket = F.floor(F.col("o_totalprice") / width).cast("bigint")
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            rnd(F.min("o_totalprice"), 2).alias("lo"),
+            rnd(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .withColumn("bucket_start", rnd(F.col("bucket") * width, 2))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       {duck_rnd('min(o_totalprice)', 2)} AS lo,
+       {duck_rnd('max(o_totalprice)', 2)} AS hi,
+       {duck_rnd('CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0', 2)} AS bucket_start
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def op_string_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered string aggregation: comma-joined sorted nation list per
+    region. collect_list order is nondeterministic under a distributed
+    shuffle — array_sort AFTER collection makes the result exact."""
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def op_distinct_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """Filtered distinct counts: per nation, distinct customers overall
+    vs distinct customers in the BUILDING segment vs distinct segments —
+    multiple conditional count-distincts in one aggregation pass."""
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.count_distinct(F.col("c_custkey")).alias("n_cust"),
+            F.count_distinct(
+                F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_custkey"))
+            ).alias("n_building"),
+            F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_DISTINCT_FILTER = """
+SELECT c_nationkey,
+       count(DISTINCT c_custkey) AS n_cust,
+       count(DISTINCT c_custkey) FILTER (c_mktsegment = 'BUILDING') AS n_building,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def op_range_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Banded range join: line items matched to quantity bands
+    [lo, hi) from a generated band dimension.
+
+    The band table is built from a range — it broadcasts, so the fact
+    side is a single pass (BroadcastNestedLoopJoin with a bounded band
+    count, not a shuffle).
+    """
+    spark = t["lineitem"].sparkSession
+    bands = spark.range(5).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10 + 1).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10 + 1).cast("double").alias("hi"),
+    )
+    li = t["lineitem"]
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_lines"),
+            rnd(dsum(F.col("l_extendedprice")), 2).alias("band_revenue"),
+        )
+        .orderBy("band_id")
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id,
+         CAST(i * 10 + 1 AS DOUBLE) AS lo,
+         CAST((i + 1) * 10 + 1 AS DOUBLE) AS hi
+  FROM (SELECT unnest(range(5)) AS i)
+)
+SELECT band_id, lo, hi, count(*) AS n_lines,
+       {duck_rnd(duck_dsum('l_extendedprice'), 2)} AS band_revenue
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY 1, 2, 3
+ORDER BY band_id
+"""
+
+
+QUERIES = {
+    "op_date_spine": op_date_spine,
+    "op_histogram": op_histogram,
+    "op_string_agg": op_string_agg,
+    "op_distinct_filter": op_distinct_filter,
+    "op_range_join": op_range_join,
+}
+
+ORACLES = {
+    "op_date_spine": ORACLE_DATE_SPINE,
+    "op_histogram": ORACLE_HISTOGRAM,
+    "op_string_agg": ORACLE_STRING_AGG,
+    "op_distinct_filter": ORACLE_DISTINCT_FILTER,
+    "op_range_join": ORACLE_RANGE_JOIN,
+}
