@@ -11,6 +11,7 @@ from pypers_spark.streaming.core import (
     sessionize_stateful,
     stream_events,
     streaming_dedup,
+    streaming_interval_join,
     streaming_sliding_counts,
     streaming_tumbling_counts,
 )
@@ -20,5 +21,6 @@ __all__ = [
     "streaming_tumbling_counts",
     "streaming_sliding_counts",
     "streaming_dedup",
+    "streaming_interval_join",
     "sessionize_stateful",
 ]

@@ -119,6 +119,50 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def streaming_interval_join(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views within the preceding ``max_lag``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict view state once the watermark passes
+    ``purchase_ts - max_lag`` — state stays O(active interval), the only
+    scalable form of a stream-stream join. Self-join of one source via
+    two filtered branches (the Kafka-topic-split pattern).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_lag}")),
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "view_id", "view_ts",
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -124,6 +124,35 @@ def test_stream_static_join(spark, sf_dir, tables, event_stream):
     assert result.count() == user_types.count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tables, event_stream):
+    """Stream-stream interval join emits exactly the pairs the batch
+    twin computes (views within 1h before each purchase, same user)."""
+    from pypers_spark.streaming import streaming_interval_join
+
+    result = run_stream_to_memory(
+        streaming_interval_join(event_stream), "t_interval"
+    ).toPandas()
+    ev = tables["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    assert len(result) == batch.count()
+    assert set(zip(result["purchase_id"], result["view_id"])) == {
+        (r["purchase_id"], r["view_id"]) for r in batch.collect()
+    }
+
+
 def test_foreach_batch_parquet_sink(spark, sf_dir, event_stream, tmp_path):
     """foreachBatch: arbitrary batch sinks from a stream (partitioned
     parquet per micro-batch via the library sink)."""
