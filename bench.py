@@ -55,7 +55,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # warm the JVM + file listing so q1 doesn't absorb session startup
+    # Warm the JVM: run every headline query once at the smallest SF so
+    # whole-stage-codegen JIT compilation (per expression pattern, not
+    # per data size) is paid before timing — the numbers then measure
+    # steady-state throughput, which is what a long-running cluster job
+    # sees. File listing for SF_DIR is warmed by the q1 run below.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
     qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}

@@ -488,16 +488,21 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     )
     norm = _repartitioned(norm)
     # Hashed grams: the pairwise intersect compares int64s instead of
-    # strings — same Jaccard, far cheaper compares.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("nt") - 3),
-        lambda i: md5_int64(F.col("nt").substr(i, F.lit(4))),
+    # strings — same Jaccard, far cheaper compares. Distinct the cheap
+    # substrings FIRST, md5 only the survivors (~1.7x fewer digests on
+    # this corpus; md5 dominates substr by orders of magnitude).
+    gram_strs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("nt") - 3),
+            lambda i: F.col("nt").substr(i, F.lit(4)),
+        )
     )
+    grams = F.transform(gram_strs, lambda s: md5_int64(s))
     from pypers_spark.functions.caching import tracked_persist
 
     # Pre-filter on nt (not on size(g)) — see _signature_table note.
     sets = norm.filter(F.length("nt") >= 4).select(
-        "doc_id", "source", F.array_distinct(grams).alias("g")
+        "doc_id", "source", grams.alias("g")
     )
     # Set signature: md5 over the sorted hashed grams. docs is persisted:
     # the rep table, both expansion joins, and the self-pair join read it.

@@ -160,14 +160,118 @@ ORDER BY source
 """
 
 
+def txt_repetition_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-style repetition/quality gates per document.
+
+    Metrics: token count, mean word length, duplicate-2-gram fraction,
+    top-token fraction — plus the combined keep/drop verdict. All pure
+    array expressions over a tokenized column materialized below an
+    exchange (the lambda-over-materialized-column rule from §8); an
+    embarrassingly parallel scan at any scale.
+    """
+    d = t["documents"]
+    n_part = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        d.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+        .repartition(n_part, F.col("doc_id"))
+    )
+    n = F.size("tk")
+    grams2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toks.select(
+        "doc_id",
+        F.col("tk"),
+        n.alias("n_tokens"),
+        grams2.alias("g2"),
+    )
+    dup2 = F.when(
+        F.size("g2") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("g2")) / F.size("g2"),
+    ).otherwise(F.lit(0.0))
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("tk"),
+                lambda x: F.size(F.filter(F.col("tk"), lambda y: y == x)),
+            )
+        )
+        / F.col("n_tokens")
+    )
+    mean_wl = (
+        F.aggregate(F.col("tk"), F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / F.col("n_tokens")
+    )
+    m = base.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        mean_wl.alias("mean_wl"),
+        dup2.alias("dup2"),
+        top_frac.alias("top_frac"),
+    )
+    keep = (
+        F.col("n_tokens").between(5, 10000)
+        & F.col("mean_wl").between(2.0, 12.0)
+        & (F.col("dup2") < 0.3)
+        & (F.col("top_frac") < 0.3)
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        rnd(F.col("mean_wl"), 4).alias("mean_word_len"),
+        rnd(F.col("dup2"), 4).alias("dup_2gram_frac"),
+        rnd(F.col("top_frac"), 4).alias("top_token_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+_DUCK_G2 = (
+    f"CASE WHEN len({_DUCK_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_DUCK_TOKS})), i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i + 1]) "
+    f"ELSE []::VARCHAR[] END"
+)
+
+ORACLE_REPETITION = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         list_sum(list_transform({_DUCK_TOKS}, x -> length(x))) * 1.0
+           / len({_DUCK_TOKS}) AS mean_wl,
+         CASE WHEN len({_DUCK_G2}) > 0
+              THEN 1.0 - len(list_distinct({_DUCK_G2})) * 1.0 / len({_DUCK_G2})
+              ELSE 0.0 END AS dup2,
+         list_max(list_transform(list_distinct({_DUCK_TOKS}),
+                  x -> len(list_filter({_DUCK_TOKS}, y -> y = x)))) * 1.0
+           / len({_DUCK_TOKS}) AS top_frac
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       {duck_rnd('mean_wl', 4)} AS mean_word_len,
+       {duck_rnd('dup2', 4)} AS dup_2gram_frac,
+       {duck_rnd('top_frac', 4)} AS top_token_frac,
+       (n_tokens BETWEEN 5 AND 10000 AND mean_wl BETWEEN 2.0 AND 12.0
+        AND dup2 < 0.3 AND top_frac < 0.3) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "txt_df_topk": txt_df_topk,
     "txt_tfidf_top": txt_tfidf_top,
     "txt_lexical_diversity": txt_lexical_diversity,
+    "txt_repetition_filter": txt_repetition_filter,
 }
 
 ORACLES = {
     "txt_df_topk": ORACLE_DF_TOPK,
     "txt_tfidf_top": ORACLE_TFIDF_TOP,
     "txt_lexical_diversity": ORACLE_LEXICAL_DIVERSITY,
+    "txt_repetition_filter": ORACLE_REPETITION,
 }
