@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypers_spark.functions.rounding import duck_rnd, rnd
@@ -239,11 +239,92 @@ ORDER BY cos_sim DESC, vec_id
 """
 
 
+MAX_CC_ITERS = 20
+
+
+def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the embedding
+    near-dup pair graph (cos ≥ 0.9 within label blocks).
+
+    Pair lists under-serve dedup pipelines — the keep/drop decision
+    needs the transitive closure (A~B, B~C ⟹ {A,B,C} one group). This
+    is iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds. Convergence is detected via the label SUM — a
+    monotonically decreasing scalar, so one cheap aggregate per round
+    instead of a change-count join. Near-dup components are tiny
+    (diameter ≤ a few hops), so rounds stay in single digits at any
+    corpus size; at 100 TB each round is one shuffle keyed on the edge
+    endpoint, with periodic checkpointing to truncate lineage.
+    """
+    emb = t["embeddings"]
+    pairs = dd_embedding_cos(t).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.persist()
+    labels = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl"))
+    labels = labels.persist()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only ever decrease
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("vec_id"), F.col("lbl").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_DD_CLUSTER = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {COS_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cl
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_pandas": ann_topk_pandas,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_range_search": ann_range_search,
+    "dd_cluster": dd_cluster,
     "dd_embedding_cos": dd_embedding_cos,
 }
 
@@ -252,5 +333,6 @@ ORACLES = {
     "ann_topk_pandas": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": _duck_lsh_sql(),
     "ann_range_search": ORACLE_ANN_RANGE,
+    "dd_cluster": ORACLE_DD_CLUSTER,
     "dd_embedding_cos": ORACLE_DD_EMB,
 }
