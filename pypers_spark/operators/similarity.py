@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.rounding import DECIMAL_T, duck_rnd, rnd
 from pypers_spark.functions.vectors import cosine_similarity, duck_cosine
 
 N_PLANES = 8
@@ -239,6 +239,88 @@ ORDER BY cos_sim DESC, vec_id
 """
 
 
+def ann_ivf(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize to centroid cells, then
+    search only the probe's nearest cell.
+
+    Cells here are the label partitions; centroids are the exact
+    per-dimension means (decimal sums — order-independent, so the
+    DuckDB oracle reproduces them bit-for-bit). The probe picks its
+    nearest centroid (nprobe=1) and scans just that cell — at 100 TB
+    the cell id is the storage partition key and the scan touches
+    1/n_cells of the data; a production build swaps the label cells for
+    k-means centroids without changing the plan shape.
+    """
+    emb = t["embeddings"]
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        dims.groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast(DECIMAL_T)).cast("double") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cell = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine_similarity(F.col("centroid"), F.col("q_emb")).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), "label")
+        .limit(1)
+        .select(F.col("label").alias("cell"), rnd(F.col("c_cos"), 4).alias("cell_cos"))
+    )
+    return (
+        emb.join(F.broadcast(cell), emb["label"] == F.col("cell"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cell_cos",
+            rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH dims AS (
+  SELECT label, pos, embedding[pos]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos)
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos,
+           CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+    FROM dims GROUP BY label, pos
+  )
+  GROUP BY label
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cell AS (
+  SELECT label AS cell, {duck_rnd(duck_cosine('centroid', 'q_emb'), 4)} AS cell_cos
+  FROM centroids, q
+  ORDER BY {duck_cosine('centroid', 'q_emb')} DESC, label
+  LIMIT 1
+)
+SELECT vec_id, label, cell_cos,
+       {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+FROM embeddings, q, cell
+WHERE label = cell AND vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 MAX_CC_ITERS = 20
 
 
@@ -325,6 +407,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_range_search": ann_range_search,
     "dd_cluster": dd_cluster,
+    "ann_ivf": ann_ivf,
     "dd_embedding_cos": dd_embedding_cos,
 }
 
@@ -334,5 +417,6 @@ ORACLES = {
     "ann_lsh_bucketed": _duck_lsh_sql(),
     "ann_range_search": ORACLE_ANN_RANGE,
     "dd_cluster": ORACLE_DD_CLUSTER,
+    "ann_ivf": ORACLE_ANN_IVF,
     "dd_embedding_cos": ORACLE_DD_EMB,
 }
