@@ -201,12 +201,109 @@ ORDER BY band_id
 """
 
 
+def op_upsert(t: dict[str, DataFrame]) -> DataFrame:
+    """MERGE-style upsert via full outer join: per-customer order stats
+    through 1998 (target) merged with 1999+ deltas (source) — matched
+    rows update (sum), unmatched source rows insert, unmatched target
+    rows carry over. The equivalent of MERGE INTO on engines without a
+    mutable table format; at scale both sides shuffle once on the merge
+    key and the combine is a pure projection.
+    """
+    ords = t["orders"]
+    target = (
+        ords.filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+    source = (
+        ords.filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("d_orders"), dsum(F.col("o_totalprice")).alias("d_total"))
+    )
+    tt = target.select(F.col("o_custkey").alias("t_key"), "n_orders", "total")
+    ss = source.select(F.col("o_custkey").alias("s_key"), "d_orders", "d_total")
+    merged = tt.join(ss, tt["t_key"] == ss["s_key"], "full_outer")
+    return merged.select(
+        F.coalesce(F.col("t_key"), F.col("s_key")).alias("c_custkey"),
+        (F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce(F.col("d_orders"), F.lit(0))).alias("n_orders"),
+        rnd(F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("d_total"), F.lit(0.0)), 2).alias("total"),
+        F.when(F.col("t_key").isNull(), F.lit("insert"))
+        .when(F.col("s_key").isNull(), F.lit("carry"))
+        .otherwise(F.lit("update"))
+        .alias("merge_action"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_UPSERT = f"""
+WITH target AS (
+  SELECT o_custkey, count(*) AS n_orders, {duck_dsum('o_totalprice')} AS total
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1
+),
+source AS (
+  SELECT o_custkey, count(*) AS d_orders, {duck_dsum('o_totalprice')} AS d_total
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1
+)
+SELECT coalesce(t.o_custkey, s.o_custkey) AS c_custkey,
+       CAST(coalesce(n_orders, 0) + coalesce(d_orders, 0) AS BIGINT) AS n_orders,
+       {duck_rnd('coalesce(total, 0.0) + coalesce(d_total, 0.0)', 2)} AS total,
+       CASE WHEN t.o_custkey IS NULL THEN 'insert'
+            WHEN s.o_custkey IS NULL THEN 'carry'
+            ELSE 'update' END AS merge_action
+FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def op_validity_intervals(t: dict[str, DataFrame]) -> DataFrame:
+    """SCD2-style validity intervals: each user's event-type changes
+    become [valid_from, valid_to) rows (valid_to NULL = current state).
+    One window shuffle on user_id: change detection via lag, interval
+    close via lead over the change rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t["events"]
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+ORACLE_VALIDITY = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (
+    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+ORDER BY user_id, valid_from
+"""
+
+
 QUERIES = {
     "op_date_spine": op_date_spine,
     "op_histogram": op_histogram,
     "op_string_agg": op_string_agg,
     "op_distinct_filter": op_distinct_filter,
     "op_range_join": op_range_join,
+    "op_upsert": op_upsert,
+    "op_validity_intervals": op_validity_intervals,
 }
 
 ORACLES = {
@@ -215,4 +312,6 @@ ORACLES = {
     "op_string_agg": ORACLE_STRING_AGG,
     "op_distinct_filter": ORACLE_DISTINCT_FILTER,
     "op_range_join": ORACLE_RANGE_JOIN,
+    "op_upsert": ORACLE_UPSERT,
+    "op_validity_intervals": ORACLE_VALIDITY,
 }
