@@ -296,6 +296,44 @@ ORDER BY user_id, valid_from
 """
 
 
+def op_salted_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Skew-resilient two-phase aggregation exposed as a query: event
+    totals per event_type via salt-spread partials.
+
+    event_type has only 5 values — at 100 TB a plain groupBy funnels
+    every row of a hot type through ONE reducer; salting spreads each
+    hot group over 16 reducers and merges the partials (results are
+    salt-independent by construction, hence the plain-SQL oracle).
+    Decimal partial sums keep the two-phase result bit-identical to the
+    one-phase oracle regardless of partial grouping.
+    """
+    from pypers_spark.functions.rounding import DECIMAL_T
+    from pypers_spark.functions.skew import salted_agg
+
+    merged = salted_agg(
+        t["events"],
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DECIMAL_T)).alias("total_value"),
+        ],
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        rnd(F.col("total_value").cast("double"), 2).alias("total_value"),
+    ).orderBy("event_type")
+
+
+ORACLE_SALTED_AGG = f"""
+SELECT event_type, count(*) AS n_events,
+       {duck_rnd(duck_dsum('value'), 2)} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "op_date_spine": op_date_spine,
     "op_histogram": op_histogram,
@@ -304,6 +342,7 @@ QUERIES = {
     "op_range_join": op_range_join,
     "op_upsert": op_upsert,
     "op_validity_intervals": op_validity_intervals,
+    "op_salted_agg": op_salted_agg,
 }
 
 ORACLES = {
@@ -314,4 +353,5 @@ ORACLES = {
     "op_range_join": ORACLE_RANGE_JOIN,
     "op_upsert": ORACLE_UPSERT,
     "op_validity_intervals": ORACLE_VALIDITY,
+    "op_salted_agg": ORACLE_SALTED_AGG,
 }
