@@ -76,16 +76,58 @@ class QualityFilter(Stage):
         return {"filtered": deduped.withColumn("quality", quality).filter(F.col("quality") >= min_q)}
 
 
+class RepetitionFilter(Stage):
+    """Drop repetitive documents (Gopher-style gates): duplicate-2-gram
+    fraction and top-token fraction thresholds over the token array —
+    pure array expressions, no shuffle added to the composed plan."""
+
+    consumes = ("filtered",)
+    outputs = ("gated",)
+
+    def process(self, pipeline, config, status=None, filtered=None, **inputs):
+        from pypers_spark.functions.text import tokenize_ws
+
+        max_dup2 = config.get("max_dup_2gram", 0.3)
+        max_top = config.get("max_top_token", 0.5)
+        tk = tokenize_ws(F.col("text"))
+        n = F.size(tk)
+        g2 = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        dup2 = F.when(
+            F.size(g2) > 0, F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2)
+        ).otherwise(F.lit(0.0))
+        top_frac = (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(tk),
+                    lambda x: F.size(F.filter(tk, lambda y: y == x)),
+                )
+            )
+            / n
+        )
+        gated = (
+            filtered.withColumn("dup_2gram_frac", dup2)
+            .withColumn("top_token_frac", top_frac)
+            .filter((F.col("dup_2gram_frac") <= max_dup2) & (F.col("top_token_frac") <= max_top))
+        )
+        return {"gated": gated}
+
+
 class TokenStats(Stage):
     """Attach token counts; emit the curated corpus + a per-lang rollup."""
 
-    consumes = ("filtered",)
+    consumes = ("gated",)
     outputs = ("curated", "lang_stats")
 
-    def process(self, pipeline, config, status=None, filtered=None, **inputs):
+    def process(self, pipeline, config, status=None, gated=None, **inputs):
         from pypers_spark.functions.text import tokenize_bpeish, tokenize_ws
 
-        curated = filtered.withColumn(
+        curated = gated.withColumn(
             "n_tokens_ws", F.size(tokenize_ws(F.col("text")))
         ).withColumn("n_tokens_bpeish", F.size(tokenize_bpeish(F.col("text"))))
         lang_stats = curated.groupBy("lang").agg(

@@ -24,7 +24,8 @@ def test_curation_pipeline_end_to_end(example_task, spark):
     batch.load(example_task)
     rc = batch.context(example_task)
     assert [s.id for s in rc.pipeline.stages] == [
-        "ingest-documents", "exact-dedup", "quality-filter", "token-stats",
+        "ingest-documents", "exact-dedup", "quality-filter",
+        "repetition-filter", "token-stats",
     ]
     data = rc.run()
     curated = data[1]["curated"]
@@ -35,6 +36,9 @@ def test_curation_pipeline_end_to_end(example_task, spark):
     # consumed intermediates are not persisted
     assert not (example_task / "data" / "1" / "docs.parquet").exists()
     assert not (example_task / "data" / "1" / "filtered.parquet").exists()
+    assert not (example_task / "data" / "1" / "gated.parquet").exists()
+    # repetition gates enforced
+    assert curated.filter("dup_2gram_frac > 0.3 OR top_token_frac > 0.5").count() == 0
     # quality floor enforced
     assert curated.filter("quality < 0.5").count() == 0
     # rollup consistent with the corpus
