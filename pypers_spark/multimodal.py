@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -65,7 +66,9 @@ FEATURE_DIM = 16
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        # float64: keeps the byte-histogram ratios bit-identical to the
+        # DuckDB oracle (float32 would shift 1-in-10^4 rounding edges).
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -143,7 +146,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             feats = []
             for p in pdf["payload"]:
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
                 total = hist.sum() or 1.0
                 feats.append((hist / total).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "features": feats})

@@ -177,6 +177,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm_features_hist(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal feature extraction (oracled): the Arrow-batched
+    ``mapInPandas`` byte-histogram features, exploded to (media_id, dim,
+    value) rows.
+
+    This is the one Pandas-UDF path with a value-level oracle: the stub
+    featurizer is a deterministic byte histogram, which DuckDB
+    reproduces via per-character code points (the corpus is ASCII, so
+    bytes == code points). Proves the Arrow batch plumbing end-to-end —
+    schema, batching, float64 math — not just row counts.
+    """
+    from pypers_spark.multimodal import extract_features, media_table
+
+    feats = extract_features(media_table(t["documents"]))
+    return (
+        feats.select("media_id", F.posexplode("features").alias("dim", "v"))
+        .select(
+            "media_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            rnd(F.col("v"), 4).alias("v"),
+        )
+        .orderBy("media_id", "dim")
+    )
+
+
+ORACLE_MM_FEATURES = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p FROM documents
+),
+h AS (
+  SELECT doc_id, unicode(substr(text, p, 1)) % 16 AS r, count(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+dims AS (
+  SELECT doc_id, length(text) AS n, unnest(range(0, 16)) AS dim FROM documents
+)
+SELECT dims.doc_id AS media_id, dim,
+       {duck_rnd('coalesce(c, 0) * 1.0 / n', 4)} AS v
+FROM dims LEFT JOIN h ON h.doc_id = dims.doc_id AND h.r = dims.dim
+ORDER BY media_id, dim
+"""
+
+
 def txt_source_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus rollup per source × lang: doc counts, char stats."""
     d = t["documents"]
@@ -205,6 +248,7 @@ QUERIES = {
     "txt_fingerprint": txt_fingerprint,
     "txt_source_stats": txt_source_stats,
     "mm_binary_meta": mm_binary_meta,
+    "mm_features_hist": mm_features_hist,
 }
 
 ORACLES = {
@@ -214,4 +258,5 @@ ORACLES = {
     "txt_fingerprint": ORACLE_FINGERPRINT,
     "txt_source_stats": ORACLE_SOURCE_STATS,
     "mm_binary_meta": ORACLE_MM_BINARY,
+    "mm_features_hist": ORACLE_MM_FEATURES,
 }
