@@ -307,7 +307,6 @@ def op_salted_agg(t: dict[str, DataFrame]) -> DataFrame:
     Decimal partial sums keep the two-phase result bit-identical to the
     one-phase oracle regardless of partial grouping.
     """
-    from pypers_spark.functions.rounding import DECIMAL_T
     from pypers_spark.functions.skew import salted_agg
 
     merged = salted_agg(
@@ -315,13 +314,15 @@ def op_salted_agg(t: dict[str, DataFrame]) -> DataFrame:
         ["event_type"],
         [
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DECIMAL_T)).alias("total_value"),
+            # scaled-long partials: exact integer partial sums merge
+            # exactly regardless of the salt grouping (mirrors dsum)
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))).alias("total_scaled"),
         ],
     )
     return merged.select(
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
-        rnd(F.col("total_value").cast("double"), 2).alias("total_value"),
+        rnd((F.col("total_scaled") / F.lit(1e6)).cast("double"), 2).alias("total_value"),
     ).orderBy("event_type")
 
 
