@@ -265,12 +265,66 @@ ORDER BY day
 """
 
 
+def ev_session_window(t: dict[str, DataFrame]) -> DataFrame:
+    """Spark's NATIVE session_window operator (30-min gap) in batch mode.
+
+    Unlike the lag+cumsum formulation (``ev_sessionize``), this uses the
+    engine's built-in merging session assignment — the same operator
+    the streaming sessionizer runs incrementally. Semantics differ at
+    the exact boundary: an event landing exactly gap seconds after the
+    last one starts a NEW session (window ranges are [start,
+    last_event + gap)), which the oracle mirrors with a >= comparison
+    on full-precision (µs) timestamps.
+    """
+    ev = t["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(dsum(F.col("value")), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       {duck_rnd(duck_dsum('value'), 2)} AS session_value
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "ev_gap_stats": ev_gap_stats,
     "ev_first_touch": ev_first_touch,
     "ev_type_transitions": ev_type_transitions,
     "ev_zscore_outliers": ev_zscore_outliers,
     "ev_rolling_wau": ev_rolling_wau,
+    "ev_session_window": ev_session_window,
 }
 
 ORACLES = {
@@ -279,4 +333,5 @@ ORACLES = {
     "ev_type_transitions": ORACLE_TRANSITIONS,
     "ev_zscore_outliers": ORACLE_ZSCORE,
     "ev_rolling_wau": ORACLE_ROLLING_WAU,
+    "ev_session_window": ORACLE_SESSION_WINDOW,
 }

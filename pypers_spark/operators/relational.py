@@ -454,7 +454,8 @@ def op_window_running(t: dict[str, DataFrame]) -> DataFrame:
         t["orders"]
         .withColumn(
             "running_total",
-            rnd(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"), 2),
+            # scaled-int64 running sum (see functions/rounding.dsum)
+            rnd((F.sum(F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))).over(w) / F.lit(1e6)).cast("double"), 2),
         )
         .withColumn("prev_price", F.lag("o_totalprice").over(w))
         .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "prev_price")
@@ -464,7 +465,7 @@ def op_window_running(t: dict[str, DataFrame]) -> DataFrame:
 
 ORACLE_WINDOW_RUNNING = f"""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       {duck_rnd("CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)} AS running_total,
+       {duck_rnd("(CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0)", 2)} AS running_total,
        lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
 FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
 """
