@@ -405,6 +405,65 @@ ORDER BY id_a, id_b
 """
 
 
+def dd_incremental(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental dedup: admit only new-batch documents whose content
+    fingerprint is absent from the existing corpus.
+
+    The streaming-ingest counterpart of ``dd_exact``: base corpus =
+    documents, incoming batch = the perturbed copy (whose normalized
+    text collides with the base). One anti-join keyed on the md5
+    fingerprint — at 100 TB the base fingerprints live as a bucketed
+    table so the join is co-located, and the admitted batch appends
+    with its fingerprints for the next increment. Also dedups WITHIN
+    the batch (min doc_id wins) so admissions are self-consistent.
+    """
+    d = t["documents"].select("doc_id", "text", "source")
+    fp = lambda c: F.md5(normalize_text(c))  # noqa: E731
+    base_fps = d.select(fp(F.col("text")).alias("fp")).distinct()
+    batch = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        # half the batch collides with the base (same normalized text),
+        # half is genuinely new (suffixed)
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("  "), F.upper(F.col("text")))
+        ).otherwise(F.concat(F.col("text"), F.lit(" fresh"))).alias("text"),
+        "source",
+    ).withColumn("fp", fp(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch_unique = batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        batch_unique.join(base_fps, "fp", "left_anti")
+        .select("doc_id", "source", "fp")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DD_INCREMENTAL = f"""
+WITH base_fps AS (
+  SELECT DISTINCT md5({duck_normalize_text('text')}) AS fp FROM documents
+),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN '  ' || upper(text)
+              ELSE text || ' fresh' END AS text,
+         source
+  FROM documents
+),
+batch_unique AS (
+  SELECT doc_id, source, fp FROM (
+    SELECT doc_id, source, md5({duck_normalize_text('text')}) AS fp,
+           row_number() OVER (PARTITION BY md5({duck_normalize_text('text')})
+                              ORDER BY doc_id) AS rn
+    FROM batch
+  ) WHERE rn = 1
+)
+SELECT doc_id, source, fp
+FROM batch_unique
+WHERE fp NOT IN (SELECT fp FROM base_fps)
+ORDER BY doc_id
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
@@ -593,6 +652,7 @@ QUERIES = {
     "dd_exact_keep": dd_exact_keep,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_minhash_est": dd_minhash_est,
+    "dd_incremental": dd_incremental,
     "dd_simhash": dd_simhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
 }
@@ -602,6 +662,7 @@ ORACLES = {
     "dd_exact_keep": ORACLE_DD_EXACT_KEEP,
     "dd_minhash_lsh": _duck_minhash_sql(),
     "dd_minhash_est": _duck_minhash_est_sql(),
+    "dd_incremental": ORACLE_DD_INCREMENTAL,
     "dd_simhash": _duck_simhash_sql(),
     "dd_ngram_jaccard": _duck_ngram_sql(),
 }

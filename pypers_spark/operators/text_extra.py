@@ -262,11 +262,79 @@ ORDER BY doc_id
 """
 
 
+BPE_TOP_K = 50
+
+
+def txt_bpe_pair_freq(t: dict[str, DataFrame]) -> DataFrame:
+    """Most frequent adjacent BPE-ish token pairs — ONE iteration of the
+    BPE-training inner loop (count pairs → pick merges) over the
+    corpus.
+
+    Pair extraction is a pure array expression over the regex token
+    array; counting is one partial-aggregated shuffle keyed on the
+    pair. At 100 TB this is exactly the map-side-combined count a
+    distributed BPE trainer repeats per merge round.
+    """
+    from pypers_spark.functions.text import tokenize_bpeish
+
+    d = t["documents"]
+    n_part = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = d.select(tokenize_bpeish(F.col("text")).alias("tk")).repartition(n_part)
+    n = F.size("tk")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                "␟", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_TOP_K)
+        .select(
+            F.split_part(F.col("pair"), F.lit("␟"), F.lit(1)).alias("left_tok"),
+            F.split_part(F.col("pair"), F.lit("␟"), F.lit(2)).alias("right_tok"),
+            "n_occurrences",
+        )
+    )
+
+
+ORACLE_BPE_PAIR = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || chr(9247) || tk[i + 1])
+         ELSE []::VARCHAR[] END
+  ) AS pair
+  FROM toks
+),
+counted AS (
+  SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair
+  ORDER BY n_occurrences DESC, pair
+  LIMIT 50
+)
+SELECT split_part(pair, chr(9247), 1) AS left_tok,
+       split_part(pair, chr(9247), 2) AS right_tok,
+       n_occurrences
+FROM counted
+"""
+
+
 QUERIES = {
     "txt_df_topk": txt_df_topk,
     "txt_tfidf_top": txt_tfidf_top,
     "txt_lexical_diversity": txt_lexical_diversity,
     "txt_repetition_filter": txt_repetition_filter,
+    "txt_bpe_pair_freq": txt_bpe_pair_freq,
 }
 
 ORACLES = {
@@ -274,4 +342,5 @@ ORACLES = {
     "txt_tfidf_top": ORACLE_TFIDF_TOP,
     "txt_lexical_diversity": ORACLE_LEXICAL_DIVERSITY,
     "txt_repetition_filter": ORACLE_REPETITION,
+    "txt_bpe_pair_freq": ORACLE_BPE_PAIR,
 }
