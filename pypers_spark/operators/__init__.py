@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 from pypers_spark.operators import (
+    curation,
     dedup,
     events,
     events_extra,
@@ -36,6 +37,7 @@ MODULES = (
     similarity,
     text,
     text_extra,
+    curation,
 )
 
 REGISTRY = {}

@@ -76,6 +76,92 @@ class QualityFilter(Stage):
         return {"filtered": deduped.withColumn("quality", quality).filter(F.col("quality") >= min_q)}
 
 
+def pipe_curation(t) -> "DataFrame":  # noqa: F821
+    """The WHOLE curation pipeline as one oracled query — built through
+    the actual Stage/Pipeline machinery (create_pipeline → process), so
+    the driver's value gate checks the orchestration path end-to-end:
+    ingest → exact dedup → quality filter → repetition gates → per-lang
+    rollup, composed into a single Catalyst plan.
+    """
+    from pypers_spark.functions.rounding import rnd
+    from pypers_spark.pipeline import create_pipeline
+
+    pipeline = create_pipeline(
+        [IngestDocuments(), ExactDedup(), QualityFilter(), RepetitionFilter(), TokenStats()]
+    )
+    from pypers_spark.config import Config
+
+    # LazyTables carries the sf_dir the driver passed to the query.
+    config = Config({"ingest-documents": {"sf_dir": t._sf_dir}})
+    data, _, _ = pipeline.process(input_id=1, config=config)
+    return (
+        data["lang_stats"]
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            rnd(F.col("avg_quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _duck_pipe_curation_sql() -> str:
+    from pypers_spark.functions.text import (
+        duck_normalize_text,
+        duck_punct_ratio,
+        duck_stopword_ratio,
+        duck_upper_ratio,
+    )
+    from pypers_spark.functions.rounding import duck_dsum, duck_rnd
+
+    toks = f"string_split({duck_normalize_text('text')}, ' ')"
+    quality = (
+        "0.4 * least(length(text) / 500.0, 1.0) + 0.3 * ("
+        + duck_stopword_ratio("text")
+        + ") + 0.2 * (1 - ("
+        + duck_punct_ratio("text")
+        + ")) + 0.1 * (1 - ("
+        + duck_upper_ratio("text")
+        + "))"
+    )
+    g2 = (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i + 1]) "
+        f"ELSE []::VARCHAR[] END"
+    )
+    dup2 = (
+        f"CASE WHEN len({g2}) > 0 "
+        f"THEN 1.0 - len(list_distinct({g2})) * 1.0 / len({g2}) ELSE 0.0 END"
+    )
+    top_frac = (
+        f"list_max(list_transform(list_distinct({toks}), "
+        f"x -> len(list_filter({toks}, y -> y = x)))) * 1.0 / len({toks})"
+    )
+    return f"""
+WITH deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5({duck_normalize_text('text')}) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT *, {quality} AS quality FROM deduped
+),
+filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+gated AS (
+  SELECT * FROM filtered WHERE ({dup2}) <= 0.3 AND ({top_frac}) <= 0.5
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       {duck_rnd(duck_dsum('quality') + ' / count(*)', 4)} AS avg_quality
+FROM gated
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 class RepetitionFilter(Stage):
     """Drop repetitive documents (Gopher-style gates): duplicate-2-gram
     fraction and top-token fraction thresholds over the token array —
@@ -130,9 +216,16 @@ class TokenStats(Stage):
         curated = gated.withColumn(
             "n_tokens_ws", F.size(tokenize_ws(F.col("text")))
         ).withColumn("n_tokens_bpeish", F.size(tokenize_bpeish(F.col("text"))))
+        from pypers_spark.functions.rounding import dsum
+
         lang_stats = curated.groupBy("lang").agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_tokens_ws").alias("total_tokens"),
-            F.avg("quality").alias("avg_quality"),
+            F.sum("n_tokens_ws").cast("bigint").alias("total_tokens"),
+            # exact order-independent mean (see functions/rounding)
+            (dsum(F.col("quality")) / F.count(F.lit(1))).alias("avg_quality"),
         )
         return {"curated": curated, "lang_stats": lang_stats}
+
+
+QUERIES = {"pipe_curation": pipe_curation}
+ORACLES = {"pipe_curation": _duck_pipe_curation_sql()}
