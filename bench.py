@@ -44,6 +44,7 @@ HEADLINE = (
     "txt_quality",
     "txt_token_count",
     "txt_tfidf_top",
+    "pipe_curation",
 )
 
 

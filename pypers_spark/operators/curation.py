@@ -171,35 +171,50 @@ class RepetitionFilter(Stage):
     outputs = ("gated",)
 
     def process(self, pipeline, config, status=None, filtered=None, **inputs):
+        from pyspark.sql import Window
+
         from pypers_spark.functions.text import tokenize_ws
 
         max_dup2 = config.get("max_dup_2gram", 0.3)
         max_top = config.get("max_top_token", 0.5)
-        tk = tokenize_ws(F.col("text"))
-        n = F.size(tk)
-        g2 = F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        dup2 = F.when(
-            F.size(g2) > 0, F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2)
-        ).otherwise(F.lit(0.0))
-        top_frac = (
-            F.array_max(
-                F.transform(
-                    F.array_distinct(tk),
-                    lambda x: F.size(F.filter(tk, lambda y: y == x)),
-                )
-            )
-            / n
+        # Aggregation form, NOT array lambdas: a downstream filter on a
+        # metric computed via array expressions gets pushed below the
+        # projection (even through exchanges), re-substituting the whole
+        # tokenize subtree into per-element lambdas — measured 21 s vs
+        # 2 s for the composed pipeline at sf0.1. Filters cannot push
+        # below an AGGREGATE, and explode+count is also O(n) per doc
+        # where the array-lambda top-token count is O(n²) — the form
+        # that survives a 1M-token document.
+        toks = filtered.select(
+            "doc_id", F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "tok")
         )
-        gated = (
-            filtered.withColumn("dup_2gram_frac", dup2)
-            .withColumn("top_token_frac", top_frac)
-            .filter((F.col("dup_2gram_frac") <= max_dup2) & (F.col("top_token_frac") <= max_top))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        pairs = toks.withColumn("nxt", F.lead("tok").over(w))
+        pair_stats = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("pair"))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.count_distinct(F.col("pair")).alias("n_distinct_pairs"),
+            )
+        )
+        tok_stats = (
+            toks.groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens"))
+        )
+        metrics = tok_stats.join(pair_stats, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                F.coalesce(F.col("n_pairs"), F.lit(0)) > 0,
+                F.lit(1.0) - F.col("n_distinct_pairs") / F.col("n_pairs"),
+            ).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+            (F.col("top_cnt") / F.col("n_tokens")).alias("top_token_frac"),
+        )
+        gated = filtered.join(metrics, "doc_id").filter(
+            (F.col("dup_2gram_frac") <= max_dup2) & (F.col("top_token_frac") <= max_top)
         )
         return {"gated": gated}
 
