@@ -321,6 +321,68 @@ LIMIT {TOP_K}
 """
 
 
+def ann_lsh_probe(t: dict[str, DataFrame]) -> DataFrame:
+    """LSH bucket-probe ANN: search ONLY the query's hyperplane bucket.
+
+    The search companion to ``ann_lsh_bucketed``'s histogram: both the
+    corpus and the query hash to an 8-bit hyperplane signature; the
+    scan touches one bucket (~1/256 of the data at scale — the bucket
+    id is the storage partition key, so this is partition pruning, not
+    a filter over a full scan). Exact cosine ranks within the bucket.
+    """
+    emb = t["embeddings"]
+
+    def bucket_of(vec):
+        b = None
+        for p in range(N_PLANES):
+            bit = F.when(_dot_plane(vec, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            b = bit if b is None else b + bit
+        return b.cast("int")
+
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"),
+        bucket_of(F.col("embedding")).alias("q_bucket"),
+    )
+    return (
+        emb.withColumn("bucket", bucket_of(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _duck_lsh_probe_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_duck_plane(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    qbits = " + ".join(
+        f"(CASE WHEN list_dot_product(q_emb::DOUBLE[], {_duck_plane(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding AS q_emb, CAST({qbits.replace('q_emb', 'embedding')} AS INT) AS q_bucket
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, label, CAST({bits} AS INT) AS bucket,
+       {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+FROM embeddings, q
+WHERE CAST({bits} AS INT) = q_bucket AND vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 MAX_CC_ITERS = 20
 
 
@@ -408,6 +470,7 @@ QUERIES = {
     "ann_range_search": ann_range_search,
     "dd_cluster": dd_cluster,
     "ann_ivf": ann_ivf,
+    "ann_lsh_probe": ann_lsh_probe,
     "dd_embedding_cos": dd_embedding_cos,
 }
 
@@ -418,5 +481,6 @@ ORACLES = {
     "ann_range_search": ORACLE_ANN_RANGE,
     "dd_cluster": ORACLE_DD_CLUSTER,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_lsh_probe": _duck_lsh_probe_sql(),
     "dd_embedding_cos": ORACLE_DD_EMB,
 }
