@@ -1,9 +1,11 @@
 from pypers_spark.sources.registry import TABLES, load_table, load_tables  # noqa: F401
 from pypers_spark.sources.io import (  # noqa: F401
     read_csv,
+    read_orc,
     read_json,
     read_parquet,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )

@@ -58,6 +58,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning properties as
+    parquet (both columnar with embedded statistics)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[Iterable[str]] = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

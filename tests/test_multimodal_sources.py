@@ -110,3 +110,21 @@ def test_partitioned_parquet_sink_prunes(spark, tables, tmp_path):
     # Partition pruning: the physical scan must carry the partition filter.
     assert "PartitionFilters" in explained and "lang" in explained
     assert one_lang.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tables, tmp_path):
+    """ORC sink/scan round-trip; filters reach the ORC reader."""
+    from pypers_spark.sources import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_orc")
+    write_orc(tables["orders"], path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert back.count() == tables["orders"].count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    explained = pruned._jdf.queryExecution().toString()
+    # partition pruning on the partitionBy column
+    assert back.filter(F.col("o_orderstatus") == "F").count() == tables[
+        "orders"
+    ].filter(F.col("o_orderstatus") == "F").count()
+    assert "PartitionFilters" in explained or "o_orderstatus" in explained
