@@ -170,50 +170,44 @@ def txt_repetition_filter(t: dict[str, DataFrame]) -> DataFrame:
     embarrassingly parallel scan at any scale.
     """
     d = t["documents"]
-    n_part = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = (
-        d.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
-        .repartition(n_part, F.col("doc_id"))
+    # Aggregation form, not array lambdas: metrics computed by explode +
+    # aggregate survive downstream filters (predicates cannot push below
+    # an aggregate and re-substitute the tokenize subtree — the §8
+    # round-2 lesson) and the top-token count is O(n) per doc instead
+    # of the array-lambda O(n²).
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "tok")
     )
-    n = F.size("tk")
-    grams2 = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = toks.select(
-        "doc_id",
-        F.col("tk"),
-        n.alias("n_tokens"),
-        grams2.alias("g2"),
-    )
-    dup2 = F.when(
-        F.size("g2") > 0,
-        F.lit(1.0) - F.size(F.array_distinct("g2")) / F.size("g2"),
-    ).otherwise(F.lit(0.0))
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct("tk"),
-                lambda x: F.size(F.filter(F.col("tk"), lambda y: y == x)),
-            )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pair_stats = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("pair"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct(F.col("pair")).alias("n_distinct_pairs"),
         )
-        / F.col("n_tokens")
     )
-    mean_wl = (
-        F.aggregate(F.col("tk"), F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-        / F.col("n_tokens")
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"), F.sum(F.length("tok")).alias("chars"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("n_tokens"),
+            F.sum("chars").alias("n_tok_chars"),
+        )
     )
-    m = base.select(
+    m = tok_stats.join(pair_stats, "doc_id", "left").select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        mean_wl.alias("mean_wl"),
-        dup2.alias("dup2"),
-        top_frac.alias("top_frac"),
+        (F.col("n_tok_chars").cast("double") / F.col("n_tokens")).alias("mean_wl"),
+        F.when(
+            F.coalesce(F.col("n_pairs"), F.lit(0)) > 0,
+            F.lit(1.0) - F.col("n_distinct_pairs") / F.col("n_pairs"),
+        ).otherwise(F.lit(0.0)).alias("dup2"),
+        (F.col("top_cnt") / F.col("n_tokens")).alias("top_frac"),
     )
     keep = (
         F.col("n_tokens").between(5, 10000)
