@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pypers_spark.operators import (
     curation,
+    curation_extra,
     dedup,
     events,
     events_extra,
@@ -38,6 +39,7 @@ MODULES = (
     text,
     text_extra,
     curation,
+    curation_extra,
 )
 
 REGISTRY = {}

@@ -1,0 +1,721 @@
+"""Round-2 curation/analytics extensions (SURVEY.md §2.B/§2.C/§2.D).
+
+Training-data-pipeline operators beyond the first registry wave:
+document fingerprinting by winnowing, duplicated-span detection (the
+exact-substring-dedup shape of Lee et al., "Deduplicating Training Data
+Makes Language Models Better"), DSIR-style hashed importance weighting
+(Xie et al., linearized log-free variant), character-diversity (Simpson
+index), Zipf head analysis, deterministic stratified sampling,
+exact-moment correlation/regression, a k-means assignment step, robust
+MAD outliers, and mixture-reweighting for corpus balancing.
+
+Cross-engine float discipline as everywhere else in the library: hashes
+go through md5→int64 (`functions/hashing.py`), float sums through
+scaled-int64 `dsum`, rounding through `rnd` — every operator here is
+bit-reproducible by its DuckDB oracle.
+
+Scale notes (100 TB intent):
+- Winnowing / dup-span explode positional grams: one explode + one
+  window shuffle keyed on doc_id — the canonical inverted-index build;
+  no pairwise work outside gram-equality groups.
+- DSIR weights join a 128-row bucket table (broadcast) onto the token
+  postings — the postings never shuffle twice.
+- The k-means step cross-joins a k-row centroid table (broadcast) —
+  O(n·k) map-side, no shuffle until the per-vector argmin aggregation.
+- Stratified sampling is rank-within-stratum: one shuffle on the
+  stratum key; AQE skew-split covers hot strata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.hashing import duck_md5_int64, md5_int64
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.text import (
+    char_ngrams,
+    duck_char_ngrams,
+    duck_normalize_text,
+    tokenize_ws,
+)
+from pypers_spark.functions.vectors import dot, duck_dot
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_DUCK_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
+
+
+# --- txt_winnowing -----------------------------------------------------------
+
+WINNOW_K = 5  # char-gram length
+WINNOW_W = 4  # winnowing window (grams)
+
+
+def txt_winnowing(t: dict[str, DataFrame]) -> DataFrame:
+    """Winnowing fingerprint cardinality per document (MOSS, Schleimer
+    et al. 2003): hash k-char-grams, slide a w-gram window, keep the
+    window minimum; the distinct minima are the document's fingerprints.
+
+    Guarantees any shared substring of length >= k + w - 1 contributes a
+    shared fingerprint — the standard local document fingerprint for
+    plagiarism/overlap detection. One explode + one window shuffle on
+    doc_id; no pairwise work.
+    """
+    docs = t["documents"]
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(char_ngrams(F.col("text"), WINNOW_K)).alias("pos", "gram"),
+    ).select("doc_id", "pos", md5_int64(F.col("gram")).alias("h"))
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    w_all = Window.partitionBy("doc_id")
+    full = (
+        grams.withColumn("wmin", F.min("h").over(w_min))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("pos") <= F.col("n") - WINNOW_W)  # full windows only
+    )
+    return (
+        full.select("doc_id", "wmin")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WINNOWING = f"""
+WITH g AS (
+  SELECT doc_id, {duck_char_ngrams("text", WINNOW_K)} AS grams FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(grams) + 1)) AS i, grams FROM g
+),
+h AS (
+  SELECT doc_id, i - 1 AS pos, {duck_md5_int64("grams[i]")} AS h,
+         len(grams) AS n
+  FROM pos
+),
+wm AS (
+  SELECT doc_id, pos, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wmin
+  FROM h
+)
+SELECT doc_id, count(*) AS n_fingerprints
+FROM (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= n - {WINNOW_W})
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["txt_winnowing"] = txt_winnowing
+ORACLES["txt_winnowing"] = ORACLE_WINNOWING
+
+
+# --- dd_dup_spans ------------------------------------------------------------
+
+SPAN_N = 3  # word-gram length
+
+
+def _word_ngrams(col, n: int):
+    toks = tokenize_ws(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _duck_word_ngrams(toks: str, n: int) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {parts}) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def dd_dup_spans(t: dict[str, DataFrame]) -> DataFrame:
+    """Duplicated-substring spans across the corpus (the exact-substring
+    dedup shape of Lee et al.): a word {SPAN_N}-gram occurring in >= 2
+    distinct documents marks its positions as duplicated; adjacent
+    duplicated positions within a document merge into spans
+    (gaps-and-islands: pos - row_number).
+
+    Output: one row per span with token-index bounds and gram count —
+    exactly what a span-removal rewrite pass consumes. Postings shuffle
+    once on the gram hash (df count), once on doc_id (island windows).
+    """
+    docs = t["documents"]
+    grams = docs.select(
+        "doc_id", F.posexplode(_word_ngrams(F.col("text"), SPAN_N)).alias("pos", "gram")
+    ).select("doc_id", "pos", md5_int64(F.col("gram")).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    marked = grams.join(dup, "gh")
+    rn = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn("grp", F.col("pos") - F.row_number().over(rn))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(SPAN_N - 1)).alias("end_tok"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+ORACLE_DUP_SPANS = f"""
+WITH g AS (
+  SELECT doc_id, {_duck_word_ngrams(_DUCK_TOKS, SPAN_N)} AS grams FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(grams) + 1)) AS i, grams FROM g
+),
+h AS (
+  SELECT doc_id, i - 1 AS pos, {duck_md5_int64("grams[i]")} AS gh FROM pos
+),
+dup AS (
+  SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT h.doc_id, h.pos FROM h JOIN dup USING (gh)
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id, min(pos) AS start_tok, max(pos) + {SPAN_N - 1} AS end_tok,
+       count(*) AS n_dup_grams
+FROM islands GROUP BY doc_id, grp ORDER BY doc_id, start_tok
+"""
+
+QUERIES["dd_dup_spans"] = dd_dup_spans
+ORACLES["dd_dup_spans"] = ORACLE_DUP_SPANS
+
+
+# --- txt_char_diversity ------------------------------------------------------
+
+
+def txt_char_diversity(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document character diversity as the Simpson index
+    1 - sum(p_c^2) over normalized characters — a log-free diversity
+    measure (bit-identical ratio arithmetic, unlike Shannon entropy whose
+    ln() is not guaranteed identical across engines).
+
+    Aggregation form (explode + count), not array lambdas — filters
+    cannot push below the aggregate and per-char work stays O(n).
+    """
+    docs = t["documents"]
+    chars = docs.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), 1)).alias("ch")
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        per_char.groupBy("doc_id")
+        .agg(F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ssq"))
+        .select(
+            "doc_id",
+            "n",
+            rnd(
+                F.lit(1.0)
+                - F.col("ssq").cast("double") / (F.col("n") * F.col("n")).cast("double"),
+                6,
+            ).alias("simpson"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CHAR_DIVERSITY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest({duck_char_ngrams("text", 1)}) AS ch FROM documents
+),
+per_char AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id, sum(c)::BIGINT AS n,
+       {duck_rnd("1.0 - (sum(c * c)::DOUBLE) / ((sum(c) * sum(c))::DOUBLE)", 6)}
+         AS simpson
+FROM per_char GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["txt_char_diversity"] = txt_char_diversity
+ORACLES["txt_char_diversity"] = ORACLE_CHAR_DIVERSITY
+
+
+# --- txt_zipf_head -----------------------------------------------------------
+
+ZIPF_TOP = 20
+
+
+def txt_zipf_head(t: dict[str, DataFrame]) -> DataFrame:
+    """Zipf head analysis: the top-{ZIPF_TOP} corpus tokens with their
+    rank-frequency product normalized by f(1) — under Zipf's law,
+    freq * rank / f1 stays near 1.0 down the head.
+
+    Top-N is TakeOrderedAndProject (no global sort materialization);
+    the rank window then runs over {ZIPF_TOP} rows on one partition —
+    constant-size work regardless of corpus scale.
+    """
+    docs = t["documents"]
+    freq = (
+        docs.select("doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    wall = Window.partitionBy()
+    return freq.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "freq",
+        rnd(
+            (F.col("freq") * F.row_number().over(w)).cast("double")
+            / F.max("freq").over(wall).cast("double"),
+            6,
+        ).alias("zipf_product"),
+    ).orderBy("rank")
+
+
+ORACLE_ZIPF_HEAD = f"""
+WITH freq AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token ORDER BY freq DESC, token LIMIT {ZIPF_TOP}
+)
+SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank, token, freq,
+       {duck_rnd("(freq * row_number() OVER (ORDER BY freq DESC, token))::DOUBLE"
+                 " / (max(freq) OVER ())::DOUBLE", 6)} AS zipf_product
+FROM freq ORDER BY rank
+"""
+
+QUERIES["txt_zipf_head"] = txt_zipf_head
+ORACLES["txt_zipf_head"] = ORACLE_ZIPF_HEAD
+
+
+# --- txt_dsir_weights --------------------------------------------------------
+
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+DSIR_TOP = 50
+
+
+def txt_dsir_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023),
+    linearized: tokens hash into {DSIR_BUCKETS} buckets; each bucket gets
+    a smoothed target/raw frequency ratio (target = lang='{DSIR_TARGET_LANG}'
+    docs); a document's score is the mean bucket ratio over its tokens.
+    The classic formulation multiplies ratios (log-space sum); the mean
+    keeps the arithmetic log-free and cross-engine exact while ranking
+    documents identically for moderate ratio spreads.
+
+    The 128-row bucket table broadcasts; the token postings are read
+    once and shuffle once (per-doc aggregation).
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize_ws(F.col("text"))).alias("token"),
+    ).filter(F.col("token") != "")
+    bucketed = toks.select(
+        "doc_id", "lang", (md5_int64(F.col("token")) % DSIR_BUCKETS).alias("b")
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = (
+        bucketed.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    totals = bucketed.agg(
+        F.count("*").alias("R"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("T"),
+    )
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                ((F.col("tc") + 1) * (F.col("R") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("rc") + 1) * (F.col("T") + DSIR_BUCKETS)).cast("double")
+            ).alias("ratio"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (dsum(F.col("ratio")) / F.count("*")).alias("score_raw"),
+        )
+        .select("doc_id", "n_tokens", rnd(F.col("score_raw"), 6).alias("dsir_score"))
+    )
+    return scored.orderBy(F.desc("dsir_score"), "doc_id").limit(DSIR_TOP)
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id, lang, {duck_md5_int64("token")} % {DSIR_BUCKETS} AS b
+  FROM toks WHERE token <> ''
+),
+raw AS (SELECT b, count(*) AS rc FROM bucketed GROUP BY b),
+tgt AS (SELECT b, count(*) AS tc FROM bucketed
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+totals AS (
+  SELECT count(*) AS R,
+         count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS T
+  FROM bucketed
+),
+ratios AS (
+  SELECT raw.b,
+         ((coalesce(tc, 0) + 1) * (R + {DSIR_BUCKETS}))::DOUBLE
+           / ((rc + 1) * (T + {DSIR_BUCKETS}))::DOUBLE AS ratio
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {duck_rnd(f"{duck_dsum('ratio')} / count(*)", 6)} AS dsir_score
+  FROM bucketed JOIN ratios USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dsir_score
+FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {DSIR_TOP}
+"""
+
+QUERIES["txt_dsir_weights"] = txt_dsir_weights
+ORACLES["txt_dsir_weights"] = ORACLE_DSIR
+
+
+# --- op_stratified_sample ----------------------------------------------------
+
+STRATUM_TARGET = 10
+
+
+def op_stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic stratified sampling: per source (stratum), keep the
+    {STRATUM_TARGET} documents with the smallest doc-id hash — a
+    reproducible uniform-without-replacement sample per stratum (hash
+    order is uncorrelated with any data attribute).
+
+    One shuffle on the stratum key; rank-within-stratum instead of
+    Bernoulli sampling so the sample is exact-size and engine-portable.
+    """
+    docs = t["documents"]
+    w = Window.partitionBy("source").orderBy(md5_int64(F.col("doc_id")), "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("draw"))
+        .filter(F.col("draw") <= STRATUM_TARGET)
+        .orderBy("source", "draw")
+    )
+
+
+ORACLE_STRATIFIED = f"""
+SELECT source, doc_id, draw FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {duck_md5_int64("doc_id")}, doc_id) AS draw
+  FROM documents
+) WHERE draw <= {STRATUM_TARGET}
+ORDER BY source, draw
+"""
+
+QUERIES["op_stratified_sample"] = op_stratified_sample
+ORACLES["op_stratified_sample"] = ORACLE_STRATIFIED
+
+
+# --- op_corr_exact -----------------------------------------------------------
+
+
+def op_corr_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Pearson correlation and regression slope of quantity vs
+    extendedprice per return flag, from EXACT integer moment sums.
+
+    Built-in corr()/covar accumulate doubles in partition order —
+    nondeterministic across engines and runs. Here x, y quantize to
+    integers (quantity is integral; price to whole dollars), the five
+    moments accumulate as exact int64 sums (order-free), and the
+    correlation forms in one deterministic double expression at the end.
+    Overflow envelope: sum(y^2) < 2^63 up to ~10^8 rows per group
+    (TPC-H sf ~100) — beyond that, widen to decimal.
+    """
+    li = t["lineitem"]
+    x = F.floor(F.col("l_quantity") + F.lit(0.5))
+    y = F.floor(F.col("l_extendedprice") + F.lit(0.5))
+    agg = (
+        li.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return agg.select(
+        "l_returnflag",
+        "n",
+        rnd(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        rnd(cov_n / var_x, 6).alias("slope_price_per_qty"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_CORR_EXACT = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(floor(l_quantity + 0.5)::BIGINT) AS sx,
+         sum(floor(l_extendedprice + 0.5)::BIGINT) AS sy,
+         sum(floor(l_quantity + 0.5)::BIGINT
+             * floor(l_extendedprice + 0.5)::BIGINT) AS sxy,
+         sum(floor(l_quantity + 0.5)::BIGINT
+             * floor(l_quantity + 0.5)::BIGINT) AS sxx,
+         sum(floor(l_extendedprice + 0.5)::BIGINT
+             * floor(l_extendedprice + 0.5)::BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {duck_rnd("(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+                 " / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+                 " * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))", 6)}
+         AS corr_qty_price,
+       {duck_rnd("(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+                 " / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)", 6)}
+         AS slope_price_per_qty
+FROM m ORDER BY l_returnflag
+"""
+
+QUERIES["op_corr_exact"] = op_corr_exact
+ORACLES["op_corr_exact"] = ORACLE_CORR_EXACT
+
+
+# --- ann_kmeans_assign -------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def ann_kmeans_assign(t: dict[str, DataFrame]) -> DataFrame:
+    """One Lloyd assignment step: centroids are the first {KMEANS_K}
+    vectors by id (deterministic seeding); every vector assigns to the
+    nearest centroid by squared L2 distance (|a|^2 - 2ab + |b|^2, the
+    same dot-product chain in both engines), ties to the lower id.
+
+    The k-row centroid table broadcasts; assignment is map-side O(n*k);
+    the only shuffles are the per-vector argmin (struct-min aggregation,
+    partial-aggregated) and the final k-row rollup. This is the building
+    block ann_ivf iterates.
+    """
+    emb = t["embeddings"]
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a, b = F.col("embedding"), F.col("cvec")
+    d2 = (dot(a, a) - 2 * dot(a, b) + dot(b, b)).alias("d2")
+    pairs = emb.crossJoin(F.broadcast(cent)).select("vec_id", "cid", d2)
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"))
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            rnd(dsum(F.col("d2")) / F.count("*"), 4).alias("avg_d2"),
+        )
+        .orderBy("cid")
+    )
+
+
+_D2 = (
+    f"({duck_dot('e.embedding', 'e.embedding')} "
+    f"- 2 * {duck_dot('e.embedding', 'c.cvec')} "
+    f"+ {duck_dot('c.cvec', 'c.cvec')})"
+)
+
+ORACLE_KMEANS = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {KMEANS_K}
+),
+pairs AS (
+  SELECT e.vec_id, c.cid, {_D2} AS d2
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT cid, count(*) AS n_assigned,
+       {duck_rnd(f"{duck_dsum('d2')} / count(*)", 4)} AS avg_d2
+FROM assigned GROUP BY cid ORDER BY cid
+"""
+
+QUERIES["ann_kmeans_assign"] = ann_kmeans_assign
+ORACLES["ann_kmeans_assign"] = ORACLE_KMEANS
+
+
+# --- ev_mad_outliers ---------------------------------------------------------
+
+MAD_SIGMA = 3.0
+
+
+def ev_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust outlier counts per event type via Median Absolute
+    Deviation: |value - median| > {MAD_SIGMA} * MAD. Unlike the z-score
+    variant (ev_zscore_outliers), a few extreme points cannot inflate
+    the threshold — the standard robust gate for metric streams.
+
+    Two exact-percentile aggregations (median, then MAD) over the same
+    event_type partitioning — the second reuses the first's shuffle
+    under AQE; the tiny per-type threshold table broadcasts back.
+    """
+    ev = t["events"]
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("adev") > MAD_SIGMA * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+            rnd(F.first("med"), 4).alias("med"),
+            rnd(F.first("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MAD = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n_total,
+       count(*) FILTER (d.adev > {MAD_SIGMA} * m2.mad) AS n_outliers,
+       {duck_rnd("any_value(d.med)", 4)} AS med,
+       {duck_rnd("any_value(m2.mad)", 4)} AS mad
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+QUERIES["ev_mad_outliers"] = ev_mad_outliers
+ORACLES["ev_mad_outliers"] = ORACLE_MAD
+
+
+# --- op_mixture_weights ------------------------------------------------------
+
+MIX_CAP = 5.0
+
+
+def op_mixture_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus mixture reweighting: per-language sampling weights that
+    would equalize the token mixture (target share = 1/n_languages),
+    capped at {MIX_CAP}x upsampling — the rebalancing computation behind
+    training-mixture recipes.
+
+    Token counts are exact integers from one explode+count; the totals
+    row broadcasts. Output is n_languages rows regardless of scale.
+    """
+    docs = t["documents"]
+    toks = docs.select("lang", F.explode(tokenize_ws(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    per_lang = toks.groupBy("lang").agg(F.count("*").alias("n_tokens"))
+    docs_per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    return (
+        per_lang.join(docs_per_lang, "lang")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            rnd(
+                F.least(
+                    F.lit(MIX_CAP),
+                    F.col("total_tokens").cast("double")
+                    / (F.col("n_langs") * F.col("n_tokens")).cast("double"),
+                ),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_MIXTURE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+per_lang AS (
+  SELECT lang, count(*) AS n_tokens FROM toks WHERE token <> '' GROUP BY lang
+),
+docs_per_lang AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT sum(n_tokens) AS total_tokens, count(*) AS n_langs FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       {duck_rnd(f"least({MIX_CAP}, (total_tokens::DOUBLE) / ((n_langs * n_tokens)::DOUBLE))", 6)}
+         AS weight
+FROM per_lang JOIN docs_per_lang USING (lang) CROSS JOIN totals
+ORDER BY lang
+"""
+
+QUERIES["op_mixture_weights"] = op_mixture_weights
+ORACLES["op_mixture_weights"] = ORACLE_MIXTURE
