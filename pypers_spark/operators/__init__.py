@@ -14,6 +14,7 @@ from pypers_spark.operators import (
     curation,
     curation_extra,
     dedup,
+    graph,
     events,
     events_extra,
     relational,
@@ -40,6 +41,7 @@ MODULES = (
     text_extra,
     curation,
     curation_extra,
+    graph,
 )
 
 REGISTRY = {}

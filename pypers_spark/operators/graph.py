@@ -1,0 +1,265 @@
+"""Graph and profiling operators (SURVEY.md §2.B/§2.D additions).
+
+- ``gr_pagerank``: fixed-iteration PageRank over the embedding near-dup
+  pair graph — the canonical iterative-join workload. Iterations are
+  UNROLLED (3 rounds), so the whole computation is one Catalyst plan and
+  the DuckDB oracle is a plain CTE chain (no recursion, no driver loop).
+- ``op_winsorize``: robust per-group statistics — winsorized mean at
+  the exact p05/p95 bounds (the standard heavy-tail-resistant metric
+  gate for event streams).
+- ``op_profile_table``: one-pass column profiling (null counts,
+  distinct counts, numeric ranges) in long format — the data-quality
+  snapshot a pipeline runs before training-data ingestion.
+
+Float discipline: rank-mass sums quantize to 1e-9 int64s before
+aggregation (order-free, exact, identical in both engines; plain double
+sums would be partition-order-dependent); winsorized means go through
+the shared 1e-6 ``dsum``.
+
+Scale notes (100 TB intent):
+- PageRank joins edges⋈ranks keyed on the source node and aggregates on
+  the destination — per iteration: one shuffle, partial-aggregated.
+  Degrees and ranks are node-cardinality tables (≪ edges); AQE picks
+  broadcast when the node side fits.
+- Profiling is ONE scan with multiple distinct aggregates (Spark
+  expands internally); no per-column rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- gr_pagerank -------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000  # 1e-9 rank-mass quantum
+
+
+def _psum(col) -> F.Column:
+    """Order-independent exact sum for rank mass (1e-9 quantum)."""
+    return (
+        F.sum(F.floor(col * PR_SCALE + F.lit(0.5))) / F.lit(float(PR_SCALE))
+    ).cast("double")
+
+
+def _duck_psum(expr: str) -> str:
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {PR_SCALE}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {PR_SCALE}.0)"
+    )
+
+
+def gr_pagerank(t: dict[str, DataFrame]) -> DataFrame:
+    """PageRank (damping {PR_DAMPING}, {PR_ITERS} unrolled iterations) on
+    the undirected near-dup pair graph from ``dd_embedding_cos``.
+
+    Ranks are N-scaled (start at 1.0, converge around 1.0) so the 1e-9
+    quantization keeps ~9 significant digits at any graph size. Every
+    node of this graph has degree >= 1 (edges are doubled pairs), so
+    there is no dangling-mass term.
+
+    Reference shape: iterative label/rank propagation like
+    /root/reference's dependency-closure walks (pipeline.py:409), here
+    as pure relational algebra.
+    """
+    from pypers_spark.operators.similarity import dd_embedding_cos
+
+    pairs = dd_embedding_cos(t).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )  # directed both ways
+    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
+    ranks = deg.select(F.col("id_a").alias("v"), F.lit(1.0).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "id_a")
+            .join(ranks, edges["id_a"] == ranks["v"])
+            .select(F.col("id_b").alias("v"), (F.col("r") / F.col("deg")).alias("m"))
+        )
+        ranks = contrib.groupBy("v").agg(
+            (F.lit(1.0 - PR_DAMPING) + F.lit(PR_DAMPING) * _psum(F.col("m"))).alias("r")
+        )
+    return (
+        ranks.select(F.col("v").alias("vec_id"), rnd(F.col("r"), 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "vec_id")
+        .limit(20)
+    )
+
+
+def _duck_pagerank() -> str:
+    from pypers_spark.operators.similarity import ORACLE_DD_EMB
+
+    pair_sql = ORACLE_DD_EMB.replace("ORDER BY label, id_a, id_b", "")
+    it = """
+it{k} AS (
+  SELECT e.id_b AS v,
+         {one_minus_d} + {d} * {mass} AS r
+  FROM edges e JOIN deg USING (id_a) JOIN it{p} ON e.id_a = it{p}.v
+  GROUP BY e.id_b
+)"""
+    chains = ",".join(
+        it.format(
+            k=k,
+            p=k - 1,
+            one_minus_d=1.0 - PR_DAMPING,
+            d=PR_DAMPING,
+            mass=_duck_psum(f"it{k - 1}.r / deg.deg"),
+        )
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+deg AS (SELECT id_a, count(*) AS deg FROM edges GROUP BY id_a),
+it0 AS (SELECT id_a AS v, 1.0 AS r FROM deg),
+{chains}
+SELECT v AS vec_id, {duck_rnd(f"r", 6)} AS pagerank
+FROM it{PR_ITERS} ORDER BY pagerank DESC, vec_id LIMIT 20
+"""
+
+
+QUERIES["gr_pagerank"] = gr_pagerank
+ORACLES["gr_pagerank"] = _duck_pagerank()
+
+
+# --- op_winsorize ------------------------------------------------------------
+
+
+def op_winsorize(t: dict[str, DataFrame]) -> DataFrame:
+    """Winsorized mean per event type: clip values to the exact
+    [p05, p95] interpolated percentiles, then average — the robust
+    location estimate next to ev_mad_outliers' robust spread gate.
+
+    Two aggregations over the same event_type keying (percentiles, then
+    clipped means); the per-type bound table broadcasts back onto the
+    stream.
+    """
+    ev = t["events"]
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "v_w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(dsum(F.col("value")) / F.count("*"), 4).alias("mean_raw"),
+            rnd(dsum(F.col("v_w")) / F.count("*"), 4).alias("mean_winsorized"),
+            rnd(F.first("p05"), 4).alias("p05"),
+            rnd(F.first("p95"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WINSORIZE = f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, b.p05), b.p95) AS v_w, b.p05, b.p95
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       {duck_rnd(f"{duck_dsum('value')} / count(*)", 4)} AS mean_raw,
+       {duck_rnd(f"{duck_dsum('v_w')} / count(*)", 4)} AS mean_winsorized,
+       {duck_rnd("any_value(p05)", 4)} AS p05,
+       {duck_rnd("any_value(p95)", 4)} AS p95
+FROM clipped GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["op_winsorize"] = op_winsorize
+ORACLES["op_winsorize"] = ORACLE_WINSORIZE
+
+
+# --- op_profile_table --------------------------------------------------------
+
+_PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+)
+
+
+def op_profile_table(t: dict[str, DataFrame]) -> DataFrame:
+    """One-pass data-quality profile of ``orders`` in long format: per
+    column — non-null count, null count, distinct count, and (for
+    numeric columns) the min/max.
+
+    A single scan computes every metric (multi-distinct aggregates
+    expand inside one Aggregate node); the wide→long pivot is a
+    constant-size stack, not a rescan per column.
+    """
+    o = t["orders"]
+    aggs = []
+    for c, numeric in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+        if numeric:
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"{c}__mn"),
+                F.max(F.col(c)).cast("double").alias(f"{c}__mx"),
+            ]
+    wide = o.agg(F.count("*").alias("n_rows"), *aggs)
+    stack_args = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"{c}__mn" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"{c}__mx" if numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{c}', {c}__nn, {c}__nd, {mn}, {mx}")
+    n = len(_PROFILE_COLS)
+    long = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({n}, {', '.join(stack_args)}) "
+            "AS (col_name, n_nonnull, n_distinct, min_num, max_num)"
+        ),
+    )
+    return long.select(
+        "col_name",
+        "n_nonnull",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        rnd(F.col("min_num"), 4).alias("min_num"),
+        rnd(F.col("max_num"), 4).alias("max_num"),
+    ).orderBy("col_name")
+
+
+def _duck_profile() -> str:
+    rows = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"{duck_rnd(f'min({c})::DOUBLE', 4)}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"{duck_rnd(f'max({c})::DOUBLE', 4)}" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS col_name, count({c}) AS n_nonnull,"
+            f" count(*) - count({c}) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(rows) + " ORDER BY col_name"
+
+
+QUERIES["op_profile_table"] = op_profile_table
+ORACLES["op_profile_table"] = _duck_profile()
