@@ -588,6 +588,12 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     # Lossless size-ratio prune: J >= tau forces
     # min(|A|,|B|) >= tau * max(|A|,|B|) — filter on the cheap set sizes
     # BEFORE paying for the intersect on each candidate pair.
+    # (A size-banded join key — join on (source, log_{1/tau} size band)
+    # same+adjacent — was tried and REVERTED: it cuts candidate
+    # generation 2.6x, but 1/3 of candidates survive this size filter
+    # and pay the intersect either way, so the op is intersect-bound and
+    # the second join branch + union cost more than the cheap filter
+    # evaluations saved. Same family as the PPJoin prefix-filter lesson.)
     size_ok = F.least("ng_a", "ng_b") >= NGRAM_JACCARD_THRESHOLD * F.greatest("ng_a", "ng_b")
     sig_pairs = (
         a.join(b, "source")
