@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pypers_spark.functions.hashing import duck_md5_int64, md5_int64
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
 from pypers_spark.functions.text import (
-    char_ngrams,
     duck_char_ngrams,
     duck_normalize_text,
     tokenize_ws,
@@ -45,6 +44,25 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 _DUCK_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
+
+
+def _norm_docs(docs: DataFrame) -> DataFrame:
+    """documents + materialized normalized text below an exchange.
+
+    Gram-building lambdas must reference ``nt`` as a COLUMN: a
+    higher-order-function lambda re-evaluates captured expression
+    subtrees per array ELEMENT, so inlining normalize_text (a regex
+    chain) into ``transform`` makes gram construction O(n^2) per doc —
+    measured 15.7 s vs 0.9 s for the winnowing explode at sf0.1. The
+    repartition keeps Catalyst from collapsing the projection back into
+    the lambda (dedup._signature_table, perf lesson 1).
+    """
+    from pypers_spark.functions.text import normalize_text
+
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select(
+        "doc_id", "source", "lang", normalize_text(F.col("text")).alias("nt")
+    ).repartition(n, F.col("doc_id"))
 
 
 # --- txt_winnowing -----------------------------------------------------------
@@ -63,22 +81,32 @@ def txt_winnowing(t: dict[str, DataFrame]) -> DataFrame:
     plagiarism/overlap detection. One explode + one window shuffle on
     doc_id; no pairwise work.
     """
-    docs = t["documents"]
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(char_ngrams(F.col("text"), WINNOW_K)).alias("pos", "gram"),
+    norm = _norm_docs(t["documents"])
+    gram_arr = F.when(
+        F.length("nt") >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length("nt") - (WINNOW_K - 1)),
+            lambda i: F.col("nt").substr(i, F.lit(WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # NOTE: do NOT add size(gram_arr) next to posexplode(gram_arr) in
+    # one select — that combination abandons the fast generate path
+    # (measured 25 s vs 0.5 s for the explode at sf0.1). "Full window"
+    # is instead count(*)==W over the SAME frame as the min: one Window
+    # node computes both, no extra sort, no array re-evaluation.
+    grams = norm.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
     ).select("doc_id", "pos", md5_int64(F.col("gram")).alias("h"))
     w_min = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    w_all = Window.partitionBy("doc_id")
-    full = (
-        grams.withColumn("wmin", F.min("h").over(w_min))
-        .withColumn("n", F.count("*").over(w_all))
-        .filter(F.col("pos") <= F.col("n") - WINNOW_W)  # full windows only
-    )
+    full = grams.select(
+        "doc_id",
+        F.min("h").over(w_min).alias("wmin"),
+        F.count("*").over(w_min).alias("wcnt"),
+    ).filter(F.col("wcnt") == WINNOW_W)
     return (
         full.select("doc_id", "wmin")
         .distinct()
@@ -121,8 +149,9 @@ ORACLES["txt_winnowing"] = ORACLE_WINNOWING
 SPAN_N = 3  # word-gram length
 
 
-def _word_ngrams(col, n: int):
-    toks = tokenize_ws(col)
+def _word_ngrams_of(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams from a MATERIALIZED token-array column (the lambda
+    must reference a column, not a tokenize expression — see _norm_docs)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -152,19 +181,28 @@ def dd_dup_spans(t: dict[str, DataFrame]) -> DataFrame:
 
     Output: one row per span with token-index bounds and gram count —
     exactly what a span-removal rewrite pass consumes. Postings shuffle
-    once on the gram hash (df count), once on doc_id (island windows).
+    once on the gram hash (the "in >= 2 docs" test is a window
+    min!=max over the hash partition — no self-join, no second scan of
+    the gram build), once on doc_id (island windows).
     """
+    # The token ARRAY itself materializes below the exchange — a
+    # projection above it would be collapsed back into the gram lambda,
+    # re-running split() per element (see _norm_docs).
     docs = t["documents"]
-    grams = docs.select(
-        "doc_id", F.posexplode(_word_ngrams(F.col("text"), SPAN_N)).alias("pos", "gram")
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    with_toks = docs.select(
+        "doc_id", tokenize_ws(F.col("text")).alias("toks")
+    ).repartition(n_part, F.col("doc_id"))
+    grams = with_toks.select(
+        "doc_id", F.posexplode(_word_ngrams_of(F.col("toks"), SPAN_N)).alias("pos", "gram")
     ).select("doc_id", "pos", md5_int64(F.col("gram")).alias("gh"))
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("gh")
+    wg = Window.partitionBy("gh")
+    marked = (
+        grams.withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(F.col("dmin") != F.col("dmax"))  # gram occurs in >= 2 docs
+        .select("doc_id", "pos")
     )
-    marked = grams.join(dup, "gh")
     rn = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn("grp", F.col("pos") - F.row_number().over(rn))
     return (
@@ -219,12 +257,18 @@ def txt_char_diversity(t: dict[str, DataFrame]) -> DataFrame:
     ln() is not guaranteed identical across engines).
 
     Aggregation form (explode + count), not array lambdas — filters
-    cannot push below the aggregate and per-char work stays O(n).
+    cannot push below the aggregate and per-char work stays O(n). The
+    char array comes from split(norm, '') — ONE function call per row,
+    no per-element lambda (a substr-per-offset transform re-evaluates
+    the normalize subtree per element: 17 s vs 2 s at sf0.1). Both
+    engines split '' identically (empty text -> [''], filtered out).
     """
+    from pypers_spark.functions.text import normalize_text
+
     docs = t["documents"]
     chars = docs.select(
-        "doc_id", F.explode(char_ngrams(F.col("text"), 1)).alias("ch")
-    )
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), "")).alias("ch")
+    ).filter(F.col("ch") != "")
     per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
     return (
         per_char.groupBy("doc_id")
@@ -244,7 +288,10 @@ def txt_char_diversity(t: dict[str, DataFrame]) -> DataFrame:
 
 ORACLE_CHAR_DIVERSITY = f"""
 WITH chars AS (
-  SELECT doc_id, unnest({duck_char_ngrams("text", 1)}) AS ch FROM documents
+  SELECT doc_id, ch FROM (
+    SELECT doc_id, unnest(string_split({duck_normalize_text("text")}, '')) AS ch
+    FROM documents
+  ) WHERE ch <> ''
 ),
 per_char AS (
   SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch

@@ -34,11 +34,11 @@ def test_winnowing_detects_shared_substring(spark):
     shared = "the quick brown fox jumps"
     docs = spark.createDataFrame(
         [
-            (1, f"alpha {shared} beta"),
-            (2, f"gamma {shared} delta"),
-            (3, "zzzz qqqq completely different body xxxx"),
+            (1, f"alpha {shared} beta", "en", "s1"),
+            (2, f"gamma {shared} delta", "en", "s1"),
+            (3, "zzzz qqqq completely different body xxxx", "en", "s1"),
         ],
-        "doc_id bigint, text string",
+        "doc_id bigint, text string, lang string, source string",
     )
     grams = docs.select(
         "doc_id", F.posexplode(char_ngrams(F.col("text"), WINNOW_K)).alias("pos", "g")
