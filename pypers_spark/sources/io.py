@@ -99,3 +99,47 @@ def write_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_text: bool = False,
+    line_sep: Optional[str] = None,
+) -> DataFrame:
+    """Raw-text scan -> one ``value`` string column.
+
+    ``whole_text=True`` reads each file as a single row (document-per-
+    file corpora); otherwise one row per line. Line mode is splittable
+    (a 100 TB corpus fans out by byte ranges); whole-text pins a file to
+    a task, so keep files << executor memory at scale.
+    """
+    reader = spark.read.option("wholetext", whole_text)
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-string-column sink (one line per row)."""
+    df.write.mode(mode).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+) -> DataFrame:
+    """Binary-file scan for multimodal ingestion: one row per file with
+    ``path``/``modificationTime``/``length``/``content`` (binary) —
+    the raw-bytes side of the §2.F multimodal column model; pair with
+    ``multimodal.with_media_meta`` to attach typed metadata.
+
+    Not splittable (a file is one row) — at 100 TB the ingest pattern
+    is many moderate files, then an immediate repartition + parquet
+    rewrite so downstream scans are columnar and splittable.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -128,3 +128,36 @@ def test_orc_roundtrip_with_pushdown(spark, tables, tmp_path):
         "orders"
     ].filter(F.col("o_orderstatus") == "F").count()
     assert "PartitionFilters" in explained or "o_orderstatus" in explained
+
+
+def test_text_roundtrip_lines_and_wholetext(spark, tmp_path):
+    from pypers_spark.sources import read_text, write_text
+
+    df = spark.createDataFrame([("line one",), ("line two",), ("line three",)], "value string")
+    path = str(tmp_path / "txt")
+    write_text(df, path)
+    lines = read_text(spark, path)
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line three", "line two",
+    ]
+    whole = read_text(spark, path, whole_text=True)
+    # one row per file; together they carry all three lines
+    joined = "\n".join(r["value"] for r in whole.collect())
+    for needle in ("line one", "line two", "line three"):
+        assert needle in joined
+
+
+def test_binary_files_source_reads_payload_and_meta(spark, tmp_path):
+    from pypers_spark.sources import read_binary_files
+
+    d = tmp_path / "bin"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x00\x01\x02payload-a")
+    (d / "b.img").write_bytes(b"payload-b")
+    (d / "skip.txt").write_bytes(b"not-an-image")
+    df = read_binary_files(spark, str(d), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"]["content"]) == b"\x00\x01\x02payload-a"
+    assert rows["b.img"]["length"] == len(b"payload-b")
