@@ -44,6 +44,11 @@ HEADLINE = (
     "txt_quality",
     "txt_token_count",
     "txt_tfidf_top",
+    "txt_winnowing",
+    "txt_dsir_weights",
+    "dd_dup_spans",
+    "gr_pagerank",
+    "ann_kmeans_assign",
     "pipe_curation",
 )
 

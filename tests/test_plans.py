@@ -145,3 +145,35 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """op_profile_table computes every column metric from ONE scan of
+    orders (Expand feeds the multi-distinct aggregate; no per-column
+    rescans)."""
+    plan = plan_of(spark, sf_dir, "op_profile_table")
+    import re
+
+    scans = re.findall(r"FileScan parquet", plan)
+    assert len(scans) == 1, f"expected 1 scan, plan has {len(scans)}"
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """The k-row centroid side of ann_kmeans_assign must broadcast —
+    a shuffled cross join of n x k would be a 100 TB disaster."""
+    plan = plan_of(spark, sf_dir, "ann_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_winnowing_single_window_sort(spark, sf_dir):
+    """Winnowing's min + full-window count share one frame: exactly one
+    Window node (one sort), not two."""
+    plan = plan_of(spark, sf_dir, "txt_winnowing")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1
+
+
+def test_dup_spans_no_join(spark, sf_dir):
+    """The >= 2-docs gram test is a window, not a self-join: the plan
+    must contain no join node at all."""
+    plan = plan_of(spark, sf_dir, "dd_dup_spans")
+    assert "Join" not in plan
