@@ -186,7 +186,12 @@ def ann_topk_pandas(t: dict[str, DataFrame]) -> DataFrame:
 
     # Resolve the query vector eagerly (one tiny job) so the UDF closure
     # carries plain floats, not a DataFrame.
-    _QUERY_CACHE["vec"] = [float(x) for x in q_row.first()["embedding"]]
+    q = q_row.first()
+    if q is None:  # empty corpus: no query vector -> empty result, same schema
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).cast("double").alias("cos_sim")
+        ).limit(0)
+    _QUERY_CACHE["vec"] = [float(x) for x in q["embedding"]]
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select(
