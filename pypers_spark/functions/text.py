@@ -125,3 +125,34 @@ def duck_lang_score(expr: str, markers: tuple[str, ...]) -> str:
     toks = f"string_split({duck_normalize_text(expr)}, ' ')"
     mk = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
     return f"len(list_filter({toks}, t -> list_contains({mk}, t)))"
+
+
+# --- PII scrubbing -----------------------------------------------------------
+#
+# Training-data redaction: the standard pre-release pass over a web
+# corpus. Patterns are RE2-compatible (no backreferences/lookaround) so
+# the same regexes run on any engine; all column expressions, no UDFs.
+
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# Replacement order matters: emails first (an address contains no phone/
+# IP match but an IP-like fragment can sit inside a hostname), then
+# phones, then IPs.
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (email | phone | ipv4)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails/phones/IPv4s with typed placeholder tokens."""
+    out = col
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

@@ -184,3 +184,31 @@ def test_mixture_weights_rebalance(spark, sf_dir, qs):
         if r["n_tokens"] > target:
             assert r["weight"] < 1.0
         assert r["weight"] <= 5.0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from pypers_spark.functions.text import pii_count, scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            pii_count(F.col("text"), "email").alias("n_email"),
+            pii_count(F.col("text"), "phone").alias("n_phone"),
+            pii_count(F.col("text"), "ipv4").alias("n_ip"),
+            scrub_pii(F.col("text")).alias("scrubbed"),
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (1, 1, 0)
+    assert "[EMAIL]" in out[1]["scrubbed"] and "[PHONE]" in out[1]["scrubbed"]
+    assert "jane.doe" not in out[1]["scrubbed"]
+    assert out[2]["n_ip"] == 2 and out[2]["scrubbed"].count("[IPV4]") == 2
+    assert out[3]["scrubbed"] == "clean text with no identifiers at all"
