@@ -335,3 +335,190 @@ ORACLES = {
     "ev_rolling_wau": ORACLE_ROLLING_WAU,
     "ev_session_window": ORACLE_SESSION_WINDOW,
 }
+
+
+# --- ev_asof_tolerance -------------------------------------------------------
+
+ASOF_TOLERANCE_S = 3600
+
+
+def ev_asof_tolerance(t: dict[str, DataFrame]) -> DataFrame:
+    """As-of join with a staleness bound (feature-store semantics): a
+    purchase matches the user's latest view at-or-before it, but only
+    within {ASOF_TOLERANCE_S} s; older views are 'stale', absent views
+    'no_view'. Output is the per-outcome rollup with the mean match gap.
+
+    Same single union-tag shuffle as ev_asof_join (no inequality join);
+    the tolerance is a post-window filter, the rollup is constant-size.
+    """
+    ev = t["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", F.col("ts").alias("ev_ts"), "view_id",
+                F.lit(0).alias("is_probe"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"),
+        F.col("event_id").alias("purchase_id"), F.lit(1).alias("is_probe"),
+    )
+    tagged = views.unionByName(purchases, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "is_probe", "view_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    probes = (
+        tagged.withColumn(
+            "last_view_ts",
+            F.last(F.when(F.col("is_probe") == 0, F.col("ev_ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_probe") == 1)
+        .withColumn(
+            "gap_s",
+            (F.unix_timestamp("ev_ts") - F.unix_timestamp("last_view_ts")).cast("bigint"),
+        )
+        .withColumn(
+            "outcome",
+            F.when(F.col("last_view_ts").isNull(), F.lit("no_view"))
+            .when(F.col("gap_s") <= ASOF_TOLERANCE_S, F.lit("fresh"))
+            .otherwise(F.lit("stale")),
+        )
+    )
+    return (
+        probes.groupBy("outcome")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            rnd(
+                F.when(
+                    F.count(F.when(F.col("outcome") == "fresh", 1)) > 0,
+                    dsum(F.when(F.col("outcome") == "fresh", F.col("gap_s")).otherwise(F.lit(None)))
+                    / F.count(F.when(F.col("outcome") == "fresh", 1)),
+                ).otherwise(F.lit(0.0)),
+                2,
+            ).alias("avg_fresh_gap_s"),
+        )
+        .orderBy("outcome")
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH views AS (
+  SELECT user_id, ts AS ev_ts, max(event_id) AS view_id, 0 AS is_probe
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts AS ev_ts, event_id AS purchase_id, NULL::BIGINT AS view_id,
+         1 AS is_probe
+  FROM events WHERE event_type = 'purchase'
+),
+tagged AS (
+  SELECT user_id, ev_ts, view_id, is_probe FROM views
+  UNION ALL
+  SELECT user_id, ev_ts, view_id, is_probe FROM purchases
+),
+probes AS (
+  SELECT user_id, ev_ts, is_probe,
+         last_value(CASE WHEN is_probe = 0 THEN ev_ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ev_ts, is_probe, view_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM tagged
+),
+outcomes AS (
+  SELECT CASE WHEN last_view_ts IS NULL THEN 'no_view'
+              WHEN date_diff('second', last_view_ts, ev_ts) <= {ASOF_TOLERANCE_S}
+                THEN 'fresh'
+              ELSE 'stale' END AS outcome,
+         date_diff('second', last_view_ts, ev_ts) AS gap_s
+  FROM probes WHERE is_probe = 1
+)
+SELECT outcome, count(*) AS n_purchases,
+       {duck_rnd(
+         "CASE WHEN count(CASE WHEN outcome = 'fresh' THEN 1 END) > 0 THEN "
+         + duck_dsum("CASE WHEN outcome = 'fresh' THEN gap_s END")
+         + " / count(CASE WHEN outcome = 'fresh' THEN 1 END) ELSE 0.0 END", 2)}
+         AS avg_fresh_gap_s
+FROM outcomes GROUP BY outcome ORDER BY outcome
+"""
+
+QUERIES["ev_asof_tolerance"] = ev_asof_tolerance
+ORACLES["ev_asof_tolerance"] = ORACLE_ASOF_TOLERANCE
+
+
+# --- ev_funnel_windowed ------------------------------------------------------
+
+FUNNEL_WINDOW_S = 3600
+
+
+def ev_funnel_windowed(t: dict[str, DataFrame]) -> DataFrame:
+    """Conversion funnel with a bounded window: first view, then the
+    first click within {FUNNEL_WINDOW_S} s of it, then the first
+    purchase within {FUNNEL_WINDOW_S} s of that click — the
+    time-to-convert funnel (unbounded variant: ev_funnel).
+
+    Three broadcast-size per-user min aggregations chained by joins;
+    every aggregation is partial-aggregated on user_id.
+    """
+    ev = t["events"]
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view"))
+            .cast("bigint")
+            .alias("convert_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL {FUNNEL_WINDOW_S} SECOND
+  GROUP BY e.user_id
+)
+SELECT v.user_id, t_view, t_click, t_purchase,
+       date_diff('second', t_view, t_purchase)::BIGINT AS convert_s
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+QUERIES["ev_funnel_windowed"] = ev_funnel_windowed
+ORACLES["ev_funnel_windowed"] = ORACLE_FUNNEL_WINDOWED
