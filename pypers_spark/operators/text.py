@@ -230,6 +230,46 @@ ORDER BY media_id, dim
 """
 
 
+def mm_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal frame sampling (oracled): the ``mapInPandas``
+    row-explosion path — each payload fans out into up to 4
+    evenly-spaced 32-byte 'frames' (the stub stands in for a video
+    frame decoder; slicing bytes is the deterministic fake).
+
+    The oracle reproduces the slices with substr arithmetic (the corpus
+    is ASCII, so byte offsets == char offsets) and md5s each frame —
+    value-level proof that the distributed fan-out produces exactly the
+    right per-frame payloads, not just the right row count.
+    """
+    from pypers_spark.multimodal import media_table, sample_frames
+
+    frames = sample_frames(media_table(t["documents"]))
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.octet_length("frame_payload").cast("bigint").alias("frame_len"),
+        F.md5("frame_payload").alias("frame_md5"),
+    ).orderBy("media_id", "frame_idx")
+
+
+ORACLE_MM_FRAMES = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(4, length(text)))) AS i,
+         greatest(1, length(text) // 4) AS step
+  FROM documents
+),
+f AS (
+  SELECT doc_id AS media_id, i AS frame_idx,
+         substr(text, (i * step)::INT + 1, 32) AS frame
+  FROM pos
+)
+SELECT media_id, frame_idx, length(frame)::BIGINT AS frame_len,
+       md5(frame) AS frame_md5
+FROM f ORDER BY media_id, frame_idx
+"""
+
+
 def txt_source_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus rollup per source × lang: doc counts, char stats."""
     d = t["documents"]
@@ -259,6 +299,7 @@ QUERIES = {
     "txt_source_stats": txt_source_stats,
     "mm_binary_meta": mm_binary_meta,
     "mm_features_hist": mm_features_hist,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
@@ -269,4 +310,5 @@ ORACLES = {
     "txt_source_stats": ORACLE_SOURCE_STATS,
     "mm_binary_meta": ORACLE_MM_BINARY,
     "mm_features_hist": ORACLE_MM_FEATURES,
+    "mm_frame_sample": ORACLE_MM_FRAMES,
 }
