@@ -21,6 +21,7 @@ from pypers_spark.operators import (
     relational_extra,
     semistructured,
     similarity,
+    streaming_batch,
     text,
     text_extra,
     tpch_extra,
@@ -42,6 +43,7 @@ MODULES = (
     curation,
     curation_extra,
     graph,
+    streaming_batch,
 )
 
 REGISTRY = {}

@@ -55,7 +55,10 @@ def stream_events(
     )
     if dict(schema["ts"].jsonValue().items()).get("type") == "long":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # Files written elsewhere may carry TIMESTAMP_NTZ, which watermarks
+    # reject — normalize to session-local TIMESTAMP (session tz is UTC,
+    # so the cast is a deterministic reinterpretation).
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(
