@@ -1,0 +1,109 @@
+"""Property-based cross-engine tests for the determinism primitives.
+
+Every oracle comparison in this repo rests on four primitives producing
+BIT-IDENTICAL results in Spark and DuckDB: `rnd` (floor-based round),
+`dsum` (scaled-int64 exact sums), `md5_int64` (portable hashing), and
+`affine_hash` (MinHash families). Hypothesis drives them with random
+inputs — including rounding-boundary shapes — and asserts exact
+equality, with the Spark side repartitioned so partial-aggregation
+order actually varies.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.hashing import (
+    affine_hash,
+    duck_affine_hash,
+    duck_md5_int64,
+    md5_int64,
+)
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# Magnitudes inside dsum's documented envelope (1e-6 quantum, int64 sums).
+FLOATS = st.floats(
+    allow_nan=False, allow_infinity=False, width=64, min_value=-1e6, max_value=1e6
+)
+# Include x.5-at-the-rounding-digit shapes that historically diverge.
+BOUNDARY = st.integers(min_value=-10**7, max_value=10**7).map(lambda n: n / 2e4)
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40
+)
+
+
+def _duck(pdf: pd.DataFrame, sql: str):
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return con.execute(sql).fetchall()
+
+
+@given(xs=st.lists(FLOATS | BOUNDARY, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_rnd_bit_identical(spark, xs):
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": xs})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: (r["r2"], r["r4"])
+        for r in sdf.select(
+            "i", rnd(F.col("x"), 2).alias("r2"), rnd(F.col("x"), 4).alias("r4")
+        ).collect()
+    }
+    want = {
+        i: (r2, r4)
+        for i, r2, r4 in _duck(
+            pdf,
+            f"SELECT i, {duck_rnd('x', 2)} AS r2, {duck_rnd('x', 4)} AS r4 FROM t",
+        )
+    }
+    assert got == want
+
+
+@given(xs=st.lists(FLOATS | BOUNDARY, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_dsum_order_free_and_bit_identical(spark, xs):
+    pdf = pd.DataFrame({"x": xs})
+    # repartition so Spark's partial-aggregation order differs from any
+    # single-node left-to-right sum
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    got = sdf.agg(dsum(F.col("x")).alias("s")).collect()[0]["s"]
+    (want,) = _duck(pdf, f"SELECT {duck_dsum('x')} AS s FROM t")[0]
+    assert got == want
+
+
+@given(texts=st.lists(TEXTS, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_md5_int64_bit_identical(spark, texts):
+    pdf = pd.DataFrame({"i": range(len(texts)), "s": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {r["i"]: r["h"] for r in sdf.select("i", md5_int64(F.col("s")).alias("h")).collect()}
+    want = dict(_duck(pdf, f"SELECT i, {duck_md5_int64('s')} AS h FROM t"))
+    assert got == want
+
+
+@given(
+    hs=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=1, max_size=20),
+    seed=st.integers(min_value=0, max_value=63),
+)
+@settings(**SETTINGS)
+def test_affine_hash_bit_identical(spark, hs, seed):
+    pdf = pd.DataFrame({"i": range(len(hs)), "h": hs})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r["a"]
+        for r in sdf.select("i", affine_hash(F.col("h"), seed).alias("a")).collect()
+    }
+    want = dict(_duck(pdf, f"SELECT i, {duck_affine_hash('h', seed)} AS a FROM t"))
+    assert got == want
