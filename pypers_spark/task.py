@@ -312,7 +312,20 @@ class Task:
                     value.write.mode("overwrite").parquet(target)
                 else:
                     scalars[field] = value
-            (input_dir / "scalars.json").write_text(json.dumps(scalars))
+            try:
+                scalars_json = json.dumps(scalars)
+            except TypeError as exc:
+                bad = sorted(
+                    f for f, v in scalars.items()
+                    if not isinstance(v, (str, int, float, bool, list, dict, type(None)))
+                )
+                raise TypeError(
+                    f"task {self.path}: non-persistable field(s) {bad} — "
+                    "table-registry or other engine-object fields must be "
+                    "declared marginal (task.yml: marginal_stages: "
+                    "[<stage-id>]) so they are stripped before store()"
+                ) from exc
+            (input_dir / "scalars.json").write_text(scalars_json)
             # Remove parquet fields from a previous completion that the
             # current pipeline no longer produces — load() asserts exact
             # field-set equality, so a stale file would permanently
