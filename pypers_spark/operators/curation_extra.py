@@ -765,3 +765,80 @@ ORDER BY lang
 
 QUERIES["op_mixture_weights"] = op_mixture_weights
 ORACLES["op_mixture_weights"] = ORACLE_MIXTURE
+
+
+# --- dd_contamination --------------------------------------------------------
+
+CONTAM_HOLDOUT_MOD = 10  # every 10th doc (by id hash) is the "eval set"
+
+
+def dd_contamination(t: dict[str, DataFrame]) -> DataFrame:
+    """Benchmark-contamination check: for each held-out 'eval' document
+    (deterministic 1-in-{CONTAM_HOLDOUT_MOD} by id hash), the fraction
+    of its word {SPAN_N}-grams that appear anywhere in the training
+    split — the standard decontamination pass before an eval release.
+
+    The training side collapses to DISTINCT gram hashes (vocabulary ≪
+    postings) before the join; eval postings left-join that set on the
+    gram hash and aggregate per doc — one shuffle each side, no
+    doc×doc work anywhere.
+    """
+    docs = t["documents"]
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    with_toks = docs.select(
+        "doc_id", tokenize_ws(F.col("text")).alias("toks")
+    ).repartition(n_part, F.col("doc_id"))
+    grams = with_toks.select(
+        "doc_id", F.explode(_word_ngrams_of(F.col("toks"), SPAN_N)).alias("gram")
+    ).select("doc_id", md5_int64(F.col("gram")).alias("gh"))
+    is_eval = md5_int64(F.col("doc_id")) % CONTAM_HOLDOUT_MOD == 0
+    eval_grams = grams.filter(is_eval)
+    train_set = grams.filter(~is_eval).select("gh").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        eval_grams.join(train_set, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            rnd(F.col("n_hit").cast("double") / F.col("n_grams"), 4).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH g AS (
+  SELECT doc_id, {_duck_word_ngrams(_DUCK_TOKS, SPAN_N)} AS grams FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(grams) + 1)) AS i, grams FROM g
+),
+h AS (
+  SELECT doc_id, {duck_md5_int64("grams[i]")} AS gh FROM pos
+),
+eval_grams AS (
+  SELECT doc_id, gh FROM h
+  WHERE {duck_md5_int64("doc_id")} % {CONTAM_HOLDOUT_MOD} = 0
+),
+train_set AS (
+  SELECT DISTINCT gh FROM h
+  WHERE {duck_md5_int64("doc_id")} % {CONTAM_HOLDOUT_MOD} <> 0
+)
+SELECT e.doc_id, count(*) AS n_grams,
+       count(t.gh) AS n_hit,
+       {duck_rnd("count(t.gh)::DOUBLE / count(*)", 4)} AS overlap_frac
+FROM eval_grams e LEFT JOIN train_set t ON e.gh = t.gh
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+QUERIES["dd_contamination"] = dd_contamination
+ORACLES["dd_contamination"] = ORACLE_CONTAMINATION
