@@ -14,8 +14,10 @@ Scale design (100 TB):
   buckets. No all-pairs anywhere.
 - SimHash: per-token explode + hash-agg (two shuffles), grouping on the
   32-bit signature.
-- n-gram Jaccard: pairwise only within a bounded blocking key (source
-  here; an LSH band or URL-domain in production).
+- n-gram Jaccard: pairwise only within a bounded blocking key — the
+  ``source`` variant demonstrates partition-key blocking; the
+  production-shaped ``dd_ngram_jaccard_lsh`` blocks on MinHash band
+  keys with a bucket-width cap so block width is bounded at any scale.
 
 All hashes go through the portable md5→int64 scheme
 (functions/hashing.py) so DuckDB reproduces results exactly.
@@ -40,6 +42,15 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.8
 NGRAM_JACCARD_THRESHOLD = 0.5
+# Skew guard: LSH buckets wider than this are dropped before the band
+# self-join. A hot band key (boilerplate docs sharing a signature band)
+# otherwise makes the self-join quadratic IN THAT BUCKET — the classic
+# web-scale LSH failure. Dropping is lossy only for pathological buckets
+# (a 64-wide bucket at 4 bands already implies a near-identical cluster
+# you'd handle via exact dedup first); dd_lsh_bucket_stats reports what
+# was dropped. The cap is baked into the DuckDB oracles too, so both
+# engines compute the identical (capped) result at any data scale.
+LSH_MAX_BUCKET_WIDTH = 64
 
 DUCK_CORPUS = """
 corpus AS (
@@ -183,17 +194,13 @@ def _duck_shingles(expr: str) -> str:
     return f"list_distinct({_duck_word_ngrams(toks, 3)})"
 
 
-def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
-    """MinHash + LSH near-dup pairs, Jaccard-verified.
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows from a signature table.
 
-    signature: ONE md5 base hash per distinct word 3-shingle, then 16
-    affine-family min-hashes (``(a_j·h + b_j) mod p`` — integer-only,
-    whole-stage codegen; computing 16 separate md5 digests per shingle
-    would dominate the whole pipeline). 4 bands × 4 rows; candidates =
-    equi-join on band key; exact Jaccard ≥ 0.8 verified on the hashed
-    shingle sets within candidates only — no all-pairs anywhere.
+    One (band, band_key) row per band via explode — a 4-way union here
+    would re-run the whole scan→shingle→hash subtree once per band.
     """
-    docs = _signature_table(t)
+
     def _min_affine(j: int):
         # NB: a plain unary lambda — a two-parameter lambda would make
         # Spark's transform() pass the array index as the second arg.
@@ -203,8 +210,6 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
         "doc_id",
         *[_min_affine(j).alias(f"mh{j}") for j in range(N_HASHES)],
     )
-    # One (band, band_key) row per band via explode — a 4-way union here
-    # would re-run the whole scan→shingle→hash subtree once per band.
     band_structs = F.array(
         *[
             F.struct(
@@ -220,26 +225,65 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", "bk.band", "bk.band_key"
     )
-    left = bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
-    right = bands.select(F.col("doc_id").alias("id_b"), "band", "band_key")
-    cand = (
+
+
+def _capped_bands(bands: DataFrame) -> DataFrame:
+    """Drop over-wide LSH buckets (skew guard, see LSH_MAX_BUCKET_WIDTH).
+
+    The width count is a window over (band, band_key) — the exact
+    partitioning the band self-join needs next, so the exchange is
+    shared, not added.
+    """
+    w = Window.partitionBy("band", "band_key")
+    return (
+        bands.withColumn("bw", F.count("*").over(w))
+        .filter(F.col("bw") <= F.lit(LSH_MAX_BUCKET_WIDTH))
+        .drop("bw")
+    )
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from capped band buckets."""
+    capped = _capped_bands(bands)
+    left = capped.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    right = capped.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verify joins: broadcast the candidate-pair set (bounded by the LSH
-    # bucket sizes, orders of magnitude smaller than the corpus) so the
-    # hashed-shingle table never shuffles.
+
+
+def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """MinHash + LSH near-dup pairs, Jaccard-verified.
+
+    signature: ONE md5 base hash per distinct word 3-shingle, then 16
+    affine-family min-hashes (``(a_j·h + b_j) mod p`` — integer-only,
+    whole-stage codegen; computing 16 separate md5 digests per shingle
+    would dominate the whole pipeline). 4 bands × 4 rows; candidates =
+    equi-join on band key with bucket width capped at
+    LSH_MAX_BUCKET_WIDTH (skew guard); exact Jaccard ≥ 0.8 verified on
+    the hashed shingle sets within candidates only — no all-pairs.
+
+    The verify joins carry NO broadcast hint: the candidate set is
+    usually tiny, but at web scale it is not guaranteed
+    driver-broadcastable. AQE's runtime size stats convert the join to a
+    broadcast when candidates are in fact small, and keep a shuffle join
+    keyed on doc id otherwise — no driver-side materialization either
+    way (tests/test_skew_stages.py asserts the shuffle fallback).
+    """
+    docs = _signature_table(t)
+    cand = _band_candidates(_bands_of(docs))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        a.join(F.broadcast(cand), "id_a")
+        a.join(cand, "id_a")
         .join(b_, "id_b")
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -248,7 +292,12 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _duck_minhash_sql() -> str:
+def _duck_band_ctes() -> str:
+    """Shared CTE chain: docs → mh → bands → capped → cand (skew-capped).
+
+    The QUALIFY mirrors _capped_bands exactly so both engines agree on
+    which buckets were dropped.
+    """
     mh_cols = ",\n       ".join(
         f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)})) AS mh{j}"
         for j in range(N_HASHES)
@@ -260,9 +309,7 @@ def _duck_minhash_sql() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {DUCK_CORPUS},
-docs AS (
+    return f"""docs AS (
   SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
   FROM corpus
   WHERE len({_duck_shingles('text')}) > 0
@@ -275,11 +322,21 @@ mh AS (
 bands AS (
 {band_selects}
 ),
+capped AS (
+  SELECT doc_id, band, band_key FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {LSH_MAX_BUCKET_WIDTH}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
-)
+)"""
+
+
+def _duck_minhash_sql() -> str:
+    return f"""
+WITH {DUCK_CORPUS},
+{_duck_band_ctes()}
 SELECT id_a, id_b,
        {duck_rnd('len(list_intersect(a.hs, b.hs)) * 1.0 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))', 4)} AS jaccard
 FROM cand
@@ -330,14 +387,7 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", "bk.band", "bk.band_key"
     )
-    cand = (
-        bands.select(F.col("doc_id").alias("id_a"), "band", "band_key")
-        .join(bands.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
-              ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _band_candidates(bands)
     a_sig = mh.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
     b_sig = mh.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mh_b"))
     a_hs = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
@@ -350,9 +400,12 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
+    # No broadcast hints: the signature table is O(corpus) — hinting it
+    # broadcast would ship the whole corpus to every executor at scale.
+    # AQE decides at runtime from actual sizes (see dd_minhash_lsh note).
     return (
-        cand.join(F.broadcast(a_sig), "id_a")
-        .join(F.broadcast(b_sig), "id_b")
+        cand.join(a_sig, "id_a")
+        .join(b_sig, "id_b")
         .join(a_hs, "id_a")
         .join(b_hs, "id_b")
         .select(
@@ -390,9 +443,13 @@ mh AS (
 bands AS (
 {band_selects}
 ),
+capped AS (
+  SELECT doc_id, band, band_key FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {LSH_MAX_BUCKET_WIDTH}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
   WHERE l.doc_id < r.doc_id
 )
 SELECT id_a, id_b,
@@ -526,6 +583,37 @@ FROM per_doc GROUP BY simhash ORDER BY keep_id
 # --- n-gram Jaccard within blocking buckets ----------------------------------
 
 
+def _gram_table(t: dict[str, DataFrame]) -> DataFrame:
+    """doc_id + source + hashed char-4-gram set, persisted.
+
+    Normalize below the exchange so the per-offset substring lambda
+    slices a materialized string column, not a re-evaluated regex
+    subtree (see _signature_table note 1). Hashed grams: the pairwise
+    intersect compares int64s instead of strings — same Jaccard, far
+    cheaper compares. Distinct the cheap substrings FIRST, md5 only the
+    survivors (~1.7x fewer digests on this corpus; md5 dominates substr
+    by orders of magnitude). Pre-filter on nt (not on size(g)) — see
+    _signature_table note.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+
+    norm = corpus(t, repartition=False).select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("nt")
+    )
+    norm = _repartitioned(norm)
+    gram_strs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("nt") - 3),
+            lambda i: F.col("nt").substr(i, F.lit(4)),
+        )
+    )
+    grams = F.transform(gram_strs, lambda s: md5_int64(s))
+    return tracked_persist(
+        norm.filter(F.length("nt") >= 4).select("doc_id", "source", grams.alias("g")),
+        "dedup.gram_sets",
+    )
+
+
 def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     """Char-4-gram Jaccard near-dup pairs within a blocking key (source).
 
@@ -539,30 +627,9 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     compare is bounded to one block (swap source for an LSH band or
     URL-domain key in production) and size-ratio pruned.
     """
-    # Normalize below the exchange so the per-offset substring lambda
-    # slices a materialized string column, not a re-evaluated regex
-    # subtree (see _signature_table note 1).
-    norm = corpus(t, repartition=False).select(
-        "doc_id", "source", normalize_text(F.col("text")).alias("nt")
-    )
-    norm = _repartitioned(norm)
-    # Hashed grams: the pairwise intersect compares int64s instead of
-    # strings — same Jaccard, far cheaper compares. Distinct the cheap
-    # substrings FIRST, md5 only the survivors (~1.7x fewer digests on
-    # this corpus; md5 dominates substr by orders of magnitude).
-    gram_strs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length("nt") - 3),
-            lambda i: F.col("nt").substr(i, F.lit(4)),
-        )
-    )
-    grams = F.transform(gram_strs, lambda s: md5_int64(s))
+    sets = _gram_table(t)
     from pypers_spark.functions.caching import tracked_persist
 
-    # Pre-filter on nt (not on size(g)) — see _signature_table note.
-    sets = norm.filter(F.length("nt") >= 4).select(
-        "doc_id", "source", grams.alias("g")
-    )
     # Set signature: md5 over the sorted hashed grams. docs is persisted:
     # the rep table, both expansion joins, and the self-pair join read it.
     docs = tracked_persist(
@@ -653,11 +720,112 @@ ORDER BY source, id_a, id_b
 """
 
 
+def dd_ngram_jaccard_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """Char-4-gram Jaccard near-dup pairs, MinHash-LSH band-blocked.
+
+    The production-shaped variant of dd_ngram_jaccard: instead of a
+    corpus-partition blocking key (``source`` — a handful of enormous
+    blocks at web scale), candidate pairs come from the MinHash band
+    table (equi-join on (band, band_key), bucket width capped at
+    LSH_MAX_BUCKET_WIDTH), so block width is bounded at ANY corpus
+    size. The expensive char-4-gram intersect runs per candidate pair
+    only; candidate recall is governed by the LSH band/row config
+    exactly as in dd_minhash_lsh. Verify joins shuffle on doc id (AQE
+    may broadcast small candidate sets at runtime — no hard hint).
+    """
+    docs = _signature_table(t)
+    cand = _band_candidates(_bands_of(docs))
+    gsets = _gram_table(t)
+    a = gsets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    b_ = gsets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        a.join(cand, "id_a")
+        .join(b_, "id_b")
+        .withColumn("jaccard", rnd(inter / union, 4))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _duck_ngram_lsh_sql() -> str:
+    from pypers_spark.functions.text import duck_char_ngrams
+
+    grams = (
+        f"list_distinct(list_transform({duck_char_ngrams('text', 4)}, "
+        f"s -> {duck_md5_int64('s')}))"
+    )
+    jac = (
+        "len(list_intersect(a.g, b.g)) * 1.0 / "
+        "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))"
+    )
+    return f"""
+WITH {DUCK_CORPUS},
+{_duck_band_ctes()},
+gsets AS (
+  SELECT doc_id, {grams} AS g FROM corpus WHERE len({grams}) > 0
+)
+SELECT id_a, id_b, {duck_rnd(jac, 4)} AS jaccard
+FROM cand
+JOIN gsets a ON a.doc_id = id_a
+JOIN gsets b ON b.doc_id = id_b
+WHERE {duck_rnd(jac, 4)} >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dd_lsh_bucket_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-band LSH bucket-width profile + what the skew cap dropped.
+
+    The observability side of the LSH_MAX_BUCKET_WIDTH guard: before a
+    100 TB run you look at max_width / n_dropped_rows per band to size
+    the cap (and to spot a boilerplate-heavy corpus that needs exact
+    dedup first). One groupBy over the band table — O(n·bands).
+    """
+    docs = _signature_table(t)
+    widths = (
+        _bands_of(docs)
+        .groupBy("band", "band_key")
+        .agg(F.count("*").alias("w"))
+    )
+    over = F.col("w") > F.lit(LSH_MAX_BUCKET_WIDTH)
+    return (
+        widths.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("w").alias("max_width"),
+            F.sum(over.cast("bigint")).alias("n_dropped_buckets"),
+            F.sum(F.when(over, F.col("w")).otherwise(F.lit(0))).alias("n_dropped_rows"),
+        )
+        .orderBy("band")
+    )
+
+
+def _duck_bucket_stats_sql() -> str:
+    return f"""
+WITH {DUCK_CORPUS},
+{_duck_band_ctes()},
+widths AS (
+  SELECT band, band_key, count(*) AS w FROM bands GROUP BY 1, 2
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(w) AS BIGINT) AS max_width,
+       CAST(sum(CASE WHEN w > {LSH_MAX_BUCKET_WIDTH} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       CAST(sum(CASE WHEN w > {LSH_MAX_BUCKET_WIDTH} THEN w ELSE 0 END) AS BIGINT) AS n_dropped_rows
+FROM widths GROUP BY band ORDER BY band
+"""
+
+
 QUERIES = {
-    "dd_exact": dd_exact,
-    "dd_exact_keep": dd_exact_keep,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_minhash_est": dd_minhash_est,
+    "dd_ngram_jaccard_lsh": dd_ngram_jaccard_lsh,
+    "dd_lsh_bucket_stats": dd_lsh_bucket_stats,
+    "dd_exact": dd_exact,
+    "dd_exact_keep": dd_exact_keep,
     "dd_incremental": dd_incremental,
     "dd_simhash": dd_simhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -668,6 +836,8 @@ ORACLES = {
     "dd_exact_keep": ORACLE_DD_EXACT_KEEP,
     "dd_minhash_lsh": _duck_minhash_sql(),
     "dd_minhash_est": _duck_minhash_est_sql(),
+    "dd_ngram_jaccard_lsh": _duck_ngram_lsh_sql(),
+    "dd_lsh_bucket_stats": _duck_bucket_stats_sql(),
     "dd_incremental": ORACLE_DD_INCREMENTAL,
     "dd_simhash": _duck_simhash_sql(),
     "dd_ngram_jaccard": _duck_ngram_sql(),

@@ -81,6 +81,65 @@ def test_salted_join_spreads_shuffle_key(spark, tables):
     assert "_salt" in plan  # the join key includes the salt
 
 
+# -- LSH skew guard -----------------------------------------------------------
+
+
+def test_lsh_bucket_cap_drops_wide_buckets(spark, tables, monkeypatch):
+    """With the cap forced below real bucket widths, every pair-producing
+    bucket is dropped (skew guard engages) and the stats query reports
+    the drops."""
+    from pypers_spark.operators import dedup
+
+    assert dedup.dd_minhash_lsh(tables).count() > 0  # perturbed dups pair up
+    monkeypatch.setattr(dedup, "LSH_MAX_BUCKET_WIDTH", 1)
+    assert dedup.dd_minhash_lsh(tables).count() == 0
+    stats = dedup.dd_lsh_bucket_stats(tables).collect()
+    assert len(stats) == dedup.N_BANDS
+    for r in stats:
+        assert r.n_dropped_buckets > 0
+        # every dropped bucket had width >= 2 under cap=1
+        assert r.n_dropped_rows >= 2 * r.n_dropped_buckets
+
+
+def test_lsh_verify_join_shuffles_without_broadcast_hint(spark, tables):
+    """The 100 TB regime: with auto-broadcast off, the Jaccard verify
+    joins must fall back to shuffle joins keyed on doc id — no
+    unconditional broadcast(cand) that could OOM on a hot band key.
+    (With broadcast on, AQE may still pick a runtime broadcast from
+    actual sizes — that path needs no hint.)"""
+    from pypers_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            dedup.dd_minhash_lsh(tables)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ngram_lsh_matches_source_blocked_on_overlap(spark, tables):
+    """Where the two blocking schemes both surface a pair, the Jaccard
+    values must agree (same gram sets, same verify math)."""
+    from pypers_spark.operators import dedup
+
+    by_src = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.dd_ngram_jaccard(tables).collect()
+    }
+    by_lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.dd_ngram_jaccard_lsh(tables).collect()
+    }
+    overlap = set(by_src) & set(by_lsh)
+    assert overlap  # the perturbed dups appear under both schemes
+    assert all(by_src[k] == by_lsh[k] for k in overlap)
+
+
 # -- operator ↔ stage bridge --------------------------------------------------
 
 
