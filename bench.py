@@ -66,7 +66,9 @@ def main() -> None:
     # per data size) is paid before timing — the numbers then measure
     # steady-state throughput, which is what a long-running cluster job
     # sees. File listing for SF_DIR is warmed by the q1 run below.
-    warm_sf = "/root/testdata/sf0.001"
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_sf):
+        warm_sf = SF_DIR  # no small fixture on this box — warm on the bench dir
     for name in HEADLINE:
         qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
     qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()

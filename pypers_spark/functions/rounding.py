@@ -43,11 +43,34 @@ def dsum(col: Column) -> Column:
 
     Terms are quantized to 1e-6 (round-half-up via floor — identical
     IEEE ops in both engines) and summed as int64: exact integer
-    addition in any order, ~5x faster than Spark's BigDecimal sum
-    path, same magnitude envelope as DECIMAL(18,6) (12 integral
-    digits before overflow).
+    addition in any order, ~5x faster than Spark's BigDecimal sum path.
+
+    ENVELOPE: the int64 accumulator holds the TOTAL, so the cap is
+    ~9.2e12 in value units (9.2e18 / 1e6) per GROUP — and Spark's
+    non-ANSI long sum silently WRAPS past it while DuckDB's BIGINT sum
+    promotes to HUGEINT, so an overflow diverges the engines instead of
+    erroring. Use the fast path only for bounded-cardinality groups
+    (per-key aggregates whose group size doesn't grow with corpus
+    size); whole-table / scalar totals must go through ``dsum_wide``.
     """
     return (F.sum(F.floor(col * 1e6 + F.lit(0.5))) / F.lit(1e6)).cast("double")
+
+
+def dsum_wide(col: Column) -> Column:
+    """``dsum`` for UNBOUNDED-cardinality sums (whole-table totals).
+
+    Same 1e-6 quantization, but the integer terms accumulate in
+    decimal(27,0) — Spark widens the sum to decimal(37,0), exact to
+    ~1e31 value units, and an overflow yields null (detectable) rather
+    than a silent wrap. Produces bit-identical doubles to ``dsum``
+    whenever the latter doesn't overflow, so the same ``duck_dsum``
+    oracle serves both (DuckDB's BIGINT sum already promotes to
+    HUGEINT).
+    """
+    return (
+        F.sum(F.floor(col * 1e6 + F.lit(0.5)).cast("decimal(27,0)")).cast("double")
+        / F.lit(1e6)
+    )
 
 
 def duck_dsum(expr: str) -> str:

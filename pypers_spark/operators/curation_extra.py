@@ -649,16 +649,22 @@ def ev_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
     Two exact-percentile aggregations (median, then MAD) over the same
     event_type partitioning — the second reuses the first's shuffle
     under AQE; the tiny per-type threshold table broadcasts back.
+
+    Both percentiles are quantized to 1e-6 (rnd/duck_rnd) BEFORE any
+    comparison: Spark F.percentile and DuckDB quantile_cont are
+    independent float interpolators, and an unquantized threshold would
+    make outlier membership hinge on last-ulp agreement between them —
+    the same exact-primitive discipline as dsum/md5 everywhere else.
     """
     ev = t["events"]
     med = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+        rnd(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+        rnd(F.percentile(F.col("adev"), F.lit(0.5)), 6).alias("mad")
     )
     flagged = dev.join(F.broadcast(mad), "event_type")
     return (
@@ -677,7 +683,7 @@ def ev_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
 
 ORACLE_MAD = f"""
 WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
+  SELECT event_type, {duck_rnd('quantile_cont(value, 0.5)', 6)} AS med
   FROM events GROUP BY event_type
 ),
 dev AS (
@@ -685,7 +691,7 @@ dev AS (
   FROM events e JOIN med m USING (event_type)
 ),
 mad AS (
-  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  SELECT event_type, {duck_rnd('quantile_cont(adev, 0.5)', 6)} AS mad
   FROM dev GROUP BY event_type
 )
 SELECT d.event_type, count(*) AS n_total,

@@ -154,12 +154,15 @@ def op_winsorize(t: dict[str, DataFrame]) -> DataFrame:
 
     Two aggregations over the same event_type keying (percentiles, then
     clipped means); the per-type bound table broadcasts back onto the
-    stream.
+    stream. The percentiles are quantized to 1e-6 in BOTH engines
+    before the clip: cross-engine equality must not rest on two float
+    interpolation implementations agreeing to the last ulp (see
+    ev_mad_outliers).
     """
     ev = t["events"]
     bounds = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.05)).alias("p05"),
-        F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+        rnd(F.percentile(F.col("value"), F.lit(0.05)), 6).alias("p05"),
+        rnd(F.percentile(F.col("value"), F.lit(0.95)), 6).alias("p95"),
     )
     clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
         "v_w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
@@ -180,8 +183,8 @@ def op_winsorize(t: dict[str, DataFrame]) -> DataFrame:
 ORACLE_WINSORIZE = f"""
 WITH bounds AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS p05,
-         quantile_cont(value, 0.95) AS p95
+         {duck_rnd('quantile_cont(value, 0.05)', 6)} AS p05,
+         {duck_rnd('quantile_cont(value, 0.95)', 6)} AS p95
   FROM events GROUP BY event_type
 ),
 clipped AS (

@@ -23,7 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import davg, dsum, duck_davg, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.rounding import (
+    davg,
+    dsum,
+    dsum_wide,
+    duck_davg,
+    duck_dsum,
+    duck_rnd,
+    rnd,
+)
 
 DUCK_REV = "l_extendedprice * (1 - l_discount)"
 _REV_AGG = f"{duck_rnd(duck_dsum(DUCK_REV), 2)} AS revenue"
@@ -150,7 +158,11 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    return li.agg(rnd(dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    # Scalar whole-table sum → dsum_wide (decimal accumulator; int64
+    # would silently wrap past ~9.2e12 value units at 100 TB).
+    return li.agg(
+        rnd(dsum_wide(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
 
 
 ORACLE_Q6 = f"""

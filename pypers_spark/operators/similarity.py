@@ -406,36 +406,52 @@ def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
     corpus size; at 100 TB each round is one shuffle keyed on the edge
     endpoint, with periodic checkpointing to truncate lineage.
     """
+    from pypers_spark.functions.caching import tracked_persist
+
     emb = t["embeddings"]
     pairs = dd_embedding_cos(t).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.persist()
-    labels = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl"))
-    labels = labels.persist()
+    labels = tracked_persist(
+        emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")),
+        "similarity.cc_labels",
+    )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        # tracked_persist releases the previous round's labels under the
+        # same key — at most one live cache entry per invocation chain.
+        labels = tracked_persist(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .persist()
+            ),
+            "similarity.cc_labels",
         )
-        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:  # labels only ever decrease
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # A silent cap exit would return labels that disagree with the
+        # transitive closure (and the oracle). Near-dup graphs converge
+        # in single-digit rounds; hitting the cap means pathological
+        # chain components — fail loudly rather than emit wrong groups.
+        raise RuntimeError(
+            f"dd_cluster: min-label propagation did not converge within "
+            f"{MAX_CC_ITERS} rounds (component diameter exceeds cap); "
+            f"raise MAX_CC_ITERS or pre-collapse exact dups first"
+        )
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("node").alias("vec_id"), F.col("lbl").alias("cluster_id"))

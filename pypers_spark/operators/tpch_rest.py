@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.rounding import dsum, dsum_wide, duck_dsum, duck_rnd, rnd
 
 
 def _part_supplier(t: dict[str, DataFrame]) -> DataFrame:
@@ -110,7 +110,9 @@ def q11_important_stock(t: dict[str, DataFrame]) -> DataFrame:
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     li = t["lineitem"].join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     per_part = li.groupBy("l_partkey").agg(dsum(value).alias("part_value"))
-    total = li.agg((dsum(value) * F.lit(0.001)).alias("threshold"))
+    # Whole-table total: unbounded cardinality → decimal accumulator
+    # (dsum's int64 path wraps past ~9.2e12 value units at 100 TB).
+    total = li.agg((dsum_wide(value) * F.lit(0.001)).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))

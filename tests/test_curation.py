@@ -60,6 +60,8 @@ def test_curation_is_one_catalyst_plan(example_task, spark):
     n_scans = explained.count("FileScan")
     assert 1 <= n_scans <= 3
     assert explained.count("documents.parquet") >= n_scans  # all same source
-    assert "n_chars" not in explained.split("Optimized Logical Plan")[-1].split("ReadSchema")[0] or True
+    # column pruning: no scan reads columns the pipeline doesn't need
+    read_schemas = [seg.split(">")[0] for seg in explained.split("ReadSchema: ")[1:]]
+    assert read_schemas and all("n_chars" not in rs for rs in read_schemas)
     # no Python row UDFs anywhere in the composed pipeline
     assert "BatchEvalPython" not in explained

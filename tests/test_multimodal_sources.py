@@ -161,3 +161,23 @@ def test_binary_files_source_reads_payload_and_meta(spark, tmp_path):
     assert set(rows) == {"a.img", "b.img"}
     assert bytes(rows["a.img"]["content"]) == b"\x00\x01\x02payload-a"
     assert rows["b.img"]["length"] == len(b"payload-b")
+
+
+def test_load_table_microsecond_events_passthrough(spark, sf_dir, tmp_path):
+    """Regression for registry.py's LongType guard: a standard
+    µs-timestamp events parquet (any non-driver events source) must
+    pass through load_table with ts still a timestamp — only ns files
+    (read as long under nanosAsLong) take the long→timestamp_micros
+    conversion."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from pypers_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    ev2 = load_table(spark, str(tmp_path), "events")
+    assert isinstance(ev2.schema["ts"].dataType, (TimestampType, TimestampNTZType))
+    a = sorted((r.event_id, r.ts) for r in ev.select("event_id", "ts").collect())
+    b = sorted((r.event_id, r.ts) for r in ev2.select("event_id", "ts").collect())
+    assert a == b and len(a) > 0
