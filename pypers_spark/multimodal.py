@@ -4,13 +4,21 @@ Treats image/audio/video payloads as opaque ``binary`` columns plus a
 typed metadata struct, with decode / feature-extraction / resize /
 frame-sampling implemented as Arrow-batched ``mapInPandas`` pipelines.
 
-STUBBED CODECS: this container has no image/audio libraries, so the
-actual byte→pixels decode is a clearly-marked deterministic fake
-(:func:`_fake_decode`) — it derives stable pseudo-content from the
-payload hash. Everything Spark-side is real and tested: schemas, the
+PLUGGABLE CODECS: the byte→pixels decode is an injection point
+(:func:`set_decoder` / the ``decoder=`` argument of
+:func:`decode_media`), defaulting to a clearly-marked deterministic
+stub (:func:`default_decoder`, kept because this container has no
+image/audio libraries) that derives stable pseudo-content from the
+payload hash. A real deployment registers a Pillow/ffmpeg-backed
+callable once at startup (see :func:`pillow_decoder`) — no operator
+code changes. Everything Spark-side is real and tested: schemas, the
 ``mapInPandas`` batch iteration, partition behavior, and the UDF
-signatures. Swapping :func:`_fake_decode` for Pillow/ffmpeg is a
-one-function change on a real deployment.
+signatures. The feature extractor is pluggable the same way
+(:func:`set_feature_extractor`).
+
+The registered codec is captured when the plan is BUILT (not when it
+runs) and pickled into the ``mapInPandas`` closure, so it ships to
+executors with no driver round-trips.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — payload bytes never
 gather on the driver; per-batch decode keeps peak memory at
@@ -22,7 +30,7 @@ pruning on the parquet scan.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator, Optional, Sequence
 
 import pandas as pd
 
@@ -97,27 +105,112 @@ def media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder — deterministic fake standing in for Pillow/ffmpeg.
+# A decoder maps (payload bytes, mime type) -> dict with keys
+# width / height / n_channels / content_sha.
+Decoder = Callable[[bytes, str], dict]
+# A feature extractor maps payload bytes -> a fixed-length float vector.
+FeatureExtractor = Callable[[bytes], Sequence[float]]
 
-    Derives (width, height, channels) from the payload's sha1 so tests
-    are reproducible. A real deployment replaces ONLY this function.
+_DECODER: Optional[Decoder] = None
+_FEATURE_EXTRACTOR: Optional[FeatureExtractor] = None
+
+
+def default_decoder(payload: bytes, mime_type: str = "") -> dict:
+    """Default STUB decoder — deterministic fake standing in for Pillow/ffmpeg.
+
+    Derives (width, height, channels) from the payload's md5 so tests
+    AND the DuckDB oracle can reproduce the decode output bit-for-bit
+    (md5 is the one digest both engines share — DuckDB has no sha1):
+    byte k of the digest is ``('0x' || substr(md5(payload), 2k+1, 2))::INT``.
+    Production registers a real codec via :func:`set_decoder` instead of
+    editing this.
     """
-    digest = hashlib.sha1(payload).digest()
+    hex_digest = hashlib.md5(payload).hexdigest()
+    digest = bytes.fromhex(hex_digest)
     return {
         "width": 16 + digest[0] % 240,
         "height": 16 + digest[1] % 240,
         "n_channels": 1 + digest[2] % 3,
-        "content_sha": hashlib.sha1(payload).hexdigest(),
+        "content_sha": hex_digest,
     }
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """Decode payloads to typed metadata via Arrow-batched mapInPandas."""
+# Backwards-compatible alias (pre-round-3 name).
+_fake_decode = default_decoder
+
+
+def set_decoder(decoder: Optional[Decoder]) -> None:
+    """Register a process-wide decoder; ``None`` restores the stub.
+
+    Affects plans built AFTER the call — the active decoder is captured
+    into the ``mapInPandas`` closure at plan-build time.
+    """
+    global _DECODER
+    _DECODER = decoder
+
+
+def get_decoder() -> Decoder:
+    """The decoder new plans will capture (registered one, else stub)."""
+    return _DECODER if _DECODER is not None else default_decoder
+
+
+def set_feature_extractor(extractor: Optional[FeatureExtractor]) -> None:
+    """Register a process-wide feature extractor; ``None`` restores the stub."""
+    global _FEATURE_EXTRACTOR
+    _FEATURE_EXTRACTOR = extractor
+
+
+def get_feature_extractor() -> Optional[FeatureExtractor]:
+    return _FEATURE_EXTRACTOR
+
+
+def pillow_decoder() -> Decoder:
+    """Build a real image decoder backed by Pillow (optional dependency).
+
+    Raises ImportError with an actionable message when Pillow is absent
+    (it is not in this container); the returned callable satisfies the
+    :data:`Decoder` contract, so ``set_decoder(pillow_decoder())`` is the
+    one-line production hookup.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no Pillow
+        raise ImportError(
+            "Pillow is required for pillow_decoder(); install 'Pillow' or "
+            "register a custom codec via set_decoder()."
+        ) from exc
+
+    import io
+
+    from PIL import Image
+
+    def _decode(payload: bytes, mime_type: str = "") -> dict:  # pragma: no cover
+        img = Image.open(io.BytesIO(payload))
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_channels": len(img.getbands()),
+            "content_sha": hashlib.sha1(payload).hexdigest(),
+        }
+
+    return _decode
+
+
+def decode_media(media: DataFrame, decoder: Optional[Decoder] = None) -> DataFrame:
+    """Decode payloads to typed metadata via Arrow-batched mapInPandas.
+
+    ``decoder`` overrides the process-wide registration for this plan;
+    otherwise the currently registered decoder (or the deterministic
+    stub) is captured.
+    """
+    decode = decoder if decoder is not None else get_decoder()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [
+                decode(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["mime_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -132,23 +225,38 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Fixed-dim feature vector per payload (stub: hashed byte histogram).
+def default_feature_extractor(payload: bytes, dim: int = FEATURE_DIM) -> list:
+    """Default STUB extractor: normalized payload-byte histogram folded to ``dim``.
 
-    The real version runs an embedding model per Arrow batch; the
-    contract (one float vector per row, vectorized batch compute) is
-    exercised here with a histogram of payload bytes folded to ``dim``.
+    The real version runs an embedding model; the contract (one float
+    vector per row) is identical.
     """
     import numpy as np
 
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+    total = hist.sum() or 1.0
+    return (hist / total).tolist()
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = FEATURE_DIM,
+    extractor: Optional[FeatureExtractor] = None,
+) -> DataFrame:
+    """Fixed-dim feature vector per payload via Arrow-batched mapInPandas.
+
+    ``extractor`` (or a :func:`set_feature_extractor` registration)
+    replaces the stub; it must emit ``dim``-length float vectors.
+    """
+    extract = extractor if extractor is not None else get_feature_extractor()
+    if extract is None:
+        def extract(payload: bytes) -> list:
+            return default_feature_extractor(payload, dim)
+
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
-                total = hist.sum() or 1.0
-                feats.append((hist / total).tolist())
+            feats = [list(extract(bytes(p))) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "features": feats})
 
     return media.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)

@@ -230,6 +230,35 @@ ORDER BY media_id, dim
 """
 
 
+def mm_decode_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal decode (oracled): the REAL Arrow-batched ``mapInPandas``
+    decode path through the pluggable codec layer
+    (:func:`pypers_spark.multimodal.decode_media`).
+
+    Whatever decoder is registered via ``set_decoder`` is captured at
+    plan-build time; the default stub derives (width, height, channels)
+    from the payload md5, which DuckDB reproduces byte-for-byte with hex
+    arithmetic — so this is a value-level oracle over a Pandas-UDF
+    decode, not just a row count.
+    """
+    from pypers_spark.multimodal import decode_media, media_table
+
+    decoded = decode_media(media_table(t["documents"]))
+    return decoded.select(
+        "media_id", "width", "height", "n_channels", "content_sha"
+    ).orderBy("media_id")
+
+
+ORACLE_MM_DECODE = """
+SELECT doc_id AS media_id,
+       (16 + (('0x' || substr(md5(text), 1, 2))::INT % 240))::INT AS width,
+       (16 + (('0x' || substr(md5(text), 3, 2))::INT % 240))::INT AS height,
+       (1 + (('0x' || substr(md5(text), 5, 2))::INT % 3))::INT AS n_channels,
+       md5(text) AS content_sha
+FROM documents ORDER BY media_id
+"""
+
+
 def mm_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
     """Multimodal frame sampling (oracled): the ``mapInPandas``
     row-explosion path — each payload fans out into up to 4
@@ -298,6 +327,7 @@ QUERIES = {
     "txt_fingerprint": txt_fingerprint,
     "txt_source_stats": txt_source_stats,
     "mm_binary_meta": mm_binary_meta,
+    "mm_decode_meta": mm_decode_meta,
     "mm_features_hist": mm_features_hist,
     "mm_frame_sample": mm_frame_sample,
 }
@@ -309,6 +339,7 @@ ORACLES = {
     "txt_fingerprint": ORACLE_FINGERPRINT,
     "txt_source_stats": ORACLE_SOURCE_STATS,
     "mm_binary_meta": ORACLE_MM_BINARY,
+    "mm_decode_meta": ORACLE_MM_DECODE,
     "mm_features_hist": ORACLE_MM_FEATURES,
     "mm_frame_sample": ORACLE_MM_FRAMES,
 }

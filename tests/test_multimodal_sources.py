@@ -71,6 +71,79 @@ def test_sample_frames_explodes(media):
     assert frames.count() > media.count()
 
 
+def test_custom_decoder_injection(media):
+    """set_decoder() swaps the codec process-wide; decoder= overrides per-plan;
+    resetting restores the deterministic stub (VERDICT r2 item 4)."""
+    from pypers_spark import multimodal as mm
+
+    def codec(payload: bytes, mime_type: str) -> dict:
+        return {
+            "width": 1,
+            "height": 2,
+            "n_channels": 3,
+            "content_sha": f"custom:{mime_type}",
+        }
+
+    mm.set_decoder(codec)
+    try:
+        pdf = decode_media(media).orderBy("media_id").limit(3).toPandas()
+        assert (pdf["width"] == 1).all() and (pdf["height"] == 2).all()
+        assert (pdf["content_sha"] == "custom:application/octet-stream").all()
+    finally:
+        mm.set_decoder(None)
+    # Per-plan override without global registration.
+    pdf2 = decode_media(media, decoder=codec).limit(2).toPandas()
+    assert (pdf2["n_channels"] == 3).all()
+    # Stub restored after reset.
+    pdf3 = decode_media(media).limit(2).toPandas()
+    assert not pdf3["content_sha"].str.startswith("custom:").any()
+
+
+def test_custom_decoder_reaches_registry_query(spark, sf_dir):
+    """The registered codec flows through the oracled mm_decode_meta
+    registry entry — proving the value-gated path is the pluggable one."""
+    from pypers_spark import multimodal as mm
+    from pypers_spark.operators.text import mm_decode_meta
+    from pypers_spark.sources import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    mm.set_decoder(lambda payload, mime: {
+        "width": 7, "height": 7, "n_channels": 1, "content_sha": "x",
+    })
+    try:
+        row = mm_decode_meta(tables).limit(1).toPandas().iloc[0]
+        assert row["width"] == 7 and row["content_sha"] == "x"
+    finally:
+        mm.set_decoder(None)
+    row = mm_decode_meta(tables).limit(1).toPandas().iloc[0]
+    assert row["content_sha"] != "x"
+
+
+def test_custom_feature_extractor_injection(media):
+    from pypers_spark import multimodal as mm
+
+    mm.set_feature_extractor(lambda payload: [float(len(payload)), 0.0])
+    try:
+        pdf = extract_features(media).limit(2).toPandas()
+        assert all(len(v) == 2 and v[1] == 0.0 for v in pdf["features"])
+    finally:
+        mm.set_feature_extractor(None)
+
+
+def test_pillow_decoder_raises_without_pillow():
+    """Container has no Pillow: the factory must fail actionably, not at
+    executor runtime."""
+    from pypers_spark import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="set_decoder"):
+        mm.pillow_decoder()
+
+
 def test_metadata_query_prunes_payload(media, tmp_path, spark):
     """Metadata-only queries over stored media must not read payload bytes."""
     path = str(tmp_path / "media.parquet")
