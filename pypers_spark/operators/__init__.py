@@ -28,22 +28,26 @@ from pypers_spark.operators import (
     tpch_rest,
 )
 
+# Ordered riskiest-first: the driver's correctness gate samples the
+# first ~50 registry keys in insertion order, so the newest / most
+# intricate operator families (streaming drain, curation, similarity,
+# LSH dedup, multimodal) lead and the battle-tested TPC-H shapes trail.
 MODULES = (
-    relational,
-    relational_extra,
-    tpch_extra,
-    tpch_rest,
-    semistructured,
-    events,
-    events_extra,
-    dedup,
+    streaming_batch,
+    curation_extra,
     similarity,
+    dedup,
+    graph,
+    curation,
     text,
     text_extra,
-    curation,
-    curation_extra,
-    graph,
-    streaming_batch,
+    events_extra,
+    events,
+    semistructured,
+    tpch_rest,
+    tpch_extra,
+    relational_extra,
+    relational,
 )
 
 REGISTRY = {}
