@@ -81,17 +81,37 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # Per-query spark/duckdb ratios against the committed local baseline
+    # (tools/make_baseline.py) — the "within 2x of BASELINE" criterion,
+    # made measurable. Only emitted when the baseline's scale factor
+    # matches this run's.
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json"
     )
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as fh:
+            baseline = json.load(fh)
+        if baseline.get("sf") == sf:
+            base_q = baseline.get("queries", {})
+            common = [n for n in times if base_q.get(n)]
+            out["baseline_engine"] = baseline.get("engine")
+            out["baseline_total_sec"] = round(sum(base_q[n] for n in common), 3)
+            out["ratios"] = {
+                n: round(times[n] / base_q[n], 3) for n in common
+            }
+            out["vs_baseline"] = round(
+                sum(times[n] for n in common) / sum(base_q[n] for n in common), 4
+            )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -123,16 +123,27 @@ class Batch:
         self,
         contexts: Optional[List[RunContext]] = None,
         status=None,
+        fail_fast: bool = False,
     ) -> bool:
         """Run the pending tasks (deterministic path order).
 
-        Returns True if every task completed; a task error records an
-        ``error`` status entry (with traceback and failing stage) and
-        stops the batch.
+        Returns True if every task completed. A task error records an
+        ``error`` status entry (with traceback and failing stage); by
+        default the batch then CONTINUES with the remaining tasks —
+        fault isolation the reference gets from one OS process per task
+        (reference: batch.py:151). We share a single in-process
+        SparkSession (so every task's jobs get the whole cluster), which
+        means a Python-level task failure must be contained here
+        instead; the residual tradeoff — a native JVM crash or driver
+        OOM still takes the whole batch down, where the reference's
+        process isolation would not — is documented in the README.
+        ``fail_fast=True`` restores the reference's stop-on-first-error
+        return semantics. Cancellation always stops the batch.
         """
         self._cancelled = False
         contexts = self.pending if contexts is None else contexts
         contexts = sorted(contexts, key=lambda rc: rc.task.path.resolve())
+        n_failed = 0
         for rc_idx, rc in enumerate(contexts):
             if self._cancelled:
                 return False
@@ -163,18 +174,29 @@ class Batch:
 
                 self._running = asyncio.ensure_future(asyncio.to_thread(_run_in_thread))
                 await self._running
-            except (Exception, asyncio.CancelledError) as exc:
+            except asyncio.CancelledError:
                 status_mod.update(
                     status,
-                    info="error" if not isinstance(exc, asyncio.CancelledError) else "interrupted",
+                    info="interrupted",
+                    task=str(rc.task.path.resolve()),
+                    traceback=traceback.format_exc(),
+                    stage=None,
+                )
+                return False
+            except Exception as exc:
+                status_mod.update(
+                    status,
+                    info="error",
                     task=str(rc.task.path.resolve()),
                     traceback=traceback.format_exc(),
                     stage=exc.stage.id if isinstance(exc, StageError) else None,
                 )
-                return False
+                if fail_fast:
+                    return False
+                n_failed += 1
             finally:
                 self._running = None
-        return True
+        return n_failed == 0
 
     async def cancel(self) -> None:
         """Cancel the currently running task (if any)."""
