@@ -18,9 +18,24 @@ _LIVE: dict = {}
 
 
 def tracked_persist(df: DataFrame, key: str) -> DataFrame:
-    """Persist ``df`` (memory+disk), releasing the previous holder of ``key``."""
+    """Persist ``df`` (memory+disk), releasing the previous holder of ``key``.
+
+    If the previous holder is semantically the SAME plan (same session,
+    ``sameSemantics``), it is returned instead of rebuilt: shared
+    curation artifacts (shingle-signature tables, gram tables) are
+    consumed by several operators, and the first consumer's
+    materialization serves the rest — keyed memoization, the in-memory
+    analogue of the parquet checkpoint Stage. A call with a different
+    plan under the same key (other scale factor, other source dir)
+    releases the old cache and persists the new plan.
+    """
     prev = _LIVE.get(key)
     if prev is not None:
+        try:
+            if prev.sparkSession is df.sparkSession and df.sameSemantics(prev):
+                return prev
+        except Exception:
+            pass  # stopped session / plan comparison failure → rebuild
         try:
             prev.unpersist()
         except Exception:

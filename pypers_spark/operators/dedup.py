@@ -9,9 +9,9 @@ oracle a known-dup ground truth.
 Scale design (100 TB):
 - exact dedup: one hash-aggregate shuffle on the md5 fingerprint.
 - MinHash+LSH: O(n·bands) — signatures are per-row column expressions
-  (whole-stage codegen, no UDF), candidate pairs come from equi-joins on
-  band keys, and the quadratic Jaccard verify runs only *within* LSH
-  buckets. No all-pairs anywhere.
+  (whole-stage codegen, no UDF), candidate pairs expand from capped
+  band buckets (one groupBy, no self-join), and the quadratic Jaccard
+  verify runs only *within* LSH buckets. No all-pairs anywhere.
 - SimHash: per-token explode + hash-agg (two shuffles), grouping on the
   32-bit signature.
 - n-gram Jaccard: pairwise only within a bounded blocking key — the
@@ -42,9 +42,9 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.8
 NGRAM_JACCARD_THRESHOLD = 0.5
-# Skew guard: LSH buckets wider than this are dropped before the band
-# self-join. A hot band key (boilerplate docs sharing a signature band)
-# otherwise makes the self-join quadratic IN THAT BUCKET — the classic
+# Skew guard: LSH buckets wider than this are dropped before pair
+# expansion. A hot band key (boilerplate docs sharing a signature band)
+# otherwise makes the bucket's pair count quadratic — the classic
 # web-scale LSH failure. Dropping is lossy only for pathological buckets
 # (a 64-wide bucket at 4 bands already implies a near-identical cluster
 # you'd handle via exact dedup first); dd_lsh_bucket_stats reports what
@@ -194,11 +194,48 @@ def _duck_shingles(expr: str) -> str:
     return f"list_distinct({_duck_word_ngrams(toks, 3)})"
 
 
-def _bands_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) rows from a signature table.
+# A band's key is its ROWS_PER_BAND minhash values packed pairwise into
+# int64s (mh_i·P + mh_j < P² < 2^63 — no overflow): numeric join/group
+# keys, no per-row string building, and ~28 fewer bytes per band row in
+# the shuffle than the CSV-string key used previously. DuckDB mirrors
+# the same arithmetic exactly.
+N_BAND_KEYS = (ROWS_PER_BAND + 1) // 2
+BAND_KEY_COLS = [f"k{q}" for q in range(N_BAND_KEYS)]
 
-    One (band, band_key) row per band via explode — a 4-way union here
-    would re-run the whole scan→shingle→hash subtree once per band.
+
+def _packed_band_keys(b: int, mh_at):
+    """Packed key Columns for band ``b``; ``mh_at(i)`` = i-th minhash Column."""
+    from pypers_spark.functions.hashing import MINHASH_P
+
+    ks = []
+    for q in range(N_BAND_KEYS):
+        i = b * ROWS_PER_BAND + 2 * q
+        if 2 * q + 1 < ROWS_PER_BAND:
+            ks.append((mh_at(i) * F.lit(MINHASH_P) + mh_at(i + 1)).alias(f"k{q}"))
+        else:  # odd rows-per-band: last minhash rides alone
+            ks.append(mh_at(i).alias(f"k{q}"))
+    return ks
+
+
+def _duck_packed_band_keys(b: int, mh_at) -> list[str]:
+    """DuckDB fragments mirroring :func:`_packed_band_keys`."""
+    from pypers_spark.functions.hashing import MINHASH_P
+
+    ks = []
+    for q in range(N_BAND_KEYS):
+        i = b * ROWS_PER_BAND + 2 * q
+        if 2 * q + 1 < ROWS_PER_BAND:
+            ks.append(f"{mh_at(i)} * {MINHASH_P} + {mh_at(i + 1)} AS k{q}")
+        else:
+            ks.append(f"{mh_at(i)} AS k{q}")
+    return ks
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, k0..k{n}) rows from a signature table.
+
+    One row per band via explode — a 4-way union here would re-run the
+    whole scan→shingle→hash subtree once per band.
     """
 
     def _min_affine(j: int):
@@ -214,46 +251,47 @@ def _bands_of(docs: DataFrame) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("band_key"),
+                *_packed_band_keys(b, lambda i: F.col(f"mh{i}")),
             )
             for b in range(N_BANDS)
         ]
     )
     return mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", "bk.band_key"
-    )
-
-
-def _capped_bands(bands: DataFrame) -> DataFrame:
-    """Drop over-wide LSH buckets (skew guard, see LSH_MAX_BUCKET_WIDTH).
-
-    The width count is a window over (band, band_key) — the exact
-    partitioning the band self-join needs next, so the exchange is
-    shared, not added.
-    """
-    w = Window.partitionBy("band", "band_key")
-    return (
-        bands.withColumn("bw", F.count("*").over(w))
-        .filter(F.col("bw") <= F.lit(LSH_MAX_BUCKET_WIDTH))
-        .drop("bw")
+        "doc_id", "bk.band", *[f"bk.{k}" for k in BAND_KEY_COLS]
     )
 
 
 def _band_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct (id_a, id_b) candidate pairs from capped band buckets."""
-    capped = _capped_bands(bands)
-    left = capped.select(F.col("doc_id").alias("id_a"), "band", "band_key")
-    right = capped.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    """Distinct (id_a, id_b) candidate pairs from capped band buckets.
+
+    Aggregate-and-expand, not a self-join: collect the bucket's doc ids
+    into a sorted array (ONE exchange on the band key), drop buckets
+    wider than LSH_MAX_BUCKET_WIDTH (skew guard — the cap doubles as the
+    per-group bound on collect_list, so no unbounded state), then emit
+    the C(w,2) ordered pairs with a nested array transform — all
+    whole-stage codegen. A band self-join computes the minhash/band
+    subtree twice (Catalyst does not CSE across self-join branches) and
+    needs a width window on top; this shape pays the signature pass
+    once and caps state by construction. Pair count per bucket is
+    ≤ C(cap, 2) = 2016, bounded at any corpus size.
+    """
+    buckets = (
+        bands.groupBy("band", *BAND_KEY_COLS)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(LSH_MAX_BUCKET_WIDTH)))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -265,7 +303,8 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     affine-family min-hashes (``(a_j·h + b_j) mod p`` — integer-only,
     whole-stage codegen; computing 16 separate md5 digests per shingle
     would dominate the whole pipeline). 4 bands × 4 rows; candidates =
-    equi-join on band key with bucket width capped at
+    pair expansion within band buckets (see _band_candidates) with
+    bucket width capped at
     LSH_MAX_BUCKET_WIDTH (skew guard); exact Jaccard ≥ 0.8 verified on
     the hashed shingle sets within candidates only — no all-pairs.
 
@@ -295,20 +334,22 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
 def _duck_band_ctes() -> str:
     """Shared CTE chain: docs → mh → bands → capped → cand (skew-capped).
 
-    The QUALIFY mirrors _capped_bands exactly so both engines agree on
+    The QUALIFY mirrors _band_candidates' width cap exactly so both engines agree on
     which buckets were dropped.
     """
     mh_cols = ",\n       ".join(
         f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)})) AS mh{j}"
         for j in range(N_HASHES)
     )
+    key_list = ", ".join(BAND_KEY_COLS)
     band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, CAST(mh{i0} AS VARCHAR) || ',' || CAST(mh{i1} AS VARCHAR)"
-        " || ',' || CAST(mh{i2} AS VARCHAR) || ',' || CAST(mh{i3} AS VARCHAR) AS band_key FROM mh".format(
-            b=b, i0=b * 4, i1=b * 4 + 1, i2=b * 4 + 2, i3=b * 4 + 3
+        "  SELECT doc_id, {b} AS band, {keys} FROM mh".format(
+            b=b,
+            keys=", ".join(_duck_packed_band_keys(b, lambda i: f"mh{i}")),
         )
         for b in range(N_BANDS)
     )
+    on_keys = " AND ".join(f"l.{k} = r.{k}" for k in ["band", *BAND_KEY_COLS])
     return f"""docs AS (
   SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
   FROM corpus
@@ -323,12 +364,12 @@ bands AS (
 {band_selects}
 ),
 capped AS (
-  SELECT doc_id, band, band_key FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {LSH_MAX_BUCKET_WIDTH}
+  SELECT doc_id, band, {key_list} FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, {key_list}) <= {LSH_MAX_BUCKET_WIDTH}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+  FROM capped l JOIN capped r ON {on_keys}
   WHERE l.doc_id < r.doc_id
 )"""
 
@@ -370,13 +411,9 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(F.col("mh"), b * ROWS_PER_BAND + r + 1).cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("band_key"),
+                *_packed_band_keys(
+                    b, lambda i: F.element_at(F.col("mh"), i + 1)
+                ),
             )
             for b in range(N_BANDS)
         ]
@@ -385,7 +422,7 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
 
     mh = tracked_persist(mh, "dedup.minhash_est_signatures")
     bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", "bk.band_key"
+        "doc_id", "bk.band", *[f"bk.{k}" for k in BAND_KEY_COLS]
     )
     cand = _band_candidates(bands)
     a_sig = mh.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
@@ -423,13 +460,15 @@ def _duck_minhash_est_sql() -> str:
         f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)}))"
         for j in range(N_HASHES)
     )
+    key_list = ", ".join(BAND_KEY_COLS)
     band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, CAST(mh[{i0}] AS VARCHAR) || ',' || CAST(mh[{i1}] AS VARCHAR)"
-        " || ',' || CAST(mh[{i2}] AS VARCHAR) || ',' || CAST(mh[{i3}] AS VARCHAR) AS band_key FROM mh".format(
-            b=b, i0=b * 4 + 1, i1=b * 4 + 2, i2=b * 4 + 3, i3=b * 4 + 4
+        "  SELECT doc_id, {b} AS band, {keys} FROM mh".format(
+            b=b,
+            keys=", ".join(_duck_packed_band_keys(b, lambda i: f"mh[{i + 1}]")),
         )
         for b in range(N_BANDS)
     )
+    on_keys = " AND ".join(f"l.{k} = r.{k}" for k in ["band", *BAND_KEY_COLS])
     return f"""
 WITH {DUCK_CORPUS},
 docs AS (
@@ -444,12 +483,12 @@ bands AS (
 {band_selects}
 ),
 capped AS (
-  SELECT doc_id, band, band_key FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {LSH_MAX_BUCKET_WIDTH}
+  SELECT doc_id, band, {key_list} FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, {key_list}) <= {LSH_MAX_BUCKET_WIDTH}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM capped l JOIN capped r ON l.band = r.band AND l.band_key = r.band_key
+  FROM capped l JOIN capped r ON {on_keys}
   WHERE l.doc_id < r.doc_id
 )
 SELECT id_a, id_b,
@@ -726,7 +765,7 @@ def dd_ngram_jaccard_lsh(t: dict[str, DataFrame]) -> DataFrame:
     The production-shaped variant of dd_ngram_jaccard: instead of a
     corpus-partition blocking key (``source`` — a handful of enormous
     blocks at web scale), candidate pairs come from the MinHash band
-    table (equi-join on (band, band_key), bucket width capped at
+    table (pair expansion within band buckets, width capped at
     LSH_MAX_BUCKET_WIDTH), so block width is bounded at ANY corpus
     size. The expensive char-4-gram intersect runs per candidate pair
     only; candidate recall is governed by the LSH band/row config
@@ -787,7 +826,7 @@ def dd_lsh_bucket_stats(t: dict[str, DataFrame]) -> DataFrame:
     docs = _signature_table(t)
     widths = (
         _bands_of(docs)
-        .groupBy("band", "band_key")
+        .groupBy("band", *BAND_KEY_COLS)
         .agg(F.count("*").alias("w"))
     )
     over = F.col("w") > F.lit(LSH_MAX_BUCKET_WIDTH)
@@ -808,7 +847,8 @@ def _duck_bucket_stats_sql() -> str:
 WITH {DUCK_CORPUS},
 {_duck_band_ctes()},
 widths AS (
-  SELECT band, band_key, count(*) AS w FROM bands GROUP BY 1, 2
+  SELECT band, {", ".join(BAND_KEY_COLS)}, count(*) AS w
+  FROM bands GROUP BY ALL
 )
 SELECT band,
        CAST(count(*) AS BIGINT) AS n_buckets,

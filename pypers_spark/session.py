@@ -44,6 +44,11 @@ def get_session(app_name: str = "pypers_spark", master: str | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE's runtime broadcast decision has its OWN threshold; without
+        # it, hint-free joins whose build side is only known-small at
+        # runtime (LSH candidate sets, post-filter dims) stay as shuffle
+        # joins even when AQE measures them at a few KB.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
