@@ -57,9 +57,9 @@ def _duck_psum(expr: str) -> str:
     )
 
 
-def gr_pagerank(t: dict[str, DataFrame]) -> DataFrame:
+def _pagerank_on_pairs(t: dict[str, DataFrame], tau: float, cache_tag: str) -> DataFrame:
     """PageRank (damping {PR_DAMPING}, {PR_ITERS} unrolled iterations) on
-    the undirected near-dup pair graph from ``dd_embedding_cos``.
+    the undirected near-dup pair graph from the cosine-τ pair query.
 
     Ranks are N-scaled (start at 1.0, converge around 1.0) so the 1e-9
     quantization keeps ~9 significant digits at any graph size. Every
@@ -71,21 +71,21 @@ def gr_pagerank(t: dict[str, DataFrame]) -> DataFrame:
     as pure relational algebra.
     """
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import dd_embedding_cos
+    from pypers_spark.operators.similarity import _embedding_cos_pairs
 
     # Every iteration re-reads edges and deg — persist them, or the
     # O(n^2/block) pairwise cosine join re-executes once per iteration
     # (measured 8.9 s vs 2 s for 3 iterations at sf0.1). This is the
     # parquet-checkpoint boundary a 100 TB run would write instead.
-    pairs = dd_embedding_cos(t).select("id_a", "id_b")
+    pairs = _embedding_cos_pairs(t, tau).select("id_a", "id_b")
     edges = tracked_persist(
         pairs.union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         ),
-        "graph.pr_edges",
+        f"graph.pr_edges{cache_tag}",
     )  # directed both ways
     deg = tracked_persist(
-        edges.groupBy("id_a").agg(F.count("*").alias("deg")), "graph.pr_deg"
+        edges.groupBy("id_a").agg(F.count("*").alias("deg")), f"graph.pr_deg{cache_tag}"
     )
     ranks = deg.select(F.col("id_a").alias("v"), F.lit(1.0).alias("r"))
     for _ in range(PR_ITERS):
@@ -104,10 +104,27 @@ def gr_pagerank(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _duck_pagerank() -> str:
-    from pypers_spark.operators.similarity import ORACLE_DD_EMB
+def gr_pagerank(t: dict[str, DataFrame]) -> DataFrame:
+    """PageRank on the production-threshold (τ=0.9) near-dup graph."""
+    from pypers_spark.operators.similarity import COS_THRESHOLD
 
-    pair_sql = ORACLE_DD_EMB.replace("ORDER BY label, id_a, id_b", "")
+    return _pagerank_on_pairs(t, COS_THRESHOLD, "")
+
+
+def gr_pagerank_t03(t: dict[str, DataFrame]) -> DataFrame:
+    """τ=0.3 variant: the synthetic corpus yields no τ=0.9 pairs, so the
+    production entry's gate run is 0-row (vacuously green). This entry
+    runs the identical iterative plan on a graph that exists."""
+    from pypers_spark.operators.similarity import COS_T03
+
+    return _pagerank_on_pairs(t, COS_T03, "_t03")
+
+
+def _duck_pagerank(tau: float | None = None) -> str:
+    from pypers_spark.operators.similarity import ORACLE_DD_EMB, _oracle_dd_emb
+
+    emb_sql = ORACLE_DD_EMB if tau is None else _oracle_dd_emb(tau)
+    pair_sql = emb_sql.replace("ORDER BY label, id_a, id_b", "")
     it = """
 it{k} AS (
   SELECT e.id_b AS v,
@@ -142,6 +159,16 @@ FROM it{PR_ITERS} ORDER BY pagerank DESC, vec_id LIMIT 20
 
 QUERIES["gr_pagerank"] = gr_pagerank
 ORACLES["gr_pagerank"] = _duck_pagerank()
+QUERIES["gr_pagerank_t03"] = gr_pagerank_t03
+
+
+def _oracle_pagerank_t03() -> str:
+    from pypers_spark.operators.similarity import COS_T03
+
+    return _duck_pagerank(COS_T03)
+
+
+ORACLES["gr_pagerank_t03"] = _oracle_pagerank_t03()
 
 
 # --- op_winsorize ------------------------------------------------------------

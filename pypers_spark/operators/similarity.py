@@ -25,6 +25,9 @@ from pypers_spark.functions.vectors import cosine_similarity, duck_cosine
 N_PLANES = 8
 EMB_DIM = 64
 COS_THRESHOLD = 0.9
+# Gate-visible threshold: the synthetic embeddings max out at cos≈0.475
+# within blocks, so τ=0.3 exercises the pair path non-vacuously.
+COS_T03 = 0.3
 TOP_K = 10
 QUERY_VEC_ID = 0
 
@@ -108,8 +111,8 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
 
-def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.9) within label blocks.
+def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ ``tau``) within label blocks.
 
     The per-vector norm is computed ONCE on a persisted projection —
     folding it into the pairwise cosine would re-run the 64-element
@@ -141,19 +144,36 @@ def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", rnd(cos, 4))
-        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+        .filter(F.col("cos_sim") >= F.lit(tau))
         .select("label", "id_a", "id_b", "cos_sim")
         .orderBy("label", "id_a", "id_b")
     )
 
 
-ORACLE_DD_EMB = f"""
+def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
+    """Production threshold (τ=0.9) embedding near-dup pairs."""
+    return _embedding_cos_pairs(t, COS_THRESHOLD)
+
+
+def dd_embedding_cos_t03(t: dict[str, DataFrame]) -> DataFrame:
+    """τ=0.3 variant: the synthetic corpus's max within-block cosine is
+    ~0.475, so τ=0.9 legitimately yields zero pairs — correct, but a
+    0-row correctness gate certifies nothing. This entry runs the same
+    plan where rows exist, keeping the non-trivial path inside the gate."""
+    return _embedding_cos_pairs(t, COS_T03)
+
+
+def _oracle_dd_emb(tau: float) -> str:
+    return f"""
 SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
        {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {COS_THRESHOLD}
+WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {tau}
 ORDER BY label, id_a, id_b
 """
+
+
+ORACLE_DD_EMB = _oracle_dd_emb(COS_THRESHOLD)
 
 
 def ann_topk_pandas(t: dict[str, DataFrame]) -> DataFrame:
@@ -391,9 +411,9 @@ LIMIT {TOP_K}
 MAX_CC_ITERS = 20
 
 
-def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
+def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the embedding
-    near-dup pair graph (cos ≥ 0.9 within label blocks).
+    near-dup pair graph (cos ≥ ``tau`` within label blocks).
 
     Pair lists under-serve dedup pipelines — the keep/drop decision
     needs the transitive closure (A~B, B~C ⟹ {A,B,C} one group). This
@@ -409,7 +429,7 @@ def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
     from pypers_spark.functions.caching import tracked_persist
 
     emb = t["embeddings"]
-    pairs = dd_embedding_cos(t).select("id_a", "id_b")
+    pairs = _embedding_cos_pairs(t, tau).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -460,11 +480,24 @@ def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-ORACLE_DD_CLUSTER = f"""
+def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
+    """Production threshold (τ=0.9) near-dup clusters."""
+    return _cluster_on_pairs(t, COS_THRESHOLD)
+
+
+def dd_cluster_t03(t: dict[str, DataFrame]) -> DataFrame:
+    """τ=0.3 variant: at τ=0.9 this corpus has no pairs, so the gate run
+    of dd_cluster converges instantly on singletons. This entry drives
+    the min-label propagation loop over a graph with real components."""
+    return _cluster_on_pairs(t, COS_T03)
+
+
+def _oracle_dd_cluster(tau: float) -> str:
+    return f"""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {COS_THRESHOLD}
+  WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {tau}
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -484,6 +517,9 @@ ORDER BY vec_id
 """
 
 
+ORACLE_DD_CLUSTER = _oracle_dd_cluster(COS_THRESHOLD)
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_pandas": ann_topk_pandas,
@@ -493,6 +529,8 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_lsh_probe": ann_lsh_probe,
     "dd_embedding_cos": dd_embedding_cos,
+    "dd_embedding_cos_t03": dd_embedding_cos_t03,
+    "dd_cluster_t03": dd_cluster_t03,
 }
 
 ORACLES = {
@@ -504,4 +542,6 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_lsh_probe": _duck_lsh_probe_sql(),
     "dd_embedding_cos": ORACLE_DD_EMB,
+    "dd_embedding_cos_t03": _oracle_dd_emb(COS_T03),
+    "dd_cluster_t03": _oracle_dd_cluster(COS_T03),
 }

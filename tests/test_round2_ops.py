@@ -18,10 +18,14 @@ def qs():
 
 def test_dd_cluster_is_transitive_closure(spark, sf_dir, qs):
     """Every near-dup pair's two members land in the SAME cluster, and
-    cluster ids are the min member id (canonical labeling)."""
-    pairs = qs["dd_embedding_cos"](spark, sf_dir).select("id_a", "id_b").collect()
+    cluster ids are the min member id (canonical labeling). Runs on the
+    τ=0.3 variants — at the production τ=0.9 this corpus has no pairs,
+    which would make the loop below vacuous."""
+    pairs = qs["dd_embedding_cos_t03"](spark, sf_dir).select("id_a", "id_b").collect()
+    assert pairs, "τ=0.3 must yield near-dup pairs on this corpus"
     clusters = {
-        r["vec_id"]: r["cluster_id"] for r in qs["dd_cluster"](spark, sf_dir).collect()
+        r["vec_id"]: r["cluster_id"]
+        for r in qs["dd_cluster_t03"](spark, sf_dir).collect()
     }
     for r in pairs:
         assert clusters[r["id_a"]] == clusters[r["id_b"]]
