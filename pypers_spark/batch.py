@@ -123,30 +123,46 @@ class Batch:
         self,
         contexts: Optional[List[RunContext]] = None,
         status=None,
-        fail_fast: bool = False,
+        fail_fast: bool = True,
     ) -> bool:
         """Run the pending tasks (deterministic path order).
 
         Returns True if every task completed. A task error records an
-        ``error`` status entry (with traceback and failing stage); by
-        default the batch then CONTINUES with the remaining tasks —
-        fault isolation the reference gets from one OS process per task
-        (reference: batch.py:151). We share a single in-process
-        SparkSession (so every task's jobs get the whole cluster), which
-        means a Python-level task failure must be contained here
-        instead; the residual tradeoff — a native JVM crash or driver
-        OOM still takes the whole batch down, where the reference's
-        process isolation would not — is documented in the README.
-        ``fail_fast=True`` restores the reference's stop-on-first-error
-        return semantics. Cancellation always stops the batch.
+        ``error`` status entry (with traceback and failing stage).
+
+        ``fail_fast=True`` (the default, matching the reference: its
+        Batch.run stops and returns False on the first task error —
+        reference batch.py:293-301; its one-process-per-task design is
+        about clean per-task memory, not continue-on-error) stops the
+        batch at the first failure.
+
+        ``fail_fast=False`` is an extension for long unattended sweeps:
+        the batch continues with the remaining tasks, but DESCENDANTS of
+        a failed task are skipped (recorded as ``skipped`` status
+        entries) — they would pick up the failed parent's missing or
+        stale outputs and cascade. Cancellation always stops the batch.
         """
         self._cancelled = False
         contexts = self.pending if contexts is None else contexts
         contexts = sorted(contexts, key=lambda rc: rc.task.path.resolve())
         n_failed = 0
+        failed_paths: list = []
         for rc_idx, rc in enumerate(contexts):
             if self._cancelled:
                 return False
+            rc_path = rc.task.path.resolve()
+            failed_anc = next(
+                (p for p in failed_paths if p == rc_path or p in rc_path.parents), None
+            )
+            if failed_anc is not None:
+                status_mod.update(
+                    status,
+                    info="skipped",
+                    task=str(rc_path),
+                    reason=f"ancestor task failed: {failed_anc}",
+                )
+                n_failed += 1
+                continue
             task_status = status_mod.derive(status)
             status_mod.update(
                 task_status,
@@ -194,6 +210,7 @@ class Batch:
                 if fail_fast:
                     return False
                 n_failed += 1
+                failed_paths.append(rc.task.path.resolve())
             finally:
                 self._running = None
         return n_failed == 0

@@ -249,6 +249,92 @@ def test_batch_run_reports_errors(tmp_path, spark):
     assert any(isinstance(e, dict) and e.get("info") == "error" for e in entries)
 
 
+def _flat_status(entries):
+    """Resolve nested ``expand`` status entries into one flat list."""
+    import pathlib
+
+    out = []
+    for e in entries:
+        if isinstance(e, dict) and "expand" in e:
+            p = pathlib.Path(e["expand"])
+            if p.is_file():
+                out.extend(_flat_status(json.loads(p.read_text())))
+        else:
+            out.append(e)
+    return out
+
+
+def test_batch_fail_fast_default_stops_at_first_error(tmp_path, sf_dir, spark):
+    """Reference parity: Batch.run stops and returns False on the first
+    task error (reference batch.py:293-301) — later sibling tasks are
+    not entered."""
+    write_spec(
+        tmp_path / "a_bad",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": "/nonexistent/nowhere.parquet"}},
+        },
+    )
+    write_spec(
+        tmp_path / "b_good",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": f"{sf_dir}/documents.parquet"}},
+        },
+    )
+    batch = Batch()
+    batch.load(tmp_path)
+    from pypers_spark import status as status_mod
+
+    with status_mod.create() as status:
+        ok = asyncio.run(batch.run(status=status))
+        entries = _flat_status(json.loads(status.filepath.read_text()))
+    assert not ok
+    entered = [e["task"] for e in entries if isinstance(e, dict) and e.get("info") == "enter"]
+    assert any("a_bad" in t for t in entered)
+    assert not any("b_good" in t for t in entered)  # stopped before the sibling
+
+
+def test_batch_continue_skips_descendants_of_failed_task(tmp_path, sf_dir, spark):
+    """fail_fast=False continues with siblings but skips descendants of
+    a failed task — they would resume from the failed parent's outputs."""
+    write_spec(
+        tmp_path / "bad",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": "/nonexistent/nowhere.parquet"}},
+        },
+    )
+    write_spec(tmp_path / "bad" / "child", {"input_ids": [1]})
+    write_spec(
+        tmp_path / "ok",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": f"{sf_dir}/documents.parquet"}},
+        },
+    )
+    batch = Batch()
+    batch.load(tmp_path)
+    from pypers_spark import status as status_mod
+
+    with status_mod.create() as status:
+        ok = asyncio.run(batch.run(status=status, fail_fast=False))
+        entries = _flat_status(json.loads(status.filepath.read_text()))
+    assert not ok
+    skipped = [e for e in entries if isinstance(e, dict) and e.get("info") == "skipped"]
+    assert any("child" in e["task"] for e in skipped)
+    entered = [e["task"] for e in entries if isinstance(e, dict) and e.get("info") == "enter"]
+    assert any(t.endswith("ok") for t in entered)  # sibling still ran
+
+
 def test_times_benchmark_persisted(task_tree, spark):
     batch = Batch()
     batch.load(task_tree)
