@@ -227,7 +227,19 @@ def run_cli(
     op_mode = parser.add_mutually_exclusive_group()
     op_mode.add_argument("--run", help="Run the selected tasks.", action="store_true")
     op_mode.add_argument("--reset", help="Reset the selected tasks.", action="store_true")
+    op_mode.add_argument(
+        "--watch",
+        help="Interactive console mode: task tree, queueing, live run "
+        "progress, cancel (headless counterpart of the reference's "
+        "Textual TUI).",
+        action="store_true",
+    )
     args = parser.parse_args()
+    if args.watch:
+        from pypers_spark.watch import run_watch
+
+        run_watch(args.path, task_cls)
+        return True
     return run_cli_ex(
         args.path, args.run, args.reset, args.task, args.task_dir, task_cls, status_reader_cls
     )
