@@ -75,3 +75,73 @@ FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
 
 QUERIES["st_tumbling_counts"] = st_tumbling_counts
 ORACLES["st_tumbling_counts"] = ORACLE_ST_TUMBLING
+
+
+def st_session_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Sessions computed BY THE STATEFUL STREAMING ENGINE: file-source
+    stream → ``applyInPandasWithState`` sessionizer (30-min silence gap,
+    per-user state, event-time timeout) → append-mode memory sink,
+    drained with availableNow.
+
+    The gate compares the GAP-CLOSED sessions only. A session is closed
+    by gap exactly when a later event of the same user arrives beyond
+    the gap — over a full drain that is every session except each
+    user's final (still-open) one, a set that is independent of
+    micro-batch boundaries and watermark timing. Timeout-closed rows
+    (which DO depend on watermark progression, by design) are filtered
+    out, keeping the oracle exact rather than probabilistic. This puts
+    the custom-stateful code path — the one Spark users most often get
+    wrong — inside the value gate.
+    """
+    from pypers_spark.streaming.core import sessionize_stateful, stream_events
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    sessions = sessionize_stateful(stream, gap_minutes=30)
+    name = f"st_session_counts_{next(_SINK_SEQ)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("closed_by") == "gap")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# The sessionizer opens a new session on a STRICT gap (diff > 30 min,
+# µs precision) — mirrored with epoch_us below. "All but each user's
+# last session" = gap-closed set (see st_session_counts docstring).
+ORACLE_ST_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+ORDER BY user_id, session_start
+"""
+
+QUERIES["st_session_counts"] = st_session_counts
+ORACLES["st_session_counts"] = ORACLE_ST_SESSION
