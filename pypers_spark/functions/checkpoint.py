@@ -1,0 +1,109 @@
+"""Digest-aware parquet checkpoints for shared curation artifacts.
+
+``tracked_persist`` (functions/caching.py) memoizes within one Spark
+session; this module is the cross-run boundary: a DataFrame is written
+to parquet ONCE per (key, digest) and every later request — in this
+process or the next driver run — reads the checkpoint instead of
+recomputing the corpus-wide scan/shuffle. At 100 TB this is the
+difference between re-reading a columnar table and re-running the
+shingle/hash pipeline over the raw text.
+
+The digest covers both the PLAN (``semanticHash`` — canonicalized, so
+it is stable across sessions for the same query) and the INPUT FILES
+(path, size, mtime of every file the plan reads): a changed query or
+changed data produces a new digest, and the stale checkpoint is pruned.
+The mechanism mirrors the Task digest/sha-dirtiness design (task.py) at
+DataFrame granularity.
+
+Checkpoints live under ``$SPARK_GRAFT_CHECKPOINT_DIR`` (default: a
+``pypers_spark_checkpoints`` directory under the system temp dir).
+Set ``SPARK_GRAFT_CHECKPOINT=0`` to fall back to session-level
+``tracked_persist`` only (tests that measure cold plans do this).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from pypers_spark.functions.caching import tracked_persist
+
+_OPEN: dict = {}  # (key, digest) -> checkpoint-backed DataFrame
+
+
+def checkpoint_dir() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_DIR",
+        os.path.join(tempfile.gettempdir(), "pypers_spark_checkpoints"),
+    )
+
+
+def checkpoint_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_CHECKPOINT", "1") not in ("0", "false", "off")
+
+
+def _digest(df: DataFrame) -> str:
+    h = hashlib.md5()
+    h.update(str(df.semanticHash()).encode())
+    h.update(df.schema.json().encode())
+    for f in sorted(df.inputFiles()):
+        path = f.removeprefix("file:")
+        try:
+            st = os.stat(path)
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"{f}:?".encode())  # non-local file — plan hash only
+    return h.hexdigest()[:16]
+
+
+def table_checkpoint(df: DataFrame, key: str) -> DataFrame:
+    """Return a checkpoint-backed DataFrame for ``df`` under ``key``.
+
+    First call per (key, digest) writes the parquet checkpoint; later
+    calls — including from other driver processes — read it. Older
+    digests under the same key are pruned (data or plan changed → the
+    old artifact is dead). Disabled → plain ``tracked_persist``.
+    """
+    if not checkpoint_enabled():
+        return tracked_persist(df, key)
+    spark = df.sparkSession
+    try:
+        digest = _digest(df)
+    except Exception:
+        return tracked_persist(df, key)  # e.g. plan without file sources
+    memo = _OPEN.get((key, digest))
+    if memo is not None:
+        try:
+            if memo.sparkSession is spark:
+                return memo
+        except Exception:
+            pass
+    base = os.path.join(checkpoint_dir(), key)
+    path = os.path.join(base, digest)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        # Write to a process-private staging dir and publish with an
+        # atomic rename: concurrent driver processes racing on the same
+        # digest each write their own staging copy, exactly one rename
+        # wins, and readers never observe a half-written checkpoint.
+        staging = f"{path}.tmp-{os.getpid()}"
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+        # prune stale digests — they can never be requested again
+        if os.path.isdir(base):
+            for entry in os.listdir(base):
+                if entry != digest and ".tmp-" not in entry:
+                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    # The read-back is ALSO session-persisted (keyed memoization): the
+    # parquet artifact serves cross-process reuse, the persist serves
+    # the 2-3 consumers inside one query plan without re-decoding the
+    # parquet each time.
+    out = tracked_persist(spark.read.parquet(path), key)
+    _OPEN[(key, digest)] = out
+    return out

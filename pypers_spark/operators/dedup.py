@@ -162,12 +162,14 @@ def _signature_table(t: dict[str, DataFrame]) -> DataFrame:
        ``transform`` lambda (which Catalyst's project-collapsing does to
        adjacent projections), the whole normalize+split subtree would be
        re-evaluated per array ELEMENT — a measured ~16x slowdown.
-    2. The table is persisted: the LSH band join and the Jaccard verify
-       both consume it, and at 100 TB this is the stage you checkpoint
-       to parquet (one int64 per distinct shingle, tiny next to the raw
-       text; every downstream stage is cheap joins over it).
+    2. The table is parquet-checkpointed (functions/checkpoint.py): the
+       LSH band join, the Jaccard verify, and the band-blocked ngram
+       variant all consume it — the first consumer in ANY driver run
+       writes it once (one int64 per distinct shingle, tiny next to the
+       raw text); everyone after that reads columnar parquet instead of
+       re-running the scan→normalize→shingle→md5 pipeline.
     """
-    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.checkpoint import table_checkpoint
 
     toks = corpus(t, repartition=False).select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
@@ -183,7 +185,7 @@ def _signature_table(t: dict[str, DataFrame]) -> DataFrame:
     # Filter on tk BEFORE projecting hs: a filter on size(hs) would be
     # pushed below the projection and re-evaluate the whole transform
     # expression a second time per row (measured ~20x cost).
-    return tracked_persist(
+    return table_checkpoint(
         toks.filter(F.size("tk") >= 3).select("doc_id", hs.alias("hs")),
         "dedup.signature_table",
     )
@@ -632,9 +634,11 @@ def _gram_table(t: dict[str, DataFrame]) -> DataFrame:
     cheaper compares. Distinct the cheap substrings FIRST, md5 only the
     survivors (~1.7x fewer digests on this corpus; md5 dominates substr
     by orders of magnitude). Pre-filter on nt (not on size(g)) — see
-    _signature_table note.
+    _signature_table note. Parquet-checkpointed like the signature
+    table: the source-blocked and LSH-blocked ngram variants share it
+    across invocations and driver runs.
     """
-    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.checkpoint import table_checkpoint
 
     norm = corpus(t, repartition=False).select(
         "doc_id", "source", normalize_text(F.col("text")).alias("nt")
@@ -647,7 +651,7 @@ def _gram_table(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     grams = F.transform(gram_strs, lambda s: md5_int64(s))
-    return tracked_persist(
+    return table_checkpoint(
         norm.filter(F.length("nt") >= 4).select("doc_id", "source", grams.alias("g")),
         "dedup.gram_sets",
     )

@@ -50,3 +50,35 @@ class QueryStage(Stage):
 
         name = config["name"]
         return {"result": REGISTRY[name](tables)}
+
+
+class CheckpointStage(Stage):
+    """Parquet-checkpoint boundary as a first-class pipeline stage.
+
+    Replaces the ``result`` field with its checkpoint-backed twin,
+    ``checkpointed`` (functions/checkpoint.py): the first run writes
+    the artifact once per (key, plan+data digest); every later run —
+    including the next driver process — reads columnar parquet instead
+    of recomputing the upstream plan. Put it after an expensive
+    derivation stage, e.g.::
+
+        pipeline:
+          - pypers_spark.operators.stages.LoadTablesStage
+          - pypers_spark.operators.stages.QueryStage
+          - pypers_spark.operators.stages.CheckpointStage
+        config:
+          checkpoint: {key: my_pipeline.result}
+
+    The digest mechanism mirrors Task sha-dirtiness at DataFrame
+    granularity, so a changed query or changed input data invalidates
+    the checkpoint automatically.
+    """
+
+    consumes = ("result",)
+    outputs = ("checkpointed",)
+
+    def process(self, pipeline, config, status=None, result=None, **inputs):
+        from pypers_spark.functions.checkpoint import table_checkpoint
+
+        key = config.get("key", "stage.checkpoint")
+        return {"checkpointed": table_checkpoint(result, key)}
