@@ -81,6 +81,49 @@ def test_salted_join_spreads_shuffle_key(spark, tables):
     assert "_salt" in plan  # the join key includes the salt
 
 
+def test_aqe_splits_skewed_fact_fact_join(spark, tables):
+    """The 100 TB story leans on AQE for runtime skew in fact-fact
+    joins: with a deliberately skewed key (every lineitem row mapped to
+    one hot join key) and thresholds forced low, the executed plan must
+    carry skew-join handling (``isSkew``/``skew=true`` markers on the
+    sort-merge join) — the runtime counterpart of the pre-planned
+    ``salted_join`` fallback tested above."""
+    from pyspark.sql import functions as F
+
+    # ~90% of rows land on key 0 — data skew Catalyst cannot fold away.
+    skew_key = lambda n: (  # noqa: E731
+        F.col("id") % F.lit(n) * F.when(F.col("id") % 100 < 90, 0).otherwise(1)
+    ).alias("k")
+    a = spark.range(0, 200_000).select(skew_key(10_000), F.col("id").alias("va"))
+    b = spark.range(0, 20_000).select(skew_key(1_000), F.col("id").alias("vb"))
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        # coalescing first would merge the small partitions INTO the
+        # measurement; disable it so the skew detector sees raw sizes
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # Global aggregate on top: no required output distribution, so
+        # OptimizeSkewedJoin is free to split the skewed partitions.
+        agg = a.join(b, "k").agg(F.count(F.lit(1)).alias("n"))
+        [row] = agg.collect()
+        assert row["n"] > 0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan or "skewed" in plan, plan[:2000]
+
+
 # -- LSH skew guard -----------------------------------------------------------
 
 
