@@ -5,15 +5,22 @@ each :class:`Status` owns a JSON file of status entries; child statuses
 created via :meth:`Status.derive` are linked through ``expand`` markers
 so a reader can reassemble the full nested progress tree; intermediate
 entries are overwritten by the next update. :class:`StatusReader`
-monitors the tree — by mtime polling here (the reference uses a
-filesystem watcher; polling keeps this dependency-free and works on any
-shared filesystem a cluster driver writes to).
+monitors the tree EVENT-DRIVEN like the reference (reference:
+status.py:9-14 uses watchdog observers): every file of one status tree
+lives in the root's directory, so a single Linux inotify watch (ctypes,
+no third-party dependency) wakes the reader on each write; where
+inotify is unavailable (non-Linux, network filesystems without event
+support) it falls back to the original mtime polling, which works on
+any shared filesystem a cluster driver writes to.
 """
 
 from __future__ import annotations
 
 import asyncio
+import ctypes
+import ctypes.util
 import json
+import os
 import pathlib
 import tempfile
 import uuid
@@ -178,14 +185,74 @@ def _flatten(data: list, prefix: tuple = ()) -> Iterator[tuple]:
             yield pos, element
 
 
+class _DirWatcher:
+    """Linux inotify watch over one directory (ctypes, stdlib-only).
+
+    ``fd`` is a non-blocking inotify descriptor suitable for
+    ``loop.add_reader``. Use :meth:`create`, which returns None when
+    inotify is unavailable (non-Linux, restricted sandboxes) so callers
+    can fall back to polling.
+    """
+
+    _IN_NONBLOCK = 0x800
+    # IN_MODIFY | IN_CLOSE_WRITE | IN_MOVED_TO | IN_CREATE
+    _MASK = 0x2 | 0x8 | 0x80 | 0x100
+
+    def __init__(self, dirpath: pathlib.Path):
+        libc_name = ctypes.util.find_library("c")
+        if libc_name is None:
+            raise OSError("no libc")
+        self._libc = ctypes.CDLL(libc_name, use_errno=True)
+        self.fd = self._libc.inotify_init1(self._IN_NONBLOCK)
+        if self.fd < 0:
+            raise OSError(ctypes.get_errno(), "inotify_init1 failed")
+        wd = self._libc.inotify_add_watch(
+            self.fd, str(dirpath).encode(), self._MASK
+        )
+        if wd < 0:
+            err = ctypes.get_errno()
+            os.close(self.fd)
+            raise OSError(err, f"inotify_add_watch failed for {dirpath}")
+
+    @classmethod
+    def create(cls, dirpath: pathlib.Path) -> Optional["_DirWatcher"]:
+        try:
+            return cls(dirpath)
+        except Exception:
+            return None
+
+    def drain(self) -> bool:
+        """Consume queued events; True if any were pending."""
+        any_events = False
+        while True:
+            try:
+                if not os.read(self.fd, 65536):
+                    break
+                any_events = True
+            except BlockingIOError:
+                break
+            except OSError:
+                break
+        return any_events
+
+    def close(self) -> None:
+        try:
+            os.close(self.fd)
+        except OSError:
+            pass
+
+
 class StatusReader:
     """Async monitor for a status-file tree.
 
-    Polls the root status file (and, through ``expand`` links, the whole
-    tree) every ``delay`` seconds and calls :meth:`handle_new_status`
-    once per new or changed element — the same per-element protocol the
-    reference reader exposes (reference: status.py:391), minus the
-    filesystem-watcher dependency. Use as an async context manager.
+    Watches the root status directory (every file of the tree lives
+    there — ``Status.filepath`` roots all children in ``root.path``)
+    with inotify and calls :meth:`handle_new_status` once per new or
+    changed element — the same per-element protocol the reference
+    reader exposes (reference: status.py:391, watchdog-based). Without
+    inotify it degrades to mtime polling every ``delay`` seconds; with
+    it, ``delay`` only bounds the safety-net re-check interval. Use as
+    an async context manager.
     """
 
     def __init__(self, filepath: pathlib.Path | str, delay: float = 0.05, **kwargs):
@@ -195,11 +262,29 @@ class StatusReader:
         self._seen: dict = {}
         self._last_intermediate_pos: Optional[tuple] = None
         self._task: Optional[asyncio.Task] = None
+        self._watcher: Optional[_DirWatcher] = None
 
     async def __aenter__(self) -> "StatusReader":
+        # The watch must exist BEFORE the caller's next write: events
+        # raised between entry and the first callback are queued on the
+        # inotify fd, so nothing is lost to startup ordering. The
+        # fd-ready callback drains and checks DIRECTLY on the event
+        # loop (no wait_for between event and re-render — Python 3.11's
+        # wait_for can also swallow task cancellation when it races a
+        # timeout, so the watch path deliberately avoids it).
+        self._watcher = _DirWatcher.create(self.filepath.parent)
+        if self._watcher is not None:
+            asyncio.get_running_loop().add_reader(
+                self._watcher.fd, self._on_fs_event
+            )
         self._check()
         self._task = asyncio.ensure_future(self._loop())
         return self
+
+    def _on_fs_event(self) -> None:
+        if self._watcher is not None:
+            self._watcher.drain()
+        self._check()
 
     async def __aexit__(self, *exc) -> None:
         if self._task is not None:
@@ -209,6 +294,10 @@ class StatusReader:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        if self._watcher is not None:
+            asyncio.get_running_loop().remove_reader(self._watcher.fd)
+            self._watcher.close()
+            self._watcher = None
         self._check()
 
     def _check(self) -> None:
@@ -236,8 +325,13 @@ class StatusReader:
         self._last_intermediate_pos = intermediate_pos
 
     async def _loop(self) -> None:
+        # With inotify the callback does the real work and this loop is
+        # only a safety net (e.g. a writer on another host over a
+        # shared filesystem inotify can't see); without it, this IS the
+        # mtime-polling reader.
+        interval = self.delay if self._watcher is None else max(self.delay * 10, 0.5)
         while True:
-            await asyncio.sleep(self.delay)
+            await asyncio.sleep(interval)
             self._check()
 
     def handle_new_status(self, positions: list, status, intermediate: bool) -> None:

@@ -171,3 +171,61 @@ def test_cli_task_dir_selection(tmp_path, sf_dir, capsys):
     ok = run_cli_ex(tmp_path / "jobs", run=False, task_dirs=[tmp_path / "jobs" / "grp"])
     out = capsys.readouterr().out
     assert ok and "2 task(s) selected for running" in out
+
+
+def test_dir_watcher_fires_on_write(tmp_path):
+    """inotify watcher (Linux): events arrive for writes in the dir."""
+    from pypers_spark.status import _DirWatcher
+
+    w = _DirWatcher.create(tmp_path)
+    if w is None:
+        import pytest
+
+        pytest.skip("inotify unavailable on this platform")
+    try:
+        assert not w.drain()
+        (tmp_path / "x.json").write_text("[]")
+        import time
+
+        time.sleep(0.05)
+        assert w.drain()
+    finally:
+        w.close()
+
+
+def test_status_reader_event_driven_low_latency(tmp_path):
+    """Reader observes a write well inside one polling delay when
+    event-driven (delay=5s would make a polling reader miss it)."""
+    import asyncio
+    import time
+
+    from pypers_spark import status as status_mod
+
+    async def scenario():
+        seen = []
+
+        class Reader(status_mod.StatusReader):
+            def handle_new_status(self, positions, status, intermediate):
+                seen.append((time.monotonic(), status))
+
+        with status_mod.create() as status:
+            reader = Reader(status.filepath, delay=5.0)
+            async with reader:
+                await asyncio.sleep(0.1)
+                t0 = time.monotonic()
+                status.write({"info": "ping"})
+                for _ in range(100):
+                    if any(s == {"info": "ping"} for _, s in seen):
+                        break
+                    await asyncio.sleep(0.02)
+                lat = next(t for t, s in seen if s == {"info": "ping"}) - t0
+                return lat
+
+    from pypers_spark.status import _DirWatcher
+
+    if _DirWatcher.create(tmp_path) is None:
+        import pytest
+
+        pytest.skip("inotify unavailable on this platform")
+    latency = asyncio.run(scenario())
+    assert latency < 1.0  # event-driven, not the 5 s polling delay
