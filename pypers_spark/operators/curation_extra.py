@@ -848,3 +848,84 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 
 QUERIES["dd_contamination"] = dd_contamination
 ORACLES["dd_contamination"] = ORACLE_CONTAMINATION
+
+
+# --- txt_bigram_score --------------------------------------------------------
+
+
+def txt_bigram_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Log-free bigram predictability score per document — the
+    LM-quality-filter shape (the CCNet / Gopher lineage) with the
+    corpus itself as the model: for each in-document bigram (w1, w2),
+    the conditional ratio count(w1, w2) / count(w1, ·) from the whole
+    corpus; a document's score is the mean ratio. Boilerplate and
+    well-formed prose score high; lexical noise scores near 1/vocab.
+    Log-free (plain ratio mean, not mean log-prob) so both engines
+    compute identical IEEE doubles — same trick as txt_tfidf_top.
+
+    Scale: the postings explode ONCE and are persisted; bigram and
+    left-unigram counts are vocabulary-sized aggregates of it (two
+    hash-agg shuffles), joined back onto the postings — model tables ≪
+    corpus, so at 100 TB AQE broadcasts them (or buckets the join); no
+    doc×doc work anywhere. The left-context denominator counts bigram
+    STARTS (tokens except document-final ones), making numerator and
+    denominator draw from the same event space — ratios sum to 1 per
+    left context over the vocabulary.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+
+    d = _norm_docs(t["documents"])
+    tk = d.select("doc_id", F.split(F.col("nt"), " ").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("tk"), i).alias("w1"),
+            F.element_at(F.col("tk"), i + 1).alias("w2"),
+        ),
+    )
+    big = tracked_persist(
+        tk.select("doc_id", F.explode(pairs).alias("b")).select(
+            "doc_id", "b.w1", "b.w2"
+        ),
+        "curation.bigram_postings",
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uc = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    ratio = F.col("cb").cast("double") / F.col("cu").cast("double")
+    return (
+        big.join(bc, ["w1", "w2"]).join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            rnd(dsum(ratio) / F.count(F.lit(1)), 6).alias("bigram_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+  WHERE len({_DUCK_TOKS}) >= 2
+),
+big AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS u
+    FROM toks
+  )
+),
+bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1)
+SELECT big.doc_id AS doc_id, count(*) AS n_bigrams,
+       {duck_rnd(duck_dsum('CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)') + ' / count(*)', 6)} AS bigram_score
+FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY big.doc_id ORDER BY doc_id
+"""
+
+QUERIES["txt_bigram_score"] = txt_bigram_score
+ORACLES["txt_bigram_score"] = ORACLE_BIGRAM_SCORE
