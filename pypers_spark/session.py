@@ -53,6 +53,16 @@ def get_session(app_name: str = "pypers_spark", master: str | None = None) -> Sp
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Headless by default: the UI's SQL listener retains every
+        # execution's AQE plan graph — measurable driver overhead and
+        # memory growth over a long query sweep (10-20% on the bench's
+        # heaviest queries). SPARK_GRAFT_UI=true re-enables it for
+        # interactive debugging; retention caps bound listener state
+        # either way.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.ui.retainedExecutions", "25")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
     )
     if master is not None:
         builder = builder.master(master)
