@@ -480,6 +480,103 @@ def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     )
 
 
+SEMDEDUP_K = 8  # coarse cells (scales with corpus so n/cell stays flat)
+
+
+def dd_semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al., 2023): embedding
+    near-dup pairs within K-MEANS CELLS — the cell assignment IS the
+    blocking key, no metadata (label/source) blocking required.
+
+    Centroids are deterministic seeds (the first {SEMDEDUP_K} vectors
+    by id — one Lloyd assignment step, the ann_kmeans_assign building
+    block); every vector assigns map-side to its nearest centroid
+    (broadcast K-row table, squared-L2 argmin with ties to the lower
+    centroid id), and the quadratic cosine verify runs WITHIN cells
+    only. At 100 TB: the cell id becomes the storage partition key, K
+    grows with the corpus so per-cell pair work stays bounded — the
+    same boundedness argument as the LSH bucket cap, but driven by
+    geometry instead of signatures.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.vectors import dot, l2_norm
+
+    emb = t["embeddings"]
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    av, cv = F.col("embedding"), F.col("cvec")
+    d2 = (dot(av, av) - 2 * dot(av, cv) + dot(cv, cv)).alias("d2")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cell"))
+    )
+    v = tracked_persist(
+        emb.join(assigned, "vec_id").select(
+            "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        ),
+        "similarity.semdedup_cells",
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > 0, dot(F.col("e_a"), F.col("e_b")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", rnd(cos, 4))
+        .filter(F.col("cos_sim") >= F.lit(COS_T03))
+        .select("cell", "id_a", "id_b", "cos_sim")
+        .orderBy("cell", "id_a", "id_b")
+    )
+
+
+def _oracle_semdedup() -> str:
+    from pypers_spark.functions.vectors import duck_dot
+
+    d2 = (
+        f"({duck_dot('e.embedding', 'e.embedding')} "
+        f"- 2 * {duck_dot('e.embedding', 'c.cvec')} "
+        f"+ {duck_dot('c.cvec', 'c.cvec')})"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {SEMDEDUP_K}
+),
+pairs AS (
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT e.vec_id, a.cell, e.embedding
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+)
+SELECT v1.cell AS cell, v1.vec_id AS id_a, v2.vec_id AS id_b,
+       {duck_rnd(duck_cosine('v1.embedding', 'v2.embedding'), 4)} AS cos_sim
+FROM v v1 JOIN v v2 ON v1.cell = v2.cell AND v1.vec_id < v2.vec_id
+WHERE {duck_rnd(duck_cosine('v1.embedding', 'v2.embedding'), 4)} >= {COS_T03}
+ORDER BY cell, id_a, id_b
+"""
+
+
 def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
     """Production threshold (τ=0.9) near-dup clusters."""
     return _cluster_on_pairs(t, COS_THRESHOLD)
@@ -531,6 +628,7 @@ QUERIES = {
     "dd_embedding_cos": dd_embedding_cos,
     "dd_embedding_cos_t03": dd_embedding_cos_t03,
     "dd_cluster_t03": dd_cluster_t03,
+    "dd_semantic_dedup": dd_semantic_dedup,
 }
 
 ORACLES = {
@@ -544,4 +642,5 @@ ORACLES = {
     "dd_embedding_cos": ORACLE_DD_EMB,
     "dd_embedding_cos_t03": _oracle_dd_emb(COS_T03),
     "dd_cluster_t03": _oracle_dd_cluster(COS_T03),
+    "dd_semantic_dedup": _oracle_semdedup(),
 }
