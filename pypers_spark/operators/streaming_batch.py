@@ -145,3 +145,42 @@ ORDER BY user_id, session_start
 
 QUERIES["st_session_counts"] = st_session_counts
 ORACLES["st_session_counts"] = ORACLE_ST_SESSION
+
+
+def st_stream_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Streaming exact dedup BY THE STREAMING ENGINE:
+    ``dropDuplicatesWithinWatermark`` over the file-source stream
+    SELF-UNIONED (the raw corpus is exact-dup-free, so the union plants
+    one guaranteed duplicate per row — the drop path runs for real, not
+    vacuously), drained with availableNow. Each row's duplicate arrives
+    in the same micro-batch, safely inside the watermark horizon, so
+    the engine drops exactly the planted copies at any micro-batch
+    granularity. The key projection makes the result the distinct key
+    set — which duplicate ROW survives is engine timing, the distinct
+    KEYS are not — so the drained output value-matches SELECT DISTINCT.
+    """
+    from pypers_spark.streaming.core import stream_events, streaming_dedup
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    doubled = stream.unionByName(stream)
+    deduped = streaming_dedup(doubled).select("user_id", "event_type", "ts")
+    name = f"st_stream_dedup_{next(_SINK_SEQ)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type", "ts")
+
+
+ORACLE_ST_DEDUP = """
+SELECT DISTINCT user_id, event_type, ts
+FROM events ORDER BY user_id, event_type, ts
+"""
+
+QUERIES["st_stream_dedup"] = st_stream_dedup
+ORACLES["st_stream_dedup"] = ORACLE_ST_DEDUP
