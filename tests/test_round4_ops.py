@@ -1,0 +1,98 @@
+"""Semantic property tests for round-4 operators — invariants the
+value-oracle comparison can't express (cross-operator consistency,
+structural properties of results)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_bigram_score_bounds_and_coverage(spark, sf_dir, qs, tables):
+    """Scores are conditional-probability means → in (0, 1]; every doc
+    with >= 2 tokens is scored."""
+    rows = qs["txt_bigram_score"](spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 < r["bigram_score"] <= 1.0 + 1e-9 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    from pypers_spark.functions.text import normalize_text
+
+    n_docs = (
+        tables["documents"]
+        .filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 2)
+        .count()
+    )
+    assert len(rows) == n_docs
+
+
+def test_semantic_dedup_pairs_are_co_cell_and_thresholded(spark, sf_dir, qs):
+    """Every emitted pair sits in ONE cell of the k-means assignment and
+    clears the τ=0.3 cosine threshold; ids are canonically ordered."""
+    rows = qs["dd_semantic_dedup"](spark, sf_dir).collect()
+    assert rows  # τ=0.3 yields pairs on this corpus
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cos_sim"] >= 0.3 for r in rows)
+    # cells come from a sqrt(n) seeding — all cell ids under ceil(sqrt(n))
+    import math
+
+    from pypers_spark.sources import load_tables
+    from pypers_spark.session import current_session
+
+    n_vecs = load_tables(current_session(), sf_dir)["embeddings"].count()
+    k = math.ceil(math.sqrt(n_vecs))
+    assert all(0 <= r["cell"] < k for r in rows)
+
+
+def test_semantic_dedup_blocks_only_reduce_label_blocked_pairs(spark, sf_dir, qs):
+    """Cell blocking and label blocking are different partitions of the
+    corpus, but both verify the SAME cosine — on pairs surfaced by
+    both, the value must agree exactly."""
+    by_cell = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in qs["dd_semantic_dedup"](spark, sf_dir).collect()
+    }
+    by_label = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in qs["dd_embedding_cos_t03"](spark, sf_dir).collect()
+    }
+    overlap = set(by_cell) & set(by_label)
+    assert all(by_cell[k] == by_label[k] for k in overlap)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir, qs, tables):
+    """The drained streaming dedup equals batch DISTINCT on the keys."""
+    streamed = qs["st_stream_dedup"](spark, sf_dir).count()
+    batch = tables["events"].select("user_id", "event_type", "ts").distinct().count()
+    assert streamed == batch
+
+
+def test_session_counts_subset_of_native_session_window(spark, sf_dir, qs):
+    """Gap-closed streaming sessions are a subset of the batch
+    lag+cumsum sessionization (same user, same start, same count) —
+    only each user's final open session is absent."""
+    streamed = qs["st_session_counts"](spark, sf_dir)
+    from pypers_spark.operators.events import ev_sessionize
+    from pypers_spark.sources import load_tables
+    from pypers_spark.session import current_session
+
+    t = load_tables(current_session(), sf_dir)
+    batch = ev_sessionize({"events": t["events"]})
+    s = {(r["user_id"], r["session_start"], r["n_events"]) for r in streamed.collect()}
+    b = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()}
+    assert s  # non-vacuous
+    assert s <= b
+    # exactly one session per active user is missing (the open one)
+    users_s = {u for u, _, _ in s}
+    missing = [x for x in b - s if x[0] in users_s]
+    from collections import Counter
+
+    per_user = Counter(u for u, _, _ in missing)
+    assert all(c == 1 for c in per_user.values())
