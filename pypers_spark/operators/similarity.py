@@ -346,6 +346,87 @@ LIMIT {TOP_K}
 """
 
 
+N_PROBE = 3
+
+
+def ann_ivf_nprobe(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF ANN with nprobe={N_PROBE}: scan the query's {N_PROBE} nearest
+    cells instead of one — the standard recall knob a production IVF
+    deployment tunes (recall grows with probes, scan cost grows
+    linearly with probes, everything else is ann_ivf unchanged). The
+    probed cell list is a {N_PROBE}-row broadcast; at 100 TB the scan
+    touches nprobe/n_cells of the data via partition pruning.
+    """
+    emb = t["embeddings"]
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        dims.groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast(DECIMAL_T)).cast("double") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine_similarity(F.col("centroid"), F.col("q_emb")).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), "label")
+        .limit(N_PROBE)
+        .select(F.col("label").alias("cell"), rnd(F.col("c_cos"), 4).alias("cell_cos"))
+    )
+    return (
+        emb.join(F.broadcast(cells), emb["label"] == F.col("cell"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cell_cos",
+            rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_IVF_NPROBE = f"""
+WITH dims AS (
+  SELECT label, pos, embedding[pos]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos)
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos,
+           CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+    FROM dims GROUP BY label, pos
+  )
+  GROUP BY label
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cells AS (
+  SELECT label AS cell, {duck_rnd(duck_cosine('centroid', 'q_emb'), 4)} AS cell_cos
+  FROM centroids, q
+  ORDER BY {duck_cosine('centroid', 'q_emb')} DESC, label
+  LIMIT {N_PROBE}
+)
+SELECT vec_id, label, cell_cos,
+       {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+FROM embeddings, q, cells
+WHERE label = cell AND vec_id != {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 def ann_lsh_probe(t: dict[str, DataFrame]) -> DataFrame:
     """LSH bucket-probe ANN: search ONLY the query's hyperplane bucket.
 
@@ -633,6 +714,7 @@ QUERIES = {
     "dd_embedding_cos_t03": dd_embedding_cos_t03,
     "dd_cluster_t03": dd_cluster_t03,
     "dd_semantic_dedup": dd_semantic_dedup,
+    "ann_ivf_nprobe": ann_ivf_nprobe,
 }
 
 ORACLES = {
@@ -647,4 +729,5 @@ ORACLES = {
     "dd_embedding_cos_t03": _oracle_dd_emb(COS_T03),
     "dd_cluster_t03": _oracle_dd_cluster(COS_T03),
     "dd_semantic_dedup": _oracle_semdedup(),
+    "ann_ivf_nprobe": ORACLE_ANN_IVF_NPROBE,
 }
