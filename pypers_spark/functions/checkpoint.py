@@ -95,11 +95,23 @@ def table_checkpoint(df: DataFrame, key: str) -> DataFrame:
             os.rename(staging, path)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # lost the race
-        # prune stale digests — they can never be requested again
+        # prune stale digests — they can never be requested again — and
+        # staging dirs abandoned by crashed writers (>1h old; a live
+        # writer publishes within one job)
         if os.path.isdir(base):
+            import time
+
+            cutoff = time.time() - 3600
             for entry in os.listdir(base):
+                full = os.path.join(base, entry)
                 if entry != digest and ".tmp-" not in entry:
-                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                    shutil.rmtree(full, ignore_errors=True)
+                elif ".tmp-" in entry and entry != os.path.basename(staging):
+                    try:
+                        if os.path.getmtime(full) < cutoff:
+                            shutil.rmtree(full, ignore_errors=True)
+                    except OSError:
+                        pass
     # The read-back is ALSO session-persisted (keyed memoization): the
     # parquet artifact serves cross-process reuse, the persist serves
     # the 2-3 consumers inside one query plan without re-decoding the
