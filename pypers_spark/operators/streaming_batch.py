@@ -184,3 +184,55 @@ FROM events ORDER BY user_id, event_type, ts
 
 QUERIES["st_stream_dedup"] = st_stream_dedup
 ORACLES["st_stream_dedup"] = ORACLE_ST_DEDUP
+
+
+def st_interval_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Watermarked stream-stream interval join BY THE STREAMING ENGINE,
+    drained with availableNow: each purchase matched to the same user's
+    views within the preceding hour (the purchase-attribution shape).
+
+    Gate-able because INNER stream-stream joins emit eagerly on match —
+    watermarks only bound STATE eviction, not result emission — so a
+    full drain of a finite stream produces exactly the batch join's
+    match set regardless of micro-batch boundaries. (Outer variants DO
+    depend on watermark timing for their null-padded rows, which is why
+    the gated entry is the inner join.)
+    """
+    from pypers_spark.streaming.core import stream_events, streaming_interval_join
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    joined = streaming_interval_join(stream)
+    name = f"st_interval_join_{next(_SINK_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id", "purchase_id", "purchase_ts", "purchase_value",
+            "view_id", "view_ts",
+        )
+        .orderBy("user_id", "purchase_id", "view_id")
+    )
+
+
+ORACLE_ST_INTERVAL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       p.ts AS purchase_ts, p.value AS purchase_value,
+       v.event_id AS view_id, v.ts AS view_ts
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY user_id, purchase_id, view_id
+"""
+
+QUERIES["st_interval_join"] = st_interval_join
+ORACLES["st_interval_join"] = ORACLE_ST_INTERVAL
