@@ -259,6 +259,32 @@ FROM documents ORDER BY media_id
 """
 
 
+def mm_resize_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal resize (oracled): the ``mapInPandas`` payload-resize
+    path (:func:`pypers_spark.multimodal.resize_media` — the stub
+    truncates bytes; a real build re-encodes through a codec). The
+    oracle md5s the truncated payload, so the distributed batch
+    transform is value-proven byte-for-byte, and the output keeps the
+    full media schema so resize composes with decode / feature stages.
+    """
+    from pypers_spark.multimodal import media_table, resize_media
+
+    resized = resize_media(media_table(t["documents"]), max_bytes=64)
+    return resized.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("media_id")
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id AS media_id,
+       least(length(text), 64)::BIGINT AS n_bytes,
+       md5(substr(text, 1, 64)) AS payload_md5
+FROM documents ORDER BY media_id
+"""
+
+
 def mm_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
     """Multimodal frame sampling (oracled): the ``mapInPandas``
     row-explosion path — each payload fans out into up to 4
@@ -330,6 +356,7 @@ QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_features_hist": mm_features_hist,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_meta": mm_resize_meta,
 }
 
 ORACLES = {
@@ -342,4 +369,5 @@ ORACLES = {
     "mm_decode_meta": ORACLE_MM_DECODE,
     "mm_features_hist": ORACLE_MM_FEATURES,
     "mm_frame_sample": ORACLE_MM_FRAMES,
+    "mm_resize_meta": ORACLE_MM_RESIZE,
 }
