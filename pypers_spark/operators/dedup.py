@@ -333,6 +333,98 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:
+    """The dedup DECISION: (drop_id, keep_id) per near-duplicate group.
+
+    Pair lists don't dedup a corpus — the applied artifact is the drop
+    list: connected components over the MinHash+LSH pair graph
+    (A~B, B~C ⟹ one group even when A,C never pair directly), keep the
+    min doc id per component, drop everyone else. Components come from
+    iterative min-label propagation over the pair members only (nodes
+    outside any pair keep themselves and are not emitted); near-dup
+    components have tiny diameters, so rounds stay in single digits at
+    any corpus size — each round one shuffle keyed on the edge
+    endpoint (same design as similarity.dd_cluster, which walks the
+    embedding pair graph; oracle is the same recursive CTE shape).
+    """
+    from pypers_spark.functions.caching import tracked_persist
+
+    pairs = dd_minhash_lsh(t).select("id_a", "id_b")
+    edges = tracked_persist(
+        pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        "dedup.droplist_edges",
+    )
+    labels = tracked_persist(
+        edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        ),
+        "dedup.droplist_labels",
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = tracked_persist(
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            ),
+            "dedup.droplist_labels",
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            "dd_minhash_drop_list: label propagation did not converge in 20 "
+            "rounds (pathological chain components); pre-collapse exact dups"
+        )
+    return (
+        labels.filter(F.col("node") != F.col("lbl"))
+        .select(F.col("node").alias("drop_id"), F.col("lbl").alias("keep_id"))
+        .orderBy("drop_id")
+    )
+
+
+def _duck_drop_list_sql() -> str:
+    # the full minhash pair CTE chain (corpus → docs → mh → bands →
+    # capped → cand), then verify + walk components
+    return f"""
+WITH RECURSIVE {DUCK_CORPUS},
+{_duck_band_ctes()},
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN docs a ON a.doc_id = id_a
+  JOIN docs b ON b.doc_id = id_b
+  WHERE {duck_rnd('len(list_intersect(a.hs, b.hs)) * 1.0 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))', 4)} >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1)
+SELECT node AS drop_id, lbl AS keep_id
+FROM cl WHERE node != lbl
+ORDER BY drop_id
+"""
+
+
 def _duck_band_ctes() -> str:
     """Shared CTE chain: docs → mh → bands → capped → cand (skew-capped).
 
@@ -873,6 +965,7 @@ QUERIES = {
     "dd_incremental": dd_incremental,
     "dd_simhash": dd_simhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_drop_list": dd_minhash_drop_list,
 }
 
 ORACLES = {
@@ -885,4 +978,5 @@ ORACLES = {
     "dd_incremental": ORACLE_DD_INCREMENTAL,
     "dd_simhash": _duck_simhash_sql(),
     "dd_ngram_jaccard": _duck_ngram_sql(),
+    "dd_minhash_drop_list": _duck_drop_list_sql(),
 }
