@@ -522,3 +522,73 @@ ORDER BY v.user_id
 
 QUERIES["ev_funnel_windowed"] = ev_funnel_windowed
 ORACLES["ev_funnel_windowed"] = ORACLE_FUNNEL_WINDOWED
+
+
+# --- ev_attribution_linear ---------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+def ev_attribution_linear(t: dict[str, DataFrame]) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the same user's views in the preceding
+    {ATTR_WINDOW_DAYS} days; per-view credits then roll up to the
+    attributed revenue per view event.
+
+    Shape: one purchases×views interval join keyed on user_id (the
+    per-user event lists are small, so the join is bounded per key;
+    skewed power users are AQE's skew-split case), a per-purchase
+    count to set the credit denominator, then a hash-agg rollup onto
+    the view events. Credits are exact: value / n_touches quantized via
+    dsum so partition order can't move the sum.
+    """
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    touches = purchases.join(views, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touches.withColumn(
+        "credit", F.col("p_value") / F.count(F.lit(1)).over(w)
+    )
+    return (
+        credited.groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            rnd(dsum(F.col("credit")), 2).alias("attributed_value"),
+        )
+        .orderBy("view_id")
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, p.value AS p_value, v.event_id AS view_id
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+credited AS (
+  SELECT view_id,
+         p_value / (count(*) OVER (PARTITION BY purchase_id)) AS credit
+  FROM touches
+)
+SELECT view_id, count(*) AS n_purchases,
+       {duck_rnd(duck_dsum('credit'), 2)} AS attributed_value
+FROM credited GROUP BY view_id ORDER BY view_id
+"""
+
+QUERIES["ev_attribution_linear"] = ev_attribution_linear
+ORACLES["ev_attribution_linear"] = ORACLE_ATTRIBUTION
