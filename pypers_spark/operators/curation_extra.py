@@ -929,3 +929,81 @@ GROUP BY big.doc_id ORDER BY doc_id
 
 QUERIES["txt_bigram_score"] = txt_bigram_score
 ORACLES["txt_bigram_score"] = ORACLE_BIGRAM_SCORE
+
+
+# --- txt_ngram_novelty -------------------------------------------------------
+
+
+def txt_ngram_novelty(t: dict[str, DataFrame]) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    DISTINCT word {SPAN_N}-grams whose first corpus occurrence (min
+    doc_id) is this document. The data-mixing signal behind
+    dedup-aware sampling: near-1 novelty = fresh content, near-0 =
+    the doc restates grams earlier docs already contributed.
+
+    Shape: distinct grams per doc (hashed — int64 compares downstream),
+    a corpus-wide min-doc_id hash-agg per gram (vocabulary-sized,
+    partial-aggregated), joined back onto the doc postings and rolled
+    up per doc. Two shuffles total, no doc×doc work; at 100 TB the
+    gram→first-doc table is the persisted artifact an incremental
+    ingest maintains with a merge.
+    """
+    docs = t["documents"]
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    with_toks = docs.select(
+        "doc_id", tokenize_ws(F.col("text")).alias("toks")
+    ).repartition(n_part, F.col("doc_id"))
+    grams = (
+        with_toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(_word_ngrams_of(F.col("toks"), SPAN_N))).alias(
+                "gram"
+            ),
+        )
+        .select("doc_id", md5_int64(F.col("gram")).alias("gh"))
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            rnd(F.col("n_novel").cast("double") / F.col("n_grams"), 4).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH g AS (
+  SELECT doc_id, list_distinct({_duck_word_ngrams(_DUCK_TOKS, SPAN_N)}) AS grams
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(grams) + 1)) AS i, grams FROM g
+),
+h AS (
+  SELECT doc_id, {duck_md5_int64("grams[i]")} AS gh FROM pos
+),
+first AS (
+  SELECT gh, min(doc_id) AS first_doc FROM h GROUP BY 1
+)
+SELECT h.doc_id AS doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = h.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {duck_rnd("sum(CASE WHEN first_doc = h.doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)} AS novelty
+FROM h JOIN first USING (gh)
+GROUP BY h.doc_id ORDER BY doc_id
+"""
+
+QUERIES["txt_ngram_novelty"] = txt_ngram_novelty
+ORACLES["txt_ngram_novelty"] = ORACLE_NGRAM_NOVELTY
