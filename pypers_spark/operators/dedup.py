@@ -395,11 +395,10 @@ def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _duck_drop_list_sql() -> str:
-    # the full minhash pair CTE chain (corpus → docs → mh → bands →
-    # capped → cand), then verify + walk components
-    return f"""
-WITH RECURSIVE {DUCK_CORPUS},
+def _duck_drop_ctes() -> str:
+    """The full minhash pair CTE chain (corpus → docs → mh → bands →
+    capped → cand), then verify + walk components down to ``cl``."""
+    return f"""{DUCK_CORPUS},
 {_duck_band_ctes()},
 verified AS (
   SELECT id_a, id_b
@@ -418,10 +417,73 @@ reach(node, lbl) AS (
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
-cl AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1)
+cl AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY 1)"""
+
+
+def _duck_drop_list_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_drop_ctes()}
 SELECT node AS drop_id, lbl AS keep_id
 FROM cl WHERE node != lbl
 ORDER BY drop_id
+"""
+
+
+def dd_minhash_apply(t: dict[str, DataFrame]) -> DataFrame:
+    """Apply the dedup decision: the SURVIVING corpus after dropping
+    every non-minimal member of each near-duplicate component, rolled
+    up per source (doc counts + char totals before/after).
+
+    The last leg of the dedup story pairs→components→drop-list→applied:
+    one left-anti join of the corpus against the drop list (broadcast —
+    the drop list is components-only, ≪ corpus), then a hash-agg
+    rollup. This is the shape of the actual curation job that writes
+    the deduplicated training set.
+    """
+    drops = dd_minhash_drop_list(t).select(F.col("drop_id").alias("doc_id"))
+    c = corpus(t)
+    kept = c.join(drops, "doc_id", "left_anti")
+    before = c.groupBy("source").agg(
+        F.count("*").alias("n_docs_before"),
+        F.sum("n_chars").alias("chars_before"),
+    )
+    after = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_after"),
+        F.sum("n_chars").alias("chars_after"),
+    )
+    return (
+        before.join(after, "source")
+        .select(
+            "source", "n_docs_before", "n_docs_after",
+            (F.col("n_docs_before") - F.col("n_docs_after")).alias("n_dropped"),
+            "chars_before", "chars_after",
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_apply_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_drop_ctes()},
+drops AS (SELECT node AS doc_id FROM cl WHERE node != lbl),
+kept AS (
+  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+before_agg AS (
+  SELECT source, count(*) AS n_docs_before,
+         CAST(sum(n_chars) AS BIGINT) AS chars_before
+  FROM corpus GROUP BY source
+),
+after_agg AS (
+  SELECT source, count(*) AS n_docs_after,
+         CAST(sum(n_chars) AS BIGINT) AS chars_after
+  FROM kept GROUP BY source
+)
+SELECT source, n_docs_before, n_docs_after,
+       n_docs_before - n_docs_after AS n_dropped,
+       chars_before, chars_after
+FROM before_agg JOIN after_agg USING (source)
+ORDER BY source
 """
 
 
@@ -966,6 +1028,7 @@ QUERIES = {
     "dd_simhash": dd_simhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_drop_list": dd_minhash_drop_list,
+    "dd_minhash_apply": dd_minhash_apply,
 }
 
 ORACLES = {
@@ -979,4 +1042,5 @@ ORACLES = {
     "dd_simhash": _duck_simhash_sql(),
     "dd_ngram_jaccard": _duck_ngram_sql(),
     "dd_minhash_drop_list": _duck_drop_list_sql(),
+    "dd_minhash_apply": _duck_apply_sql(),
 }
