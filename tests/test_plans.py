@@ -177,3 +177,35 @@ def test_dup_spans_no_join(spark, sf_dir):
     must contain no join node at all."""
     plan = plan_of(spark, sf_dir, "dd_dup_spans")
     assert "Join" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    """dd_semantic_dedup: the K-row centroid table and the 1-row count
+    broadcast; no cartesian product anywhere (the crossJoins are
+    broadcast-nested-loop by construction)."""
+    plan = plan_of(spark, sf_dir, "dd_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_score_no_cartesian_partial_agg(spark, sf_dir):
+    """txt_bigram_score: model tables join back equi-keyed (no
+    cartesian) and the count aggregations are partial-aggregated."""
+    plan = plan_of(spark, sf_dir, "txt_bigram_score")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_ivf_nprobe_broadcasts_cells(spark, sf_dir):
+    """ann_ivf_nprobe: the probed-cells list and the query vector are
+    broadcast; the corpus never shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_nprobe")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_no_cartesian(spark, sf_dir):
+    """ev_attribution_linear: the purchases x views interval join is
+    keyed on user_id — never a cartesian."""
+    plan = plan_of(spark, sf_dir, "ev_attribution_linear")
+    assert "CartesianProduct" not in plan
