@@ -333,6 +333,61 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+CURVE_MIN_J = 0.5
+
+
+def dd_threshold_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Dedup-rate sensitivity curve: candidate-pair counts per Jaccard
+    decile over the LSH candidate set, verified down to τ={CURVE_MIN_J}.
+
+    The tuning artifact you compute BEFORE committing to a production
+    threshold: how many pairs (and how much of the corpus) each τ would
+    merge. One extra pass over the same capped candidate set as
+    dd_minhash_lsh — the signature table and band pipeline are shared
+    (plan-reuse persist + parquet checkpoint), so the marginal cost is
+    the verify join at the lower cutoff.
+    """
+    docs = _signature_table(t)
+    cand = _band_candidates(_bands_of(docs))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    jac = rnd(inter / union, 4)
+    bucket = (F.floor(F.col("jaccard") * 10) / 10.0).alias("j_bucket")
+    return (
+        a.join(cand, "id_a")
+        .join(b_, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(CURVE_MIN_J))
+        .select(bucket)
+        .groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("j_bucket")
+    )
+
+
+def _duck_threshold_curve_sql() -> str:
+    jac = duck_rnd(
+        "len(list_intersect(a.hs, b.hs)) * 1.0 / "
+        "(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))",
+        4,
+    )
+    return f"""
+WITH {DUCK_CORPUS},
+{_duck_band_ctes()},
+j AS (
+  SELECT {jac} AS jaccard
+  FROM cand
+  JOIN docs a ON a.doc_id = id_a
+  JOIN docs b ON b.doc_id = id_b
+  WHERE {jac} >= {CURVE_MIN_J}
+)
+SELECT floor(jaccard * 10) / 10.0 AS j_bucket, count(*) AS n_pairs
+FROM j GROUP BY 1 ORDER BY j_bucket
+"""
+
+
 def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:
     """The dedup DECISION: (drop_id, keep_id) per near-duplicate group.
 
@@ -1029,6 +1084,7 @@ QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_drop_list": dd_minhash_drop_list,
     "dd_minhash_apply": dd_minhash_apply,
+    "dd_threshold_curve": dd_threshold_curve,
 }
 
 ORACLES = {
@@ -1043,4 +1099,5 @@ ORACLES = {
     "dd_ngram_jaccard": _duck_ngram_sql(),
     "dd_minhash_drop_list": _duck_drop_list_sql(),
     "dd_minhash_apply": _duck_apply_sql(),
+    "dd_threshold_curve": _duck_threshold_curve_sql(),
 }
