@@ -338,3 +338,71 @@ ORACLES = {
     "txt_repetition_filter": ORACLE_REPETITION,
     "txt_bpe_pair_freq": ORACLE_BPE_PAIR,
 }
+
+
+# --- txt_readability ---------------------------------------------------------
+
+
+def txt_readability(t: dict[str, DataFrame]) -> DataFrame:
+    """Syllable-free readability per document: average sentence length
+    (words) and average word length (chars), blended into a
+    Flesch-style difficulty score ``0.4 * asl + 5.0 * awl`` (the
+    Gunning-Fog/ARI family without syllable counting, which no two
+    engines agree on). The standard cheap quality gate after Gopher's
+    repetition filters: wildly long sentences or words mark extraction
+    noise, tables, and code.
+
+    Pure column expressions — sentence counting is a regexp_count on
+    terminal punctuation, word stats come off the token array; no
+    shuffle for the per-doc part, one sort for presentation.
+    """
+    docs = t["documents"]
+    toks = tokenize_ws(F.col("text"))
+    n_words = F.size(toks)
+    # sentences = terminal-punctuation runs; min 1 so ratios stay finite
+    n_sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    n_chars_in_words = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("nw"),
+        n_sents.alias("ns"),
+        n_chars_in_words.alias("nc"),
+    ).filter(F.col("nw") > 0)
+    asl = F.col("nw").cast("double") / F.col("ns")
+    awl = F.col("nc").cast("double") / F.col("nw")
+    return base.select(
+        "doc_id",
+        F.col("nw").cast("bigint").alias("n_words"),
+        F.col("ns").cast("bigint").alias("n_sentences"),
+        rnd(asl, 4).alias("avg_sentence_len"),
+        rnd(awl, 4).alias("avg_word_len"),
+        rnd(0.4 * asl + 5.0 * awl, 4).alias("difficulty"),
+    ).orderBy("doc_id")
+
+
+ORACLE_READABILITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_DUCK_TOKS}) AS nw,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         list_sum(list_transform({_DUCK_TOKS}, w -> length(w))) AS nc
+  FROM documents
+  WHERE len({_DUCK_TOKS}) > 0
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(ns AS BIGINT) AS n_sentences,
+       {duck_rnd('nw::DOUBLE / ns', 4)} AS avg_sentence_len,
+       {duck_rnd('nc::DOUBLE / nw', 4)} AS avg_word_len,
+       {duck_rnd('0.4 * (nw::DOUBLE / ns) + 5.0 * (nc::DOUBLE / nw)', 4)} AS difficulty
+FROM base ORDER BY doc_id
+"""
+
+QUERIES["txt_readability"] = txt_readability
+ORACLES["txt_readability"] = ORACLE_READABILITY
