@@ -356,3 +356,60 @@ ORACLES = {
     "op_validity_intervals": ORACLE_VALIDITY,
     "op_salted_agg": ORACLE_SALTED_AGG,
 }
+
+
+# --- op_mom_change -----------------------------------------------------------
+
+
+def op_mom_change(t: dict[str, DataFrame]) -> DataFrame:
+    """Month-over-month revenue: monthly order totals with the previous
+    month's total and the MoM delta percentage — the standard BI
+    period-over-period shape (one aggregation + one lag window over the
+    tiny month table; the window runs on the aggregate, never on the
+    fact rows).
+    """
+    from pyspark.sql import Window
+
+    ords = t["orders"]
+    monthly = ords.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(dsum(F.col("o_totalprice")), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.withColumn("prev_revenue", prev)
+        .withColumn(
+            "mom_pct",
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                rnd((F.col("revenue") - prev) / prev * 100.0, 2),
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MOM_CHANGE = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         count(*) AS n_orders,
+         {duck_rnd(duck_dsum('o_totalprice'), 2)} AS revenue
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT month, n_orders, revenue,
+         lag(revenue) OVER (ORDER BY month) AS prev_revenue
+  FROM monthly
+)
+SELECT month, n_orders, revenue, prev_revenue,
+       CASE WHEN prev_revenue IS NOT NULL AND prev_revenue != 0
+            THEN {duck_rnd('(revenue - prev_revenue) / prev_revenue * 100.0', 2)}
+       END AS mom_pct
+FROM lagged ORDER BY month
+"""
+
+QUERIES["op_mom_change"] = op_mom_change
+ORACLES["op_mom_change"] = ORACLE_MOM_CHANGE
