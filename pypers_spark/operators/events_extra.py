@@ -592,3 +592,80 @@ FROM credited GROUP BY view_id ORDER BY view_id
 
 QUERIES["ev_attribution_linear"] = ev_attribution_linear
 ORACLES["ev_attribution_linear"] = ORACLE_ATTRIBUTION
+
+
+# --- ev_cohort_retention -----------------------------------------------------
+
+
+def ev_cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week (the cohort), tracked by distinct activity in each subsequent
+    week — (cohort_week, week_offset) → active users and the retention
+    percentage against the cohort size. The product-analytics staple
+    (ev_retention is the day-over-day special case).
+
+    Shape: one struct-min aggregation for the per-user cohort week, one
+    distinct user-week projection, a user-keyed join (cohort table ≪
+    events — AQE broadcasts), and a hash-agg rollup. No self-join of
+    the fact table.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = weeks.join(cohort, "user_id").withColumn(
+        "week_offset",
+        F.floor(
+            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+            / F.lit(7 * 24 * 3600)
+        ).cast("bigint"),
+    )
+    cells = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_week")
+    return (
+        cells.withColumn("cohort_size", F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            rnd(F.col("n_active").cast("double") / F.col("cohort_size") * 100.0, 2).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1
+),
+joined AS (
+  SELECT w.user_id, c.cohort_week,
+         CAST(floor((epoch_us(w.week) - epoch_us(c.cohort_week))
+                    / {7 * 24 * 3600 * 1_000_000}.0) AS BIGINT) AS week_offset
+  FROM weeks w JOIN cohort c USING (user_id)
+),
+cells AS (
+  SELECT cohort_week, week_offset, count(*) AS n_active
+  FROM joined GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       max(CASE WHEN week_offset = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_week) AS cohort_size,
+       {duck_rnd('n_active::DOUBLE / (max(CASE WHEN week_offset = 0 THEN n_active END) OVER (PARTITION BY cohort_week)) * 100.0', 2)} AS retention_pct
+FROM cells
+ORDER BY cohort_week, week_offset
+"""
+
+QUERIES["ev_cohort_retention"] = ev_cohort_retention
+ORACLES["ev_cohort_retention"] = ORACLE_COHORT_RETENTION
