@@ -371,3 +371,71 @@ ORACLES = {
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "mm_resize_meta": ORACLE_MM_RESIZE,
 }
+
+
+# --- txt_quality_prune -------------------------------------------------------
+
+
+def txt_quality_prune(t: dict[str, DataFrame]) -> DataFrame:
+    """The APPLIED quality filter: score every document (same blend as
+    txt_quality), derive the corpus p25 quality as the cut, and report
+    the per-source survival rollup — the job that actually prunes the
+    bottom quartile before training, not just the scores.
+
+    The threshold is an exact interpolated percentile over the scored
+    corpus (deterministic, oracle-identical to DuckDB quantile_cont),
+    computed once and broadcast-joined back (1-row table); the scored
+    projection is a single pass shared by both branches.
+    """
+    d = _spread(t["documents"])
+    txt = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            0.4 * F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
+            + 0.3 * stopword_ratio(txt)
+            + 0.2 * (1 - punct_ratio(txt))
+            + 0.1 * (1 - upper_ratio(txt))
+        ).alias("q"),
+    )
+    from pypers_spark.functions.caching import tracked_persist
+
+    scored = tracked_persist(scored, "text.quality_scores")
+    cut = scored.agg(F.percentile(F.col("q"), F.lit(0.25)).alias("q25"))
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("q") >= F.col("q25")).cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            rnd(F.col("n_kept").cast("double") / F.col("n_docs"), 4).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_PRUNE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         0.4 * least(length(text) / 500.0, 1.0)
+         + 0.3 * ({duck_stopword_ratio('text')})
+         + 0.2 * (1 - ({duck_punct_ratio('text')}))
+         + 0.1 * (1 - ({duck_upper_ratio('text')})) AS q
+  FROM documents
+),
+cut AS (SELECT quantile_cont(q, 0.25) AS q25 FROM scored)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN q >= q25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {duck_rnd('sum(CASE WHEN q >= q25 THEN 1 ELSE 0 END)::DOUBLE / count(*)', 4)} AS kept_frac
+FROM scored, cut
+GROUP BY source ORDER BY source
+"""
+
+QUERIES["txt_quality_prune"] = txt_quality_prune
+ORACLES["txt_quality_prune"] = ORACLE_QUALITY_PRUNE
