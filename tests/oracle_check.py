@@ -52,6 +52,15 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
             if not a[c].equals(b[c]):
                 neq = a[c] != b[c]
                 idx = list(neq[neq].index[:3])
+                if not idx and str(a[c].dtype) != str(b[c].dtype):
+                    # values agree element-wise but dtypes differ (e.g. a
+                    # DuckDB HUGEINT sum surfacing as float vs Spark's
+                    # int64) — name the real mismatch, not "0 diffs"
+                    problems.append(
+                        f"column {c}: dtype mismatch spark={a[c].dtype} "
+                        f"duck={b[c].dtype} (values equal — CAST the oracle)"
+                    )
+                    continue
                 problems.append(
                     f"column {c}: {sum(neq)} diffs, e.g. rows {idx}: "
                     f"spark={list(a[c][idx])} duck={list(b[c][idx])}"
