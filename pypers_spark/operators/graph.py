@@ -303,3 +303,148 @@ def _duck_profile() -> str:
 
 QUERIES["op_profile_table"] = op_profile_table
 ORACLES["op_profile_table"] = _duck_profile()
+
+
+# --- gr_degree_stats ---------------------------------------------------------
+
+
+def gr_degree_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Degree histogram of the τ=0.3 embedding near-dup graph: how many
+    nodes have each degree — the first diagnostic run on any pair graph
+    (a heavy tail here predicts LSH bucket skew and quadratic verify
+    cost downstream).
+
+    Two hash aggregations over node-cardinality data (edges → per-node
+    degree → histogram); the pairwise cosine join dominates and is
+    shared/persisted via ``_embedding_cos_pairs``'s norm table. At
+    100 TB the pair graph would come from a checkpointed parquet table
+    and this is two cheap shuffles over node counts.
+    """
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    pairs = _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
+    return (
+        deg.groupBy("deg").agg(F.count("*").alias("n_nodes")).orderBy("deg")
+    )
+
+
+def _oracle_degree_stats() -> str:
+    from pypers_spark.operators.similarity import COS_T03, _oracle_dd_emb
+
+    pair_sql = _oracle_dd_emb(COS_T03).replace("ORDER BY label, id_a, id_b", "")
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+deg AS (SELECT id_a, count(*) AS deg FROM edges GROUP BY id_a)
+SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg
+"""
+
+
+QUERIES["gr_degree_stats"] = gr_degree_stats
+ORACLES["gr_degree_stats"] = _oracle_degree_stats()
+
+
+# --- gr_triangle_count -------------------------------------------------------
+
+
+def gr_triangle_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Global triangle census of the τ=0.3 near-dup graph: node/edge
+    counts, triangles, wedges (open 2-paths), and the global clustering
+    coefficient 3T/W — the standard graph-shape summary.
+
+    Triangles are enumerated on ID-ORIENTED canonical edges (id_a <
+    id_b, as the pair query emits them): e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)
+    counts each triangle exactly once with no post-hoc dedup, and the
+    join fan-out is bounded by per-node OUT-degree under the
+    orientation rather than total degree — the standard
+    enumeration-bounding trick (production systems orient by degree;
+    ID order is its deterministic stand-in). Wedges come from the
+    degree table in closed form (Σ deg·(deg−1)/2), not enumeration.
+    The canonical edge set is persisted once and drives both joins.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    pairs = tracked_persist(
+        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
+        "graph.tri_pairs",
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    e2 = pairs.select(F.col("id_a").alias("id_b"), F.col("id_b").alias("id_c"))
+    e3 = pairs.select(F.col("id_a").alias("id_a3"), F.col("id_b").alias("id_c3"))
+    tri = (
+        pairs.join(e2, "id_b")
+        .join(
+            e3,
+            (F.col("id_a") == F.col("id_a3")) & (F.col("id_c") == F.col("id_c3")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        node_stats.crossJoin(tri)
+        .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            rnd(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def _oracle_triangle_count() -> str:
+    from pypers_spark.operators.similarity import COS_T03, _oracle_dd_emb
+
+    pair_sql = _oracle_dd_emb(COS_T03).replace("ORDER BY label, id_a, id_b", "")
+    return f"""
+WITH pairs AS ({pair_sql}),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT id_a AS v FROM pairs UNION ALL SELECT id_b AS v FROM pairs
+  ) GROUP BY v
+),
+node_stats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+edges AS (SELECT count(*) AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       {duck_rnd("CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END", 6)}
+         AS global_clustering
+FROM node_stats, tri, edges
+"""
+
+
+QUERIES["gr_triangle_count"] = gr_triangle_count
+ORACLES["gr_triangle_count"] = _oracle_triangle_count()

@@ -236,3 +236,57 @@ ORDER BY user_id, purchase_id, view_id
 
 QUERIES["st_interval_join"] = st_interval_join
 ORACLES["st_interval_join"] = ORACLE_ST_INTERVAL
+
+
+def st_sliding_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding-window (1 h window / 30 min slide) event counts + exact
+    value sums computed BY THE STREAMING ENGINE: file-source stream →
+    watermarked sliding window → complete-mode memory sink, drained
+    with availableNow. Sliding windows are the overlap case tumbling
+    doesn't cover — every event lands in exactly TWO windows, so this
+    gates the window-assignment fan-out path of the streaming runtime.
+
+    Complete mode retains all window state, so the drained result
+    equals the batch assignment bit-for-bit; the oracle replays the
+    fan-out as an explicit 2-offset cross join on the 30-min grid
+    (make_timestamp on epoch-µs arithmetic — engine-neutral alignment,
+    no reliance on either engine's bucket-origin convention).
+    """
+    from pypers_spark.streaming.core import stream_events
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(dsum(F.col("value")), 2).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "total_value")
+    )
+    name = f"st_sliding_counts_{next(_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("win_start")
+
+
+# Each event belongs to the two 1-h windows whose starts are its 30-min
+# bucket and the bucket before it (epoch-aligned, matching Spark's
+# default startTime=0).
+ORACLE_ST_SLIDING = f"""
+SELECT make_timestamp(((epoch_us(ts) // 1800000000) - offs.k) * 1800000000)
+         AS win_start,
+       count(*) AS n_events, {duck_rnd(duck_dsum('value'), 2)} AS total_value
+FROM events, (VALUES (0::BIGINT), (1::BIGINT)) AS offs(k)
+GROUP BY 1 ORDER BY win_start
+"""
+
+QUERIES["st_sliding_counts"] = st_sliding_counts
+ORACLES["st_sliding_counts"] = ORACLE_ST_SLIDING

@@ -406,3 +406,91 @@ FROM base ORDER BY doc_id
 
 QUERIES["txt_readability"] = txt_readability
 ORACLES["txt_readability"] = ORACLE_READABILITY
+
+
+# --- txt_pii_scrub -------------------------------------------------------------
+
+
+def txt_pii_scrub(t: dict[str, DataFrame]) -> DataFrame:
+    """PII redaction, value-gated: plant one deterministic email, phone
+    number, and IPv4 per document (derived from ``doc_id``, so both
+    engines construct the identical string), run the shared
+    ``scrub_pii`` regex pass, and emit the per-kind match counts plus
+    the md5 of the scrubbed text.
+
+    The synthetic corpus is digit- and @-free, so without injection the
+    scrub path would gate vacuously (the round-3 lesson from
+    dd_embedding_cos: a 0-hit green row certifies nothing). Injection
+    guarantees ≥1 match per kind per row, and the md5 proves the
+    replacement BYTES match, not just the counts.
+
+    All column expressions (regexp_count / regexp_replace — RE2-safe
+    patterns, no lookaround), whole-stage codegen, one scan, no shuffle
+    except the output sort. At 100 TB this is the shape you want: a
+    map-only pass that runs at parquet-scan speed.
+    """
+    from pypers_spark.functions.hashing import md5_hex
+    from pypers_spark.functions.text import pii_count, scrub_pii
+
+    d = t["documents"]
+    did = F.col("doc_id")
+    email = F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com"))
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        (F.floor(did / 256) % 256).cast("string"),
+        F.lit(".1"),
+    )
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 64),
+        F.lit(" contact "), email,
+        F.lit(" tel "), phone,
+        F.lit(" ip "), ip,
+    )
+    return d.select(
+        "doc_id",
+        pii_count(raw, "email").alias("n_email"),
+        pii_count(raw, "phone").alias("n_phone"),
+        pii_count(raw, "ipv4").alias("n_ipv4"),
+        md5_hex(scrub_pii(raw)).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def _oracle_pii_scrub() -> str:
+    from pypers_spark.functions.text import _PII_ORDER, PII_PATTERNS
+
+    raw = (
+        "substring(text, 1, 64) || ' contact user' || doc_id::VARCHAR"
+        " || '@example.com tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')"
+        " || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        " || ' ip 10.' || (doc_id % 256)::VARCHAR || '.'"
+        " || ((doc_id // 256) % 256)::VARCHAR || '.1'"
+    )
+    scrubbed = "raw"
+    for kind in _PII_ORDER:
+        scrubbed = (
+            f"regexp_replace({scrubbed}, '{PII_PATTERNS[kind]}',"
+            f" '[{kind.upper()}]', 'g')"
+        )
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[k]}')) AS INT) AS n_{k}"
+        for k in ("email", "phone", "ipv4")
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {raw} AS raw FROM documents)
+SELECT doc_id,
+       {counts},
+       md5({scrubbed}) AS scrubbed_md5
+FROM base ORDER BY doc_id
+"""
+
+
+QUERIES["txt_pii_scrub"] = txt_pii_scrub
+ORACLES["txt_pii_scrub"] = _oracle_pii_scrub()
