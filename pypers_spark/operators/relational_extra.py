@@ -335,6 +335,51 @@ ORDER BY event_type
 """
 
 
+def op_salted_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Skew-resilient equi-join exposed as a query: each event joined to
+    its user's lifetime stats through ``salted_join``, rolled up per
+    event_type.
+
+    The companion to op_salted_agg for the JOIN side of skew: a hot
+    user's events would all shuffle to one reducer in a plain join; the
+    salt spreads them over 16 while the small per-user side is exploded
+    16-fold to meet them. Results are salt-independent by construction
+    — the oracle is the plain join — and the rollup sums go through
+    scaled-int64 partials so the regrouping cannot perturb them.
+    """
+    from pypers_spark.functions.skew import salted_join
+
+    ev = t["events"]
+    user_stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("user_n"),
+    )
+    joined = salted_join(ev.select("user_id", "event_type", "value"), user_stats, "user_id")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(dsum(F.col("value")), 2).alias("total_value"),
+            # weighted by the joined-in user size: proves the join keyed
+            # correctly, not just preserved row counts
+            F.sum(F.col("user_n")).alias("sum_user_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+WITH user_stats AS (
+  SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id
+)
+SELECT e.event_type AS event_type, count(*) AS n_events,
+       {duck_rnd(duck_dsum('e.value'), 2)} AS total_value,
+       CAST(sum(u.user_n) AS BIGINT) AS sum_user_n
+FROM events e JOIN user_stats u USING (user_id)
+GROUP BY e.event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "op_date_spine": op_date_spine,
     "op_histogram": op_histogram,
@@ -344,6 +389,7 @@ QUERIES = {
     "op_upsert": op_upsert,
     "op_validity_intervals": op_validity_intervals,
     "op_salted_agg": op_salted_agg,
+    "op_salted_join": op_salted_join,
 }
 
 ORACLES = {
@@ -355,6 +401,7 @@ ORACLES = {
     "op_upsert": ORACLE_UPSERT,
     "op_validity_intervals": ORACLE_VALIDITY,
     "op_salted_agg": ORACLE_SALTED_AGG,
+    "op_salted_join": ORACLE_SALTED_JOIN,
 }
 
 
