@@ -96,3 +96,62 @@ def test_session_counts_subset_of_native_session_window(spark, sf_dir, qs):
 
     per_user = Counter(u for u, _, _ in missing)
     assert all(c == 1 for c in per_user.values())
+
+
+def test_triangle_census_consistent_with_pair_graph(spark, sf_dir, qs):
+    """Cross-operator consistency: gr_triangle_count's node/edge counts
+    equal what dd_embedding_cos_t03's pair list implies, wedges equal
+    the closed-form from gr_degree_stats' histogram, and the clustering
+    coefficient is in [0, 1]."""
+    census = qs["gr_triangle_count"](spark, sf_dir).collect()[0]
+    pairs = qs["dd_embedding_cos_t03"](spark, sf_dir).collect()
+    nodes = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert census["n_edges"] == len(pairs)
+    assert census["n_nodes"] == len(nodes)
+    hist = qs["gr_degree_stats"](spark, sf_dir).collect()
+    assert sum(r["n_nodes"] for r in hist) == census["n_nodes"]
+    wedges = sum(r["n_nodes"] * r["deg"] * (r["deg"] - 1) // 2 for r in hist)
+    assert census["n_wedges"] == wedges
+    assert 0.0 <= census["global_clustering"] <= 1.0
+
+
+def test_pii_scrub_non_vacuous_and_clean(spark, sf_dir, qs):
+    """Every row matched at least one of each planted PII kind, and the
+    scrubbed text admits no further matches (idempotence of the pass)."""
+    from pypers_spark.functions.text import PII_PATTERNS, scrub_pii, pii_count
+
+    rows = qs["txt_pii_scrub"](spark, sf_dir).collect()
+    assert rows
+    assert all(
+        r["n_email"] >= 1 and r["n_phone"] >= 1 and r["n_ipv4"] >= 1 for r in rows
+    )
+    # idempotence on a synthetic worst case: placeholders must not
+    # re-match any pattern
+    once = spark.sql(
+        "SELECT 'a@b.co 555-123-4567 10.1.2.3' AS s"
+    ).select(scrub_pii(F.col("s")).alias("s1"))
+    twice = once.select(
+        *[pii_count(F.col("s1"), k).alias(f"n_{k}") for k in PII_PATTERNS]
+    ).collect()[0]
+    assert twice["n_email"] == 0 and twice["n_phone"] == 0 and twice["n_ipv4"] == 0
+
+
+def test_salted_join_matches_plain_join_rowcount(spark, sf_dir, tables):
+    """salted_join is row-equivalent to the plain equi-join (salt never
+    changes the match set) — checked on the raw joined relation, not the
+    rolled-up gate output."""
+    from pypers_spark.functions.skew import salted_join
+
+    ev = tables["events"].select("user_id", "event_id")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    salted = salted_join(ev, dim, "user_id")
+    plain = ev.join(dim, "user_id")
+    assert salted.count() == plain.count()
+    assert salted.columns == plain.columns
+
+
+def test_sliding_counts_double_tumbling_mass(spark, sf_dir, qs, tables):
+    """Every event lands in exactly two sliding windows → total event
+    mass is exactly 2x the corpus."""
+    rows = qs["st_sliding_counts"](spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == 2 * tables["events"].count()
