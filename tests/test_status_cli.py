@@ -229,3 +229,77 @@ def test_status_reader_event_driven_low_latency(tmp_path):
         pytest.skip("inotify unavailable on this platform")
     latency = asyncio.run(scenario())
     assert latency < 1.0  # event-driven, not the 5 s polling delay
+
+
+# -- Status.progress edge matrix (reference test_status.py:180-289) -----------
+
+
+def test_status_progress_break_clears_intermediate():
+    """Leaving the loop early (break) must still clear the intermediate —
+    the reference guarantees this via the generator's finally block."""
+    with status_mod.create() as status:
+        for item in status.progress(range(3)):
+            data = status_mod.load(status.filepath)
+            assert data[-1]["status"]["info"] == "progress"
+            break
+        assert status_mod.load(status.filepath) == []
+
+
+def test_status_progress_empty_iterable():
+    with status_mod.create() as status:
+        items = list(status.progress([]))
+        assert items == []
+        assert status_mod.load(status.filepath) == []
+
+
+def test_status_progress_generator_with_iterations():
+    """Generators have no len(); the explicit iterations count is used."""
+
+    def gen():
+        return
+        yield  # pragma: no cover
+
+    with status_mod.create() as status:
+        assert list(status.progress(gen(), iterations=0)) == []
+        assert status_mod.load(status.filepath) == []
+
+
+def test_status_progress_iterations_overrun_raises():
+    """More items than the declared iterations is an AssertionError, and
+    the intermediate is still cleared on the way out."""
+    import pytest
+
+    with status_mod.create() as status:
+        with pytest.raises(AssertionError):
+            for _ in status.progress(range(3), iterations=2):
+                pass
+        assert status_mod.load(status.filepath) == []
+
+
+def test_status_progress_error_in_loop_clears_intermediate():
+    class Boom(Exception):
+        pass
+
+    import pytest
+
+    with status_mod.create() as status:
+        with pytest.raises(Boom):
+            for item in status.progress(range(3)):
+                raise Boom()
+        assert status_mod.load(status.filepath) == []
+
+
+def test_status_progress_reports_fields():
+    """Per-step payload carries info/details/progress/step/max_steps with
+    progress = step/total (reference test_status.py:143-176)."""
+    with status_mod.create() as status:
+        for idx, item in enumerate(status.progress(range(3), details="details")):
+            data = status_mod.load(status.filepath)
+            assert data[-1]["status"] == {
+                "info": "progress",
+                "details": "details",
+                "progress": idx / 3,
+                "step": idx,
+                "max_steps": 3,
+            }
+            assert item == idx
