@@ -19,8 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import DECIMAL_T, duck_rnd, rnd
-from pypers_spark.functions.vectors import cosine_similarity, duck_cosine
+from pypers_spark.functions.rounding import DECIMAL_T, dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.vectors import cosine_similarity, dot, duck_cosine
 
 N_PLANES = 8
 EMB_DIM = 64
@@ -702,6 +702,93 @@ ORDER BY vec_id
 ORACLE_DD_CLUSTER = _oracle_dd_cluster(COS_THRESHOLD)
 
 
+
+# --- ann_pq (product quantization) -------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUB = EMB_DIM // PQ_M   # dims per subspace
+PQ_K = 16         # codebook size per subspace (code fits in 4 bits)
+_PQ_WEIGHTS = [PQ_K ** m for m in range(PQ_M)]  # code packing radix
+
+
+def ann_pq(t: dict[str, DataFrame]) -> DataFrame:
+    """Product-quantization encode: split each {EMB_DIM}-dim embedding
+    into {PQ_M} subspaces of {PQ_SUB} dims, assign each subvector to its
+    nearest of {PQ_K} per-subspace codebook centroids (deterministically
+    seeded from the first {PQ_K} vectors, as in ann_kmeans_assign), and
+    emit the packed 16-bit PQ code plus the exact reconstruction error.
+
+    This is the memory side of the ANN story the IVF/LSH entries don't
+    cover: {EMB_DIM} float32 dims (256 B) compress to PQ_M*log2(PQ_K)
+    = 16 bits per vector, and asymmetric-distance search scans CODES
+    with a K x M lookup table instead of raw vectors. At 100 TB the
+    plan is the one you want: the K*M codebook (64 rows here)
+    broadcasts, encode is a map-side O(n*K*M) pass, and the only
+    shuffles are the per-(vector, subspace) argmin and the final
+    per-vector pack — both partial-aggregated. Codebook TRAINING at
+    scale iterates ann_kmeans_assign per subspace; the seeded single
+    step keeps the gate deterministic in both engines.
+    """
+    emb = t["embeddings"]
+    slices = F.array(
+        *[F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.posexplode(slices).alias("m", "cv"))
+    )
+    a, b = F.col("sv"), F.col("cv")
+    d2 = (dot(a, a) - 2 * dot(a, b) + dot(b, b)).alias("d2")
+    pairs = sub.join(F.broadcast(cb), "m").select("vec_id", "m", "cid", d2)
+    best = (
+        pairs.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"))
+    )
+    radix = F.array(*[F.lit(w) for w in _PQ_WEIGHTS])
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.sum(F.col("cid") * F.element_at(radix, F.col("m") + 1)).alias("pq_code"),
+            rnd(dsum(F.col("d2")), 4).alias("recon_d2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_PQ_SV = "(e.embedding::DOUBLE[])[(m * {sub} + 1):((m + 1) * {sub})]".format(sub=PQ_SUB)
+_PQ_D2 = (
+    "(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)"
+    " + list_dot_product(c.cv, c.cv))"
+)
+
+ORACLE_ANN_PQ = f"""
+WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+sub AS (
+  SELECT e.vec_id, m, {_PQ_SV} AS sv FROM embeddings e, ms
+),
+cb AS (
+  SELECT e.vec_id AS cid, m, {_PQ_SV} AS cv FROM embeddings e, ms
+  WHERE e.vec_id < {PQ_K}
+),
+pairs AS (
+  SELECT s.vec_id, s.m, c.cid, {_PQ_D2} AS d2
+  FROM sub s JOIN cb c USING (m)
+),
+best AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT vec_id, m, cid, d2,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(sum(cid * ({_PQ_WEIGHTS})[m + 1]) AS BIGINT) AS pq_code,
+       {duck_rnd(duck_dsum('d2'), 4)} AS recon_d2
+FROM best GROUP BY vec_id ORDER BY vec_id
+"""
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_pandas": ann_topk_pandas,
@@ -715,6 +802,7 @@ QUERIES = {
     "dd_cluster_t03": dd_cluster_t03,
     "dd_semantic_dedup": dd_semantic_dedup,
     "ann_ivf_nprobe": ann_ivf_nprobe,
+    "ann_pq": ann_pq,
 }
 
 ORACLES = {
@@ -730,4 +818,5 @@ ORACLES = {
     "dd_cluster_t03": _oracle_dd_cluster(COS_T03),
     "dd_semantic_dedup": _oracle_semdedup(),
     "ann_ivf_nprobe": ORACLE_ANN_IVF_NPROBE,
+    "ann_pq": ORACLE_ANN_PQ,
 }
