@@ -155,3 +155,30 @@ def test_sliding_counts_double_tumbling_mass(spark, sf_dir, qs, tables):
     mass is exactly 2x the corpus."""
     rows = qs["st_sliding_counts"](spark, sf_dir).collect()
     assert sum(r["n_events"] for r in rows) == 2 * tables["events"].count()
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark, sf_dir, qs):
+    """Codebook centroids ARE the first 16 vectors — each must PQ-encode
+    to itself with zero reconstruction error, and every packed code must
+    fit in 16 bits."""
+    rows = qs["ann_pq"](spark, sf_dir).collect()
+    assert rows
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid in range(min(16, len(rows))):
+        if vid in by_id:
+            assert by_id[vid]["recon_d2"] == 0.0
+            # self-code: every subspace picks centroid vid → packed
+            # code is vid * (1 + 16 + 256 + 4096)
+            assert by_id[vid]["pq_code"] == vid * 0x1111
+    assert all(0 <= r["pq_code"] <= 0xFFFF for r in rows)
+
+
+def test_pq_adc_consistent_with_codes(spark, sf_dir, qs):
+    """The query vector's own nearest ADC neighbors must all carry
+    approx_d2 >= 0, ranked ascending, query excluded."""
+    rows = qs["ann_pq_adc"](spark, sf_dir).collect()
+    assert rows
+    d2s = [r["approx_d2"] for r in rows]
+    assert d2s == sorted(d2s)
+    assert all(d >= 0.0 for d in d2s)
+    assert all(r["vec_id"] != 0 for r in rows)
