@@ -176,3 +176,83 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, event_stream, tmp_path):
     written = spark.read.parquet(f"{out}/b*")
     assert written.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert "event_type=view" in str(list((tmp_path / "stream_out").rglob("event_type=*"))[:5])
+
+
+# -- foreachBatch keyed upsert sink -------------------------------------------
+
+
+def test_streaming_upsert_parquet_merges_batches(spark, sf_dir, tmp_path):
+    """Drain the event stream through the foreachBatch upsert sink with
+    the stream SELF-UNIONED (every key arrives at least twice, possibly
+    in different micro-batches): the final table must hold exactly one
+    row per event_id — the one with the greatest order column — i.e. the
+    batch last-write-wins result."""
+    from pypers_spark.streaming.core import stream_events, streaming_upsert_parquet
+
+    out = str(tmp_path / "upsert_table")
+    stream = stream_events(spark, sf_dir)
+    # second copy with bumped value: must WIN over the original
+    bumped = stream.withColumn("value", F.col("value") + 1000.0)
+    doubled = stream.unionByName(bumped)
+    sink = streaming_upsert_parquet(
+        doubled, out, key_cols=["event_id"], order_col="value", n_partitions=4
+    )
+    q = (
+        doubled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pypers_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    result = spark.read.parquet(out)
+    assert result.count() == events.count()  # one row per key
+    # every surviving row is the bumped copy
+    joined = result.select("event_id", F.col("value").alias("v_got")).join(
+        events.select("event_id", (F.col("value") + 1000.0).alias("v_want")),
+        "event_id",
+    )
+    assert joined.filter(F.col("v_got") != F.col("v_want")).count() == 0
+    # partition layout: hash-bucketed _pk directories exist
+    import os
+
+    assert any(n.startswith("_pk=") for n in os.listdir(out))
+
+
+def test_streaming_upsert_second_run_updates_in_place(spark, sf_dir, tmp_path):
+    """A second drain with shifted values must UPDATE every key (same
+    row count, new values) — the table is mutable-by-key, not
+    append-only."""
+    from pypers_spark.streaming.core import stream_events, streaming_upsert_parquet
+
+    out = str(tmp_path / "upsert_table2")
+
+    def drain(shift: float, ckpt: str) -> None:
+        stream = stream_events(spark, sf_dir).withColumn(
+            "value", F.col("value") + shift
+        )
+        sink = streaming_upsert_parquet(
+            stream, out, key_cols=["event_id"], order_col="value", n_partitions=4
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pypers_spark.sources.registry import load_table
+
+    n = load_table(spark, sf_dir, "events").count()
+    drain(0.0, "c1")
+    assert spark.read.parquet(out).count() == n
+    before = spark.read.parquet(out).agg(F.sum("value")).collect()[0][0]
+    drain(500.0, "c2")
+    after_df = spark.read.parquet(out)
+    assert after_df.count() == n  # updated, not appended
+    after = after_df.agg(F.sum("value")).collect()[0][0]
+    assert abs((after - before) - 500.0 * n) < 1e-3 * n
