@@ -107,3 +107,49 @@ def test_affine_hash_bit_identical(spark, hs, seed):
     }
     want = dict(_duck(pdf, f"SELECT i, {duck_affine_hash('h', seed)} AS a FROM t"))
     assert got == want
+
+
+# PII-bearing-ish text: letters, digits, separators, @, dots — shapes that
+# brush against the email/phone/IPv4 patterns without being drawn from them.
+PII_ISH = st.text(
+    alphabet=st.sampled_from(list("abcXY012345679 .@-_%+")), max_size=48
+)
+
+
+@given(texts=st.lists(PII_ISH, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_pii_patterns_cross_engine(spark, texts):
+    """scrub_pii / pii_count rest on Java-regex and RE2 agreeing on the
+    three PII patterns — drive both engines with adversarial near-miss
+    strings and assert identical counts AND identical scrubbed text."""
+    from pypers_spark.functions.text import _PII_ORDER, PII_PATTERNS, pii_count, scrub_pii
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "s": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: (r["ne"], r["np"], r["ni"], r["scrubbed"])
+        for r in sdf.select(
+            "i",
+            pii_count(F.col("s"), "email").alias("ne"),
+            pii_count(F.col("s"), "phone").alias("np"),
+            pii_count(F.col("s"), "ipv4").alias("ni"),
+            scrub_pii(F.col("s")).alias("scrubbed"),
+        ).collect()
+    }
+    scrub_sql = "s"
+    for kind in _PII_ORDER:
+        scrub_sql = (
+            f"regexp_replace({scrub_sql}, '{PII_PATTERNS[kind]}',"
+            f" '[{kind.upper()}]', 'g')"
+        )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(s, '{PII_PATTERNS[k]}')) AS INT)"
+        for k in ("email", "phone", "ipv4")
+    )
+    want = {
+        i: (ne, np_, ni, sc)
+        for i, ne, np_, ni, sc in _duck(
+            pdf, f"SELECT i, {counts}, {scrub_sql} FROM t"
+        )
+    }
+    assert got == want
