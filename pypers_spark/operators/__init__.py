@@ -55,3 +55,11 @@ ORACLES = {}
 for _m in MODULES:
     REGISTRY.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
+
+# Newest gate-risky entries whose home module sits outside the driver's
+# ~50-key sample window — hoisted to the front so their first driver run
+# is value-checked, not just judge-checked.
+_HOISTED = ("txt_pii_scrub", "op_salted_join")
+REGISTRY = {k: REGISTRY[k] for k in _HOISTED} | {
+    k: v for k, v in REGISTRY.items() if k not in _HOISTED
+}
