@@ -55,6 +55,15 @@ HEADLINE = (
     "gr_pagerank",
     "ann_kmeans_assign",
     "pipe_curation",
+    # round-4 additions: semantic dedup, PQ encode/search, graph census,
+    # PII scrub, salted join, bigram LM filter
+    "dd_semantic_dedup",
+    "ann_pq",
+    "ann_pq_adc",
+    "gr_triangle_count",
+    "txt_pii_scrub",
+    "op_salted_join",
+    "txt_bigram_score",
 )
 
 
