@@ -729,11 +729,28 @@ def _pq_d2(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _pq_best(t: dict[str, DataFrame]) -> DataFrame:
-    """PQ encode: per (vec_id, m) the nearest codebook centroid + its d2."""
+    """PQ encode: per (vec_id, m) the nearest codebook centroid + its d2.
+
+    The squared norms |sv|² and |cv|² are computed ONCE per subvector
+    below the join (a materialized column per side), not inside the
+    K-way pair expression — folding them in would run the 16-element
+    aggregation lambda 3x per candidate (the same lesson as the
+    persisted norm table in ``_embedding_cos_pairs``; measured ~2x on
+    the 20x corpus). The d2 association order (sv2 − 2·dot) + cv2 is
+    mirrored exactly in the oracle, so IEEE equality holds.
+    """
     emb = t["embeddings"]
-    sub = emb.select("vec_id", F.posexplode(_pq_slices()).alias("m", "sv"))
-    pairs = sub.join(F.broadcast(_pq_codebook(emb)), "m").select(
-        "vec_id", "m", "cid", _pq_d2(F.col("sv"), F.col("cv")).alias("d2")
+    sub = emb.select("vec_id", F.posexplode(_pq_slices()).alias("m", "sv")).withColumn(
+        "sv2", dot(F.col("sv"), F.col("sv"))
+    )
+    cb = _pq_codebook(emb).withColumn("cv2", dot(F.col("cv"), F.col("cv")))
+    pairs = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "cid",
+        (
+            (F.col("sv2") - 2 * dot(F.col("sv"), F.col("cv"))) + F.col("cv2")
+        ).alias("d2"),
     )
     return (
         pairs.groupBy("vec_id", "m")
