@@ -423,3 +423,52 @@ def test_times_survive_pickup(task_tree, spark):
 
     assert not math.isnan(times["scan-docs", 1])
     assert not math.isnan(times["count-chars", 1])
+
+
+class SlowStage(Stage):
+    outputs = ("slow",)
+
+    def process(self, pipeline, config, status=None, **inputs):
+        import time as _time
+
+        _time.sleep(config.get("sleep_s", 5.0))
+        from pypers_spark.session import current_session
+
+        return {"slow": current_session().range(1)}
+
+
+def test_batch_cancel_interrupts_run(tmp_path, sf_dir):
+    """Parity with reference tests/test_batch.py::Batch__cancel: cancel
+    mid-run → Batch.run returns False promptly and records an
+    'interrupted' status entry."""
+    import time
+
+    from pypers_spark import status as status_mod
+
+    write_spec(
+        tmp_path / "slow",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.SlowStage"],
+            "config": {"slow-stage": {"sleep_s": 5.0}},
+        },
+    )
+    batch = Batch()
+    batch.load(tmp_path)
+
+    async def scenario():
+        with status_mod.create() as status:
+            t0 = time.time()
+            run = asyncio.ensure_future(batch.run(status=status))
+            await asyncio.sleep(0.4)
+            await batch.cancel()
+            ret = await run
+            dt = time.time() - t0
+            return ret, dt, status_mod.load(status.filepath)
+
+    ret, dt, data = asyncio.run(scenario())
+    assert ret is False
+    assert dt < 3.0  # did not wait out the 5 s stage
+    flat = json.dumps(data)
+    assert "interrupted" in flat
