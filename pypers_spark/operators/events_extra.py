@@ -669,3 +669,76 @@ ORDER BY cohort_week, week_offset
 
 QUERIES["ev_cohort_retention"] = ev_cohort_retention
 ORACLES["ev_cohort_retention"] = ORACLE_COHORT_RETENTION
+
+
+# --- ev_ewma -----------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_TAPS = 8
+# Literal tap weights alpha*(1-alpha)^k, newest first — computed once in
+# Python and embedded as the SAME double literals in both engines, so no
+# cross-engine pow() is ever evaluated.
+_EWMA_W = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** k for k in range(EWMA_TAPS)]
+
+
+def ev_ewma(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the standard smoothing pass before thresholding noisy metrics —
+    truncated to {EWMA_TAPS} taps and renormalized over the taps
+    available (so early events are exact means of their own history,
+    not biased toward zero).
+
+    One window shuffle keyed on user_id (the §2.C discipline: no
+    self-joins). The frame's value list is reversed so index j pairs
+    with tap weight j; the dot product and the weight normalizer run
+    left-to-right in both engines over literal weights, keeping floats
+    bit-identical. Truncation is the scale story: state per row is a
+    bounded {EWMA_TAPS}-element array regardless of history length,
+    the same bound a streaming implementation would keep.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -(EWMA_TAPS - 1), 0
+    )
+    taps = F.array(*[F.lit(x) for x in _EWMA_W])
+    vals = F.reverse(F.collect_list(F.col("value")).over(w))
+    n = F.size(vals)
+    from pypers_spark.functions.vectors import dot
+
+    num = dot(vals, F.slice(taps, 1, n))
+    den = F.aggregate(
+        F.slice(taps, 1, n), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            rnd(num / den, 4).alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+def _duck_ewma() -> str:
+    taps = "[" + ", ".join(repr(x) for x in _EWMA_W) + "]"
+    return f"""
+WITH framed AS (
+  SELECT user_id, ts, event_id, value,
+         list_reverse(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_TAPS - 1} PRECEDING AND CURRENT ROW
+         )) AS vals
+  FROM events
+)
+SELECT user_id, ts, event_id, value,
+       {duck_rnd(
+           f"list_dot_product(vals::DOUBLE[], ({taps})[1:len(vals)])"
+           f" / list_sum(({taps})[1:len(vals)])", 4)} AS ewma
+FROM framed ORDER BY user_id, ts, event_id
+"""
+
+
+QUERIES["ev_ewma"] = ev_ewma
+ORACLES["ev_ewma"] = _duck_ewma()
