@@ -380,6 +380,101 @@ ORDER BY event_type
 """
 
 
+def op_skew_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Join/agg-key skew diagnosis for ``events.user_id``: the top-10
+    heavy hitters with their row share, plus the table-wide skew ratio
+    (max key count / mean key count) on every row — the report a
+    pipeline runs BEFORE choosing between a plain, salted
+    (op_salted_join), or AQE-split join at scale.
+
+    Two hash aggregations over key cardinality (counts, then the
+    1-row global stats broadcast back); the top-10 is a
+    TakeOrderedAndProject, never a full sort.
+    """
+    ev = t["events"]
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_rows",
+            rnd(F.col("n_rows") / F.col("total_rows"), 6).alias("row_share"),
+            rnd(
+                F.col("max_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(10)
+    )
+
+
+ORACLE_SKEW_REPORT = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         max(n_rows) AS max_rows
+  FROM counts
+)
+SELECT user_id, n_rows,
+       {duck_rnd('n_rows / total_rows::DOUBLE', 6)} AS row_share,
+       {duck_rnd('max_rows * n_keys / total_rows::DOUBLE', 4)} AS skew_ratio
+FROM counts, stats
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+"""
+
+
+def op_file_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Physical-layout report for the ``orders`` parquet: per FILE — row
+    count and the min/max orderkey it holds. The data-skipping
+    diagnostic: if key ranges overlap across every file (as they do for
+    an unsorted write), min/max footer pruning can skip nothing and a
+    key-range query scans the whole table; after a sort-on-write the
+    ranges partition and a point query touches one file.
+
+    ``input_file_name()`` is evaluated at the scan (no extra pass);
+    the rollup is one hash aggregation on the file name.
+    """
+    o = t["orders"]
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return (
+        o.groupBy(fname.alias("file_name"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("file_name")
+    )
+
+
+# NOT registry-gated: the DuckDB twin needs read_parquet(..., filename=true)
+# with a literal path, which the gate's pre-registered views cannot express —
+# tests/test_round4_ops.py value-matches it against DuckDB directly instead.
+def duck_file_stats_sql(sf_dir: str) -> str:
+    import os
+
+    base = f"{sf_dir}/orders.parquet"
+    # Spark writes a directory of part files; a plain single-file table
+    # (the generator's layout at small SFs) is read directly.
+    pattern = f"{base}/**/*.parquet" if os.path.isdir(base) else base
+    return f"""
+SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+       count(*) AS n_rows,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM read_parquet('{pattern}', filename=true)
+GROUP BY 1 ORDER BY file_name
+"""
+
+
 QUERIES = {
     "op_date_spine": op_date_spine,
     "op_histogram": op_histogram,
@@ -390,6 +485,7 @@ QUERIES = {
     "op_validity_intervals": op_validity_intervals,
     "op_salted_agg": op_salted_agg,
     "op_salted_join": op_salted_join,
+    "op_skew_report": op_skew_report,
 }
 
 ORACLES = {
@@ -402,6 +498,7 @@ ORACLES = {
     "op_validity_intervals": ORACLE_VALIDITY,
     "op_salted_agg": ORACLE_SALTED_AGG,
     "op_salted_join": ORACLE_SALTED_JOIN,
+    "op_skew_report": ORACLE_SKEW_REPORT,
 }
 
 

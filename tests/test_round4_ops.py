@@ -182,3 +182,27 @@ def test_pq_adc_consistent_with_codes(spark, sf_dir, qs):
     assert d2s == sorted(d2s)
     assert all(d >= 0.0 for d in d2s)
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_file_stats_matches_duckdb(spark, sf_dir, tables):
+    """op_file_stats (not registry-gated: its DuckDB twin needs a
+    literal parquet path) value-matches DuckDB's
+    read_parquet(filename=true) rollup per file."""
+    import duckdb
+
+    from pypers_spark.operators.relational_extra import (
+        duck_file_stats_sql,
+        op_file_stats,
+    )
+
+    got = {
+        r["file_name"]: (r["n_rows"], r["min_key"], r["max_key"])
+        for r in op_file_stats(tables).collect()
+    }
+    con = duckdb.connect()  # keep alive: a temporary would be GC'd mid-query
+    want = {
+        fn: (n, lo, hi)
+        for fn, n, lo, hi in con.sql(duck_file_stats_sql(sf_dir)).fetchall()
+    }
+    con.close()
+    assert got == want and got
