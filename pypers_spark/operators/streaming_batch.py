@@ -290,3 +290,69 @@ GROUP BY 1 ORDER BY win_start
 
 QUERIES["st_sliding_counts"] = st_sliding_counts
 ORACLES["st_sliding_counts"] = ORACLE_ST_SLIDING
+
+
+def st_upsert_drain(t: dict[str, DataFrame]) -> DataFrame:
+    """The foreachBatch keyed-upsert parquet sink INSIDE the value gate:
+    drain the event stream self-unioned with a value-bumped copy (every
+    key arrives at least twice, possibly across micro-batches) through
+    ``streaming_upsert_parquet``, then read the resulting table back.
+
+    Last-write-wins per key with ``order_col=value`` makes the final
+    table exactly one row per event_id carrying the bumped value —
+    independent of micro-batch boundaries — so the drained TABLE (not
+    just a memory sink) value-matches a plain projection oracle. This
+    gates the merge path itself: hash-bucketed partition layout,
+    touched-partition pruning, anti-join, dynamic partition overwrite.
+    """
+    import shutil
+    import tempfile
+
+    from pypers_spark.streaming.core import stream_events, streaming_upsert_parquet
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    bumped = stream.withColumn("value", F.col("value") + F.lit(1000.0))
+    doubled = stream.unionByName(bumped)
+    base = tempfile.mkdtemp(prefix="st_upsert_drain_")
+    out = f"{base}/table"
+    sink = streaming_upsert_parquet(
+        doubled, out, key_cols=["event_id"], order_col="value", n_partitions=4
+    )
+    q = (
+        doubled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    if not os.path.isdir(out):
+        # 0-row stream: availableNow fires no micro-batch, so the sink
+        # never writes — the upserted table is legitimately empty.
+        shutil.rmtree(base, ignore_errors=True)
+        return (
+            t["events"]
+            .select("event_id", "user_id", rnd(F.col("value"), 2).alias("value"))
+            .limit(0)
+        )
+    result = (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", rnd(F.col("value"), 2).alias("value"))
+        .orderBy("event_id")
+    )
+    # Materialize before the temp dir goes away — the gate collects
+    # anyway; localCheckpoint pins the rows so cleanup is safe.
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLE_ST_UPSERT = f"""
+SELECT event_id, user_id, {duck_rnd('value + 1000.0', 2)} AS value
+FROM events ORDER BY event_id
+"""
+
+QUERIES["st_upsert_drain"] = st_upsert_drain
+ORACLES["st_upsert_drain"] = ORACLE_ST_UPSERT
