@@ -448,3 +448,110 @@ FROM node_stats, tri, edges
 
 QUERIES["gr_triangle_count"] = gr_triangle_count
 ORACLES["gr_triangle_count"] = _oracle_triangle_count()
+
+
+# --- gr_modularity -----------------------------------------------------------
+
+
+def gr_modularity(t: dict[str, DataFrame]) -> DataFrame:
+    """Newman modularity of the dd_cluster partition on the τ=0.3
+    near-dup graph: Q = Σ_c [ L_c/m − (D_c/2m)² ] — the standard
+    partition-quality score, composing the connected-components
+    operator with the pair graph (a cross-operator consistency probe as
+    much as a metric: for connected components every edge is
+    intra-community, so L_c sums to m exactly).
+
+    All inputs are node/community-cardinality aggregates off the
+    persisted pair list; the per-community q terms sum through the
+    1e-9 quantized order-free accumulator (community iteration order
+    must not move the float result between engines).
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.operators.similarity import (
+        COS_T03,
+        _cluster_on_pairs,
+        _embedding_cos_pairs,
+    )
+
+    clusters = _cluster_on_pairs(t, COS_T03).select("vec_id", "cluster_id")
+    pairs = tracked_persist(
+        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"), "graph.mod_pairs"
+    )
+    m_df = pairs.agg(F.count("*").cast("double").alias("m"))
+    deg = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    dc = (
+        deg.join(clusters, deg["v"] == clusters["vec_id"])
+        .groupBy("cluster_id")
+        .agg(F.sum("deg").cast("double").alias("d_c"))
+    )
+    ca = clusters.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("c_a"))
+    cb = clusters.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("c_b"))
+    lc = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("cluster_id"))
+        .agg(F.count("*").alias("l_c"))
+    )
+    qc = (
+        dc.join(lc, "cluster_id", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "cluster_id",
+            (
+                (F.coalesce(F.col("l_c"), F.lit(0)).cast("double") / F.col("m"))
+                - (F.col("d_c") / (2 * F.col("m"))) * (F.col("d_c") / (2 * F.col("m")))
+            ).alias("q"),
+        )
+    )
+    return qc.crossJoin(F.broadcast(m_df)).agg(
+        F.count("*").alias("n_communities"),
+        F.first(F.col("m").cast("bigint")).alias("n_edges"),
+        rnd(_psum(F.col("q")), 6).alias("modularity"),
+    )
+
+
+def _oracle_modularity() -> str:
+    from pypers_spark.operators.similarity import COS_T03, _oracle_dd_cluster
+
+    base = _oracle_dd_cluster(COS_T03)
+    cte = base.split("cl AS")[0]  # WITH RECURSIVE pairs/edges/reach chain
+    return f"""{cte}cl AS (SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+m AS (SELECT count(*)::DOUBLE AS m FROM pairs),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT id_a AS v FROM pairs UNION ALL SELECT id_b AS v FROM pairs
+  ) GROUP BY v
+),
+dc AS (
+  SELECT cl.cluster_id, CAST(sum(deg.deg) AS DOUBLE) AS d_c
+  FROM deg JOIN cl ON deg.v = cl.vec_id GROUP BY 1
+),
+lc AS (
+  SELECT ca.cluster_id, count(*) AS l_c
+  FROM pairs p
+  JOIN cl ca ON p.id_a = ca.vec_id
+  JOIN cl cb ON p.id_b = cb.vec_id
+  WHERE ca.cluster_id = cb.cluster_id
+  GROUP BY 1
+),
+qc AS (
+  SELECT dc.cluster_id,
+         (coalesce(l_c, 0)::DOUBLE / m.m)
+           - (d_c / (2 * m.m)) * (d_c / (2 * m.m)) AS q
+  FROM dc LEFT JOIN lc USING (cluster_id), m
+)
+SELECT count(*) AS n_communities,
+       any_value((SELECT CAST(m AS BIGINT) FROM m)) AS n_edges,
+       {duck_rnd(_duck_psum("q"), 6)} AS modularity
+FROM qc
+"""
+
+
+QUERIES["gr_modularity"] = gr_modularity
+ORACLES["gr_modularity"] = _oracle_modularity()
