@@ -742,3 +742,95 @@ FROM framed ORDER BY user_id, ts, event_id
 
 QUERIES["ev_ewma"] = ev_ewma
 ORACLES["ev_ewma"] = _duck_ewma()
+
+
+# --- ev_top_paths ------------------------------------------------------------
+
+PATH_LEN = 3
+PATH_TOP_K = 10
+
+
+def ev_top_paths(t: dict[str, DataFrame]) -> DataFrame:
+    """Path analysis: the top-{PATH_TOP_K} opening event sequences (first
+    {PATH_LEN} event types, '>'-joined) across 30-min-gap sessions — the
+    "how do sessions start" report behind funnel design.
+
+    Sessionization is the ev_sessionize lag→flag→running-sum shape (one
+    user_id shuffle); the per-session path is built ORDER-DETERMINISTICALLY
+    by sorting the collected (ts, event_id, type) structs rather than
+    trusting collect order, then the path rollup is a hash aggregation
+    with a TakeOrderedAndProject top-k — no global sort.
+    """
+    from pypers_spark.operators.events import SESSION_GAP_MIN
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = SESSION_GAP_MIN * 60
+    sess = (
+        t["events"]
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    PATH_LEN,
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+ORACLE_TOP_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM numbered
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+QUERIES["ev_top_paths"] = ev_top_paths
+ORACLES["ev_top_paths"] = ORACLE_TOP_PATHS
