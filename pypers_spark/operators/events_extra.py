@@ -834,3 +834,50 @@ LIMIT {PATH_TOP_K}
 
 QUERIES["ev_top_paths"] = ev_top_paths
 ORACLES["ev_top_paths"] = ORACLE_TOP_PATHS
+
+
+# --- ev_cumulative_users -----------------------------------------------------
+
+
+def ev_cumulative_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily new vs cumulative distinct users — the growth curve.
+
+    Windows cannot COUNT(DISTINCT) over a running frame in either
+    engine; the scalable rewrite is first-seen attribution: each user
+    contributes once, on their first active day (min(ts) per user —
+    one user_id shuffle), then daily new-user counts and a running sum
+    over the tiny per-day series give the cumulative curve. The window
+    runs over day-cardinality rows, never the event stream.
+    """
+    ev = t["events"]
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily_new = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_new.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH first_day AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, count(*) AS new_users FROM first_day GROUP BY day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily ORDER BY day
+"""
+
+QUERIES["ev_cumulative_users"] = ev_cumulative_users
+ORACLES["ev_cumulative_users"] = ORACLE_CUMULATIVE_USERS
