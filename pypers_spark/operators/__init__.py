@@ -59,7 +59,15 @@ for _m in MODULES:
 # Newest gate-risky entries whose home module sits outside the driver's
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
-_HOISTED = ("txt_pii_scrub", "op_salted_join")
+_HOISTED = (
+    "txt_pii_scrub",
+    "op_salted_join",
+    "op_skew_report",
+    "ev_ewma",
+    "ev_top_paths",
+    "ev_cumulative_users",
+    "gr_modularity",
+)
 REGISTRY = {k: REGISTRY[k] for k in _HOISTED} | {
     k: v for k, v in REGISTRY.items() if k not in _HOISTED
 }
