@@ -26,6 +26,7 @@ from pypers_spark.operators import (
     text_extra,
     tpch_extra,
     tpch_rest,
+    training,
 )
 
 # Ordered riskiest-first: the driver's correctness gate samples the
@@ -33,6 +34,7 @@ from pypers_spark.operators import (
 # intricate operator families (streaming drain, curation, similarity,
 # LSH dedup, multimodal) lead and the battle-tested TPC-H shapes trail.
 MODULES = (
+    training,
     streaming_batch,
     curation_extra,
     similarity,
@@ -60,6 +62,10 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "txt_chunk",
+    "txt_clf_score",
+    "txt_mix_apply",
+    "ann_pq_refine",
     "txt_pii_scrub",
     "op_salted_join",
     "op_skew_report",

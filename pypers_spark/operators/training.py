@@ -1,0 +1,306 @@
+"""Training-data preparation operators over ``documents`` (SURVEY.md §2.D).
+
+The last mile between a curated corpus and a training run:
+
+- ``txt_chunk``: fixed-window token chunking with overlap — the
+  context-window prep pass that turns documents into model-sized
+  pieces. Pure explode over a computed start sequence; no Python.
+- ``txt_clf_score``: hashed-feature linear classifier scoring — the
+  fastText/logistic quality-filter shape (CCNet, FineWeb-Edu). The
+  weight table is reached by pure hash arithmetic here (a deterministic
+  stand-in for trained weights); in production the same plan swaps in a
+  broadcast weight join. Entirely map-side + one aggregation.
+- ``txt_mix_apply``: APPLIED mixture resampling — op_mixture_weights
+  computes the per-language weights; this operator executes them with
+  the standard epochs-plus-fraction rule (weight 2.3 → every doc twice,
+  plus a 30% deterministic-hash chance of a third copy) and reports the
+  achieved token mixture.
+
+Scale notes (100 TB intent):
+- txt_chunk is a generate-only pass: one explode keyed by nothing (no
+  shuffle at all until a downstream sink); output partitioning follows
+  the input file splits.
+- txt_clf_score's classifier runs inside whole-stage codegen: bucket =
+  md5(token) mod 1024, weight = affine hash of the bucket — zero joins,
+  one partial-aggregated groupBy(doc_id).
+- txt_mix_apply's only shuffle is the per-language token rollup (a few
+  dozen groups); the per-doc copy decision is map-side hash arithmetic,
+  so the sampled corpus writes out in the same pass that decides it.
+
+Reference: repype ships no operators (SURVEY §1); these cover the
+LLM-training-data surface the north star mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.hashing import duck_md5_int64, md5_int64
+from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.text import duck_normalize_text, tokenize_ws
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_DUCK_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
+
+# --- txt_chunk ---------------------------------------------------------------
+
+CHUNK_SIZE = 32   # tokens per chunk (model context budget stand-in)
+CHUNK_STRIDE = 24  # 25% overlap between consecutive chunks
+
+
+def txt_chunk(t: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-window token chunking with overlap: every document becomes
+    ceil(max(n-{CHUNK_SIZE},0)/{CHUNK_STRIDE})+1 chunks of ≤{CHUNK_SIZE}
+    tokens starting every {CHUNK_STRIDE} tokens (last chunk ragged).
+
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_md5) — the md5
+    stands in for the chunk payload so the gate value-checks content,
+    not just counts.
+    """
+    docs = t["documents"]
+    toks = docs.select("doc_id", tokenize_ws(F.col("text")).alias("toks"))
+    sized = toks.withColumn("n", F.size("toks")).withColumn(
+        "n_chunks",
+        (
+            F.floor(
+                (F.greatest(F.col("n") - CHUNK_SIZE, F.lit(0)) + (CHUNK_STRIDE - 1))
+                / F.lit(CHUNK_STRIDE)
+            )
+            + 1
+        ).cast("int"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_TXT_CHUNK = f"""
+WITH sized AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks,
+         len({_DUCK_TOKS}) AS n,
+         CAST(floor((greatest(len({_DUCK_TOKS}) - {CHUNK_SIZE}, 0)
+                     + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS INT) + 1
+           AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS chunk_idx,
+         list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                    i * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS chunk
+  FROM sized, unnest(range(n_chunks)) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["txt_chunk"] = txt_chunk
+ORACLES["txt_chunk"] = ORACLE_TXT_CHUNK
+
+
+# --- txt_clf_score -----------------------------------------------------------
+
+CLF_BUCKETS = 1024  # hashed feature space (fastText-style bigram-free bag)
+
+
+def _clf_weight(bucket: F.Column) -> F.Column:
+    """Deterministic stand-in weight in [-1, 1] for a feature bucket."""
+    return (
+        (md5_int64(F.concat(F.lit("w:"), bucket.cast("string"))) % 2001 - 1000)
+        / F.lit(1000.0)
+    )
+
+
+def txt_clf_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over hashed
+    bag-of-words features (the fastText-shaped filter behind CCNet /
+    FineWeb-Edu style corpus pruning).
+
+    score(doc) = mean over tokens of w[md5(token) mod {CLF_BUCKETS}].
+    The weights here are a deterministic hash stand-in so the gate can
+    value-match both engines; a trained model drops in as a broadcast
+    (bucket → weight) join against the identical exploded-token plan.
+    Scoring is map-side hash arithmetic + one partial-aggregated
+    groupBy — no joins, no Python.
+    """
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    w = _clf_weight(md5_int64(F.col("token")) % CLF_BUCKETS)
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            rnd(F.sum(F.floor(F.col("w") * 1e6 + F.lit(0.5))) / (F.count("*") * 1e6), 6)
+            .alias("clf_score"),
+        )
+        .withColumn(
+            "quality_label", (F.col("clf_score") >= 0).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_BUCKET = f"({duck_md5_int64('token')} % {CLF_BUCKETS})"
+_DUCK_W = (
+    "(("
+    + duck_md5_int64(f"'w:' || CAST({_DUCK_BUCKET} AS VARCHAR)")
+    + " % 2001 - 1000) / 1000.0)"
+)
+
+ORACLE_TXT_CLF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+scored AS (
+  SELECT doc_id, {_DUCK_W} AS w FROM toks WHERE token <> ''
+)
+SELECT doc_id, count(*) AS n_tokens,
+       {duck_rnd('sum(CAST(floor(w * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0)', 6)}
+         AS clf_score,
+       CAST({duck_rnd('sum(CAST(floor(w * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0)', 6)} >= 0 AS INT)
+         AS quality_label
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["txt_clf_score"] = txt_clf_score
+ORACLES["txt_clf_score"] = ORACLE_TXT_CLF
+
+
+# --- txt_mix_apply -----------------------------------------------------------
+
+MIX_CAP = 5.0  # same upsampling cap as op_mixture_weights
+
+
+def txt_mix_apply(t: dict[str, DataFrame]) -> DataFrame:
+    """The APPLIED training mixture: execute per-language resampling
+    weights with the epochs-plus-fraction rule and report the achieved
+    token mixture per language.
+
+    weight = min({MIX_CAP}, total_tokens / (n_langs · lang_tokens))
+    (op_mixture_weights' uniform-share target). Each doc contributes
+    floor(weight) full copies plus one more iff its deterministic hash
+    u(doc_id) ∈ [0,1) falls under frac(weight) — the standard way train
+    recipes express "2.3 epochs of lang X". The copy decision is
+    map-side arithmetic; the only shuffles are the per-language rollups.
+    """
+    docs = t["documents"]
+    d = docs.select(
+        "doc_id", "lang", F.size(tokenize_ws(F.col("text"))).alias("n_tok")
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("lang_tokens")
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    weighted = per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.least(
+            F.lit(MIX_CAP),
+            F.col("total_tokens").cast("double")
+            / (F.col("n_langs") * F.col("lang_tokens")).cast("double"),
+        ).alias("weight"),
+    )
+    u = (md5_int64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000) / F.lit(1000000.0)
+    copies = F.floor(F.col("weight")).cast("long") + F.when(
+        u < F.col("weight") - F.floor(F.col("weight")), F.lit(1)
+    ).otherwise(F.lit(0))
+    sampled = d.join(F.broadcast(weighted.select("lang", "weight")), "lang").select(
+        "lang", "n_tok", copies.alias("n_copies")
+    )
+    rolled = sampled.groupBy("lang").agg(
+        F.sum("n_copies").alias("n_doc_copies"),
+        F.sum(F.col("n_tok") * F.col("n_copies")).alias("sampled_tokens"),
+    )
+    grand = rolled.agg(F.sum("sampled_tokens").alias("grand_tokens"))
+    return (
+        weighted.join(rolled, "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            rnd(F.col("weight"), 6).alias("weight"),
+            "n_doc_copies",
+            "sampled_tokens",
+            rnd(
+                F.col("sampled_tokens").cast("double")
+                / F.col("grand_tokens").cast("double"),
+                6,
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DUCK_U = (
+    "((" + duck_md5_int64("'mix:' || CAST(doc_id AS VARCHAR)") + ") % 1000000) / 1000000.0"
+)
+
+ORACLE_TXT_MIX_APPLY = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tok FROM documents
+),
+per_lang AS (
+  SELECT lang, count(*) AS n_docs, sum(n_tok) AS lang_tokens
+  FROM d GROUP BY lang
+),
+totals AS (
+  SELECT sum(lang_tokens) AS total_tokens, count(*) AS n_langs FROM per_lang
+),
+weighted AS (
+  SELECT lang, n_docs, lang_tokens,
+         least({MIX_CAP}, (total_tokens::DOUBLE)
+               / ((n_langs * lang_tokens)::DOUBLE)) AS weight
+  FROM per_lang CROSS JOIN totals
+),
+sampled AS (
+  SELECT d.lang, d.n_tok,
+         CAST(floor(w.weight) AS BIGINT)
+         + (CASE WHEN {_DUCK_U} < w.weight - floor(w.weight) THEN 1 ELSE 0 END)
+           AS n_copies
+  FROM d JOIN weighted w USING (lang)
+),
+rolled AS (
+  SELECT lang, sum(n_copies) AS n_doc_copies,
+         sum(n_tok * n_copies) AS sampled_tokens
+  FROM sampled GROUP BY lang
+),
+grand AS (SELECT sum(sampled_tokens) AS grand_tokens FROM rolled)
+SELECT w.lang, w.n_docs, CAST(w.lang_tokens AS BIGINT) AS lang_tokens,
+       {duck_rnd('w.weight', 6)} AS weight,
+       CAST(r.n_doc_copies AS BIGINT) AS n_doc_copies,
+       CAST(r.sampled_tokens AS BIGINT) AS sampled_tokens,
+       {duck_rnd('(r.sampled_tokens::DOUBLE) / (grand_tokens::DOUBLE)', 6)}
+         AS achieved_share
+FROM weighted w JOIN rolled r USING (lang) CROSS JOIN grand
+ORDER BY w.lang
+"""
+
+QUERIES["txt_mix_apply"] = txt_mix_apply
+ORACLES["txt_mix_apply"] = ORACLE_TXT_MIX_APPLY
