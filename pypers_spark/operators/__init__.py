@@ -62,6 +62,9 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "op_zorder",
+    "dd_lsh_curve",
+    "ev_ab_lift",
     "txt_chunk",
     "txt_clf_score",
     "txt_mix_apply",

@@ -1101,3 +1101,95 @@ ORACLES = {
     "dd_minhash_apply": _duck_apply_sql(),
     "dd_threshold_curve": _duck_threshold_curve_sql(),
 }
+
+
+# --- dd_lsh_curve ------------------------------------------------------------
+
+# Alternative (bands, rows) splits of the N_HASHES-permutation signature
+# considered when tuning the LSH stage (b·r = 16 in every config).
+LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+LSH_CURVE_STEPS = 19  # s = 0.05 … 0.95
+
+
+def _pow_chain(col, n: int):
+    """Left-associated multiply chain — identical IEEE order across engines."""
+    out = col
+    for _ in range(n - 1):
+        out = out * col
+    return out
+
+
+def _duck_pow_chain(expr: str, n: int) -> str:
+    out = f"({expr})"
+    for _ in range(n - 1):
+        out = f"({out} * ({expr}))"
+    return out
+
+
+def dd_lsh_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """The LSH banding S-curve — the tuning artifact that picks (bands,
+    rows) before a production dedup run: for each candidate split of the
+    {N_HASHES}-hash signature and each Jaccard similarity s, the
+    probability a pair becomes a candidate, p = 1 − (1 − s^r)^b.
+
+    dd_threshold_curve measures the corpus's pair-count sensitivity to
+    τ; this is the a-priori half — where each config's collision curve
+    crosses its τ knee (s* ≈ (1/b)^(1/r): (4,4) → 0.71, (8,2) → 0.35).
+    Powers are integer-exponent multiply chains (no pow(), which isn't
+    bit-reproducible across libms); the whole table is computed from a
+    literal explode — zero reads, zero shuffles, 76 rows at any corpus
+    size. Takes `t` for registry-signature uniformity only.
+    """
+    from pypers_spark.session import get_session
+
+    spark = get_session()
+    s_vals = [round(0.05 * (i + 1), 2) for i in range(LSH_CURVE_STEPS)]
+    rows = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(s)) for s in s_vals])).alias("s")
+    )
+    grid = rows.select(
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"))
+                    for b, r in LSH_CONFIGS
+                ]
+            )
+        ).alias("cfg"),
+    ).select("s", "cfg.bands", "cfg.rows_per_band")
+    p = None
+    for b, r in LSH_CONFIGS:
+        term = 1 - _pow_chain(1 - _pow_chain(F.col("s"), r), b)
+        p = (
+            F.when((F.col("bands") == b) & (F.col("rows_per_band") == r), term)
+            if p is None
+            else p.when((F.col("bands") == b) & (F.col("rows_per_band") == r), term)
+        )
+    return grid.select(
+        "bands", "rows_per_band", rnd(F.col("s"), 2).alias("s"),
+        rnd(p, 6).alias("p_candidate"),
+    ).orderBy("bands", "s")
+
+
+def _duck_lsh_curve_sql() -> str:
+    s_vals = [round(0.05 * (i + 1), 2) for i in range(LSH_CURVE_STEPS)]
+    s_list = ", ".join(str(v) for v in s_vals)
+    cases = " ".join(
+        f"WHEN bands = {b} THEN "
+        + _duck_pow_chain(f"1 - {_duck_pow_chain('s', r)}", b)
+        for b, r in LSH_CONFIGS
+    )
+    cfgs = ", ".join(f"({b}, {r})" for b, r in LSH_CONFIGS)
+    return f"""
+WITH svals AS (SELECT unnest([{s_list}]::DOUBLE[]) AS s),
+cfgs(bands, rows_per_band) AS (VALUES {cfgs})
+SELECT bands, rows_per_band, {duck_rnd('s', 2)} AS s,
+       {duck_rnd('1 - (CASE ' + cases + ' END)', 6)} AS p_candidate
+FROM svals CROSS JOIN cfgs
+ORDER BY bands, s
+"""
+
+
+QUERIES["dd_lsh_curve"] = dd_lsh_curve
+ORACLES["dd_lsh_curve"] = _duck_lsh_curve_sql()

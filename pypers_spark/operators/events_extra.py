@@ -881,3 +881,97 @@ FROM daily ORDER BY day
 
 QUERIES["ev_cumulative_users"] = ev_cumulative_users
 ORACLES["ev_cumulative_users"] = ORACLE_CUMULATIVE_USERS
+
+
+# --- ev_ab_lift --------------------------------------------------------------
+
+
+def ev_ab_lift(t: dict[str, DataFrame]) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into
+    control (A) / treatment (B), per-event-type mean `value` lift with a
+    Welch t statistic — the experimentation-platform aggregation.
+
+    Assignment = md5(user_id) mod 2 (the stable bucketing a real
+    platform uses, so a user keeps one variant across sessions; no RNG
+    anywhere, so both engines reproduce it). Means and variances come
+    from exact moment sums (dsum_wide: count, Σx, Σx² quantized to
+    int-decimal — order-independent, overflow-safe at unbounded group
+    cardinality), so the statistic is bit-identical across engines;
+    sqrt is IEEE-correctly-rounded and therefore portable. One
+    conditional hash aggregation keyed on event_type — a single shuffle
+    of partial aggregates regardless of corpus size.
+    """
+    from pypers_spark.functions.hashing import md5_int64
+    from pypers_spark.functions.rounding import dsum_wide
+
+    ev = t["events"]
+    v = (md5_int64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).alias(
+        "variant"
+    )
+    e = ev.select("event_type", v, F.col("value").alias("x"))
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        dsum_wide(F.when(F.col("variant") == 0, F.col("x"))).alias("s1_a"),
+        dsum_wide(F.when(F.col("variant") == 1, F.col("x"))).alias("s1_b"),
+        dsum_wide(F.when(F.col("variant") == 0, F.col("x") * F.col("x"))).alias("s2_a"),
+        dsum_wide(F.when(F.col("variant") == 1, F.col("x") * F.col("x"))).alias("s2_b"),
+    )
+    mean_a = F.col("s1_a") / F.col("n_a")
+    mean_b = F.col("s1_b") / F.col("n_b")
+    var_a = (F.col("s2_a") - (F.col("s1_a") * F.col("s1_a")) / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2_b") - (F.col("s1_b") * F.col("s1_b")) / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        rnd(mean_a, 6).alias("mean_a"),
+        rnd(mean_b, 6).alias("mean_b"),
+        rnd(mean_b - mean_a, 6).alias("lift"),
+        F.when(se > 0, rnd((mean_b - mean_a) / se, 4)).alias("t_stat"),
+    ).orderBy("event_type")
+
+
+def _duck_ab_lift_sql() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+    from pypers_spark.functions.rounding import duck_dsum
+
+    variant = f"({duck_md5_int64(chr(39) + 'ab:' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % 2)"
+    s1 = lambda flag: duck_dsum(f"CASE WHEN variant = {flag} THEN x END")
+    s2 = lambda flag: duck_dsum(f"CASE WHEN variant = {flag} THEN x * x END")
+    return f"""
+WITH e AS (SELECT event_type, {variant} AS variant, value AS x FROM events),
+agg AS (
+  SELECT event_type,
+         count(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+         count(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+         {s1(0)} AS s1_a, {s1(1)} AS s1_b,
+         {s2(0)} AS s2_a, {s2(1)} AS s2_b
+  FROM e GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_a, n_b,
+         s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+         (s2_a - (s1_a * s1_a) / n_a) / (n_a - 1) AS var_a,
+         (s2_b - (s1_b * s1_b) / n_b) / (n_b - 1) AS var_b
+  FROM agg
+)
+SELECT event_type, n_a, n_b,
+       {duck_rnd('mean_a', 6)} AS mean_a,
+       {duck_rnd('mean_b', 6)} AS mean_b,
+       {duck_rnd('mean_b - mean_a', 6)} AS lift,
+       CASE WHEN sqrt(var_a / n_a + var_b / n_b) > 0
+            THEN {duck_rnd('(mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)', 4)}
+       END AS t_stat
+FROM m
+ORDER BY event_type
+"""
+
+
+QUERIES["ev_ab_lift"] = ev_ab_lift
+ORACLES["ev_ab_lift"] = _duck_ab_lift_sql()

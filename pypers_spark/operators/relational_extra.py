@@ -557,3 +557,80 @@ FROM lagged ORDER BY month
 
 QUERIES["op_mom_change"] = op_mom_change
 ORACLES["op_mom_change"] = ORACLE_MOM_CHANGE
+
+
+# --- op_zorder ---------------------------------------------------------------
+
+Z_BITS = 8  # bits per dimension → 16-bit Morton codes, 256 "file" buckets
+
+
+def _morton(x: F.Column, y: F.Column) -> F.Column:
+    """16-bit Morton interleave of two 8-bit keys — pure bit arithmetic,
+    identical term order in the DuckDB oracle."""
+    z = F.lit(0)
+    for i in range(Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def op_zorder(t: dict[str, DataFrame]) -> DataFrame:
+    """Z-order (Morton) layout diagnostic: interleave the low {Z_BITS}
+    bits of l_partkey and l_suppkey into a 16-bit space-filling curve
+    key, group rows into 256 "file" buckets by the code's high byte, and
+    report each bucket's key-range envelope on BOTH dimensions.
+
+    This is the multi-column data-skipping layout (Delta/Iceberg
+    OPTIMIZE ZORDER BY): sorting files by the Morton code bounds every
+    file's (partkey, suppkey) rectangle, so min/max pruning works for
+    predicates on EITHER column — a plain sort only bounds its leading
+    column. At 100 TB the plan is: compute z map-side (pure bit
+    arithmetic in codegen), repartitionByRange(z) at write time, and
+    this diagnostic (one hash agg on the bucket key) verifies the
+    envelopes are tight. The x/y spans per bucket here are ≤ 15 out of
+    255 — the skipping evidence the gate value-checks.
+    """
+    li = t["lineitem"]
+    x = (F.col("l_partkey") % (1 << Z_BITS)).cast("int")
+    y = (F.col("l_suppkey") % (1 << Z_BITS)).cast("int")
+    z = _morton(x, y)
+    return (
+        li.select(x.alias("x"), y.alias("y"), z.alias("z"))
+        .withColumn("bucket", F.shiftright(F.col("z"), Z_BITS))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _duck_morton(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(0 + " + " + ".join(terms) + ")"
+
+
+ORACLE_ZORDER = f"""
+WITH keyed AS (
+  SELECT CAST(l_partkey % {1 << Z_BITS} AS INT) AS x,
+         CAST(l_suppkey % {1 << Z_BITS} AS INT) AS y
+  FROM lineitem
+),
+coded AS (
+  SELECT x, y, {_duck_morton('x', 'y')} AS z FROM keyed
+)
+SELECT CAST(z >> {Z_BITS} AS INT) AS bucket, count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM coded GROUP BY 1 ORDER BY bucket
+"""
+
+QUERIES["op_zorder"] = op_zorder
+ORACLES["op_zorder"] = ORACLE_ZORDER
