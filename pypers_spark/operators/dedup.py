@@ -1193,3 +1193,104 @@ ORDER BY bands, s
 
 QUERIES["dd_lsh_curve"] = dd_lsh_curve
 ORACLES["dd_lsh_curve"] = _duck_lsh_curve_sql()
+
+
+# --- dd_bloom_admit ----------------------------------------------------------
+
+BLOOM_BITS = 4096  # demo size; production sizes ~10 bits/key at the corpus scale
+BLOOM_K = 2        # hash functions
+
+
+def dd_bloom_admit(t: dict[str, DataFrame]) -> DataFrame:
+    """Bloom-prefiltered incremental admit: the dd_incremental anti-join
+    with a broadcast Bloom filter in front of it — the explicit form of
+    the runtime row-level filtering a 100 TB ingest needs.
+
+    The base corpus's fingerprint Bloom filter is materialized as a
+    DISTINCT bit-position table (≤ {BLOOM_BITS} rows no matter how big
+    the corpus — that is the point), which broadcasts to every executor.
+    A batch document touches the expensive exact fingerprint anti-join
+    ONLY if all {BLOOM_K} of its probe positions hit (two broadcast
+    semi-joins, map-side); definite-new docs (any probe missing) admit
+    without shuffling the base table at all. The gate row reports the
+    filter's work: batch size, bloom-pass count, true duplicates,
+    false positives (bloom-pass but genuinely new — the cost knob the
+    {BLOOM_BITS}-bit size controls), and exact-checks avoided.
+    """
+    d = t["documents"].select("doc_id", "text", "source")
+    fp_s = F.md5(normalize_text(F.col("text")))
+    base = d.select(fp_s.alias("fp")).distinct()
+    pos = [
+        (md5_int64(F.concat(F.lit(f"bf{j}:"), F.col("fp"))) % BLOOM_BITS).alias(
+            f"pos{j}"
+        )
+        for j in range(BLOOM_K)
+    ]
+    bloom = (
+        base.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    )
+    batch = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("  "), F.upper(F.col("text")))
+        ).otherwise(F.concat(F.col("text"), F.lit(" fresh"))).alias("text"),
+    ).select("doc_id", fp_s.alias("fp"))
+    probed = batch.select("doc_id", "fp", *pos)
+    passed = probed
+    for j in range(BLOOM_K):
+        b = bloom.withColumnRenamed("pos", f"bpos{j}")
+        passed = passed.join(
+            F.broadcast(b), passed[f"pos{j}"] == b[f"bpos{j}"], "left_semi"
+        )
+    true_dup = passed.join(base, "fp", "left_semi")
+    false_pos = passed.join(base, "fp", "left_anti")
+    counts = (
+        batch.agg(F.count("*").alias("n_batch"))
+        .crossJoin(passed.agg(F.count("*").alias("n_bloom_pass")))
+        .crossJoin(true_dup.agg(F.count("*").alias("n_true_dup")))
+        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+    )
+    return counts.select(
+        "n_batch",
+        "n_bloom_pass",
+        "n_true_dup",
+        "n_false_pos",
+        (F.col("n_batch") - F.col("n_bloom_pass")).alias("n_exact_checks_avoided"),
+    )
+
+
+def _duck_bloom_admit_sql() -> str:
+    probes = ", ".join(
+        f"({duck_md5_int64(chr(39) + f'bf{j}:' + chr(39) + ' || fp')} % {BLOOM_BITS}) AS pos{j}"
+        for j in range(BLOOM_K)
+    )
+    pass_cond = " AND ".join(
+        f"pos{j} IN (SELECT pos FROM bloom)" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH base AS (
+  SELECT DISTINCT md5({duck_normalize_text('text')}) AS fp FROM documents
+),
+bloom AS (
+  SELECT DISTINCT unnest([
+    {", ".join(f"({duck_md5_int64(chr(39) + f'bf{j}:' + chr(39) + ' || fp')} % {BLOOM_BITS})" for j in range(BLOOM_K))}
+  ]) AS pos
+  FROM base
+),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         md5({duck_normalize_text("CASE WHEN doc_id % 2 = 0 THEN '  ' || upper(text) ELSE text || ' fresh' END")}) AS fp
+  FROM documents
+),
+probed AS (SELECT doc_id, fp, {probes} FROM batch),
+passed AS (SELECT * FROM probed WHERE {pass_cond})
+SELECT (SELECT count(*) FROM batch) AS n_batch,
+       (SELECT count(*) FROM passed) AS n_bloom_pass,
+       (SELECT count(*) FROM passed WHERE fp IN (SELECT fp FROM base)) AS n_true_dup,
+       (SELECT count(*) FROM passed WHERE fp NOT IN (SELECT fp FROM base)) AS n_false_pos,
+       (SELECT count(*) FROM batch) - (SELECT count(*) FROM passed) AS n_exact_checks_avoided
+"""
+
+
+QUERIES["dd_bloom_admit"] = dd_bloom_admit
+ORACLES["dd_bloom_admit"] = _duck_bloom_admit_sql()

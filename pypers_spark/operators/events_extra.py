@@ -975,3 +975,83 @@ ORDER BY event_type
 
 QUERIES["ev_ab_lift"] = ev_ab_lift
 ORACLES["ev_ab_lift"] = _duck_ab_lift_sql()
+
+
+# --- ev_delta_rollup ---------------------------------------------------------
+
+DELTA_DAYS = 7  # the late-arriving window re-ingested as the delta batch
+
+
+def ev_delta_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily (day ×
+    event_type) rollup refreshed by MERGING PARTIAL AGGREGATES — the
+    base run covers everything older than the last {DELTA_DAYS} days,
+    the delta batch covers the tail, and the refresh combines the two
+    partial states without touching base rows again.
+
+    Every statistic is algebraic (count, int-quantized sum, min, max;
+    the mean derives from merged sum/count), so merge(base, delta) is
+    EXACTLY the full recompute — which is what the gate proves: the
+    DuckDB oracle computes the rollup directly over all rows, and the
+    value hash must match Spark's merge path bit-for-bit. At 100 TB
+    this is the difference between re-scanning the corpus nightly and
+    aggregating one day's partition: the base state persists as the
+    materialized view, each refresh shuffles only the delta.
+    """
+    from pypers_spark.functions.rounding import dsum_wide
+
+    ev = t["events"]
+    cutoff = ev.agg(
+        F.date_add(F.max(F.to_date("ts")), -DELTA_DAYS).alias("cutoff")
+    )
+    d = ev.crossJoin(F.broadcast(cutoff)).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "value",
+        (F.to_date("ts") < F.col("cutoff")).alias("is_base"),
+    )
+
+    def partial(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("decimal(27,0)")).alias("s_q"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+
+    base = partial(d.filter(F.col("is_base")))
+    delta = partial(d.filter(~F.col("is_base")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s_q").alias("s_q"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        rnd((F.col("s_q").cast("double") / 1e6), 4).alias("total"),
+        rnd((F.col("s_q").cast("double") / 1e6) / F.col("n"), 6).alias("mean"),
+        rnd(F.col("v_min"), 4).alias("v_min"),
+        rnd(F.col("v_max"), 4).alias("v_max"),
+    ).orderBy("day", "event_type")
+
+
+ORACLE_DELTA_ROLLUP = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n,
+       {duck_rnd('CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0', 4)} AS total,
+       {duck_rnd('(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / count(*)', 6)} AS mean,
+       {duck_rnd('min(value)', 4)} AS v_min,
+       {duck_rnd('max(value)', 4)} AS v_max
+FROM events
+GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+QUERIES["ev_delta_rollup"] = ev_delta_rollup
+ORACLES["ev_delta_rollup"] = ORACLE_DELTA_ROLLUP
