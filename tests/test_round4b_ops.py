@@ -1,0 +1,138 @@
+"""Semantic property tests for the round-4 late-wave operators —
+structural invariants the value-oracle comparison can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_pq_refine_beats_or_matches_adc(spark, sf_dir, qs):
+    """The reranked top-10 must order by EXACT cosine and recall at
+    least as much of the brute-force top-10 as bare ADC does."""
+    exact = [r["vec_id"] for r in qs["ann_topk_cosine"](spark, sf_dir).collect()]
+    adc = [r["vec_id"] for r in qs["ann_pq_adc"](spark, sf_dir).collect()]
+    refined = qs["ann_pq_refine"](spark, sf_dir).collect()
+    ref_ids = [r["vec_id"] for r in refined]
+    assert len(ref_ids) == len(set(ref_ids)) == 10
+    sims = [r["cos_sim"] for r in refined]
+    assert sims == sorted(sims, reverse=True)
+    assert len(set(ref_ids) & set(exact)) >= len(set(adc) & set(exact))
+
+
+def test_txt_chunk_covers_every_token(spark, sf_dir, qs, tables):
+    """Chunks tile each document: ragged last chunk, stride-1 overlap
+    accounting, and total coverage equals the doc's token count."""
+    from pypers_spark.functions.text import tokenize_ws
+    from pypers_spark.operators.training import CHUNK_SIZE, CHUNK_STRIDE
+
+    chunks = qs["txt_chunk"](spark, sf_dir).collect()
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in tables["documents"]
+        .select("doc_id", F.size(tokenize_ws(F.col("text"))).alias("n"))
+        .collect()
+    }
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = n_toks[doc_id]
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        for i, r in enumerate(rows[:-1]):
+            assert r["n_chunk_tokens"] == CHUNK_SIZE, (doc_id, i)
+        # the last chunk ends exactly at the document's last token —
+        # full tiling, no token dropped, no phantom chunk
+        assert (len(rows) - 1) * CHUNK_STRIDE + rows[-1]["n_chunk_tokens"] == n
+
+
+def test_txt_mix_apply_share_sums_to_one(spark, sf_dir, qs):
+    rows = qs["txt_mix_apply"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["achieved_share"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    for r in rows:
+        # epochs-plus-fraction: copies within [floor(w)*n, ceil(w)*n]
+        lo = math.floor(r["weight"]) * r["n_docs"]
+        hi = math.ceil(r["weight"]) * r["n_docs"]
+        assert lo <= r["n_doc_copies"] <= hi
+
+
+def test_zorder_buckets_bound_both_dims(spark, sf_dir, qs):
+    """The point of the Morton layout: every file bucket's x AND y spans
+    are bounded by the low-nibble width (15), not the full 0..255."""
+    rows = qs["op_zorder"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 15
+        assert r["y_max"] - r["y_min"] <= 15
+
+
+def test_lsh_curve_knees(spark, sf_dir, qs):
+    """S-curve sanity: p is monotone in s for fixed config; more rows
+    per band pushes the knee right (more selective)."""
+    rows = qs["dd_lsh_curve"](spark, sf_dir).collect()
+    by_cfg: dict = {}
+    for r in rows:
+        by_cfg.setdefault((r["bands"], r["rows_per_band"]), []).append(r)
+    assert set(by_cfg) == {(16, 1), (8, 2), (4, 4), (2, 8)}
+    for cfg, rs in by_cfg.items():
+        rs.sort(key=lambda r: r["s"])
+        ps = [r["p_candidate"] for r in rs]
+        assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:])), cfg
+    # half-collision point moves right as r grows
+    def knee(cfg):
+        rs = sorted(by_cfg[cfg], key=lambda r: r["s"])
+        return next(r["s"] for r in rs if r["p_candidate"] >= 0.5)
+
+    assert knee((16, 1)) < knee((8, 2)) < knee((4, 4)) < knee((2, 8))
+
+
+def test_bloom_admit_accounting(spark, sf_dir, qs):
+    """Bloom filters never false-negative: every true duplicate passes;
+    pass + avoided = batch; false positives are the (sized) remainder."""
+    r = qs["dd_bloom_admit"](spark, sf_dir).collect()[0]
+    assert r["n_batch"] == r["n_bloom_pass"] + r["n_exact_checks_avoided"]
+    assert r["n_bloom_pass"] == r["n_true_dup"] + r["n_false_pos"]
+    # half the synthetic batch collides with the base by construction
+    assert r["n_true_dup"] == r["n_batch"] // 2
+    assert r["n_false_pos"] < r["n_batch"] // 10  # 4096 bits keeps fp low here
+
+
+def test_ab_lift_assignment_is_stable_and_balanced(spark, sf_dir, qs, tables):
+    rows = qs["ev_ab_lift"](spark, sf_dir).collect()
+    assert rows
+    n_events = tables["events"].count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_events
+    for r in rows:
+        # hash split is roughly balanced per type
+        assert 0.2 < r["n_a"] / (r["n_a"] + r["n_b"]) < 0.8
+        if r["t_stat"] is not None:
+            assert abs(r["t_stat"]) < 50
+
+
+def test_delta_rollup_merge_equals_direct(spark, sf_dir, qs, tables):
+    """The merged partial-aggregate rollup equals a direct single-pass
+    aggregation (count per (day, type)) — mergeability, engine-side."""
+    merged = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in qs["ev_delta_rollup"](spark, sf_dir).collect()
+    }
+    direct = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in tables["events"]
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert merged == direct
