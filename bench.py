@@ -64,6 +64,17 @@ HEADLINE = (
     "txt_pii_scrub",
     "op_salted_join",
     "txt_bigram_score",
+    # round-4 late wave: context-window chunking, model-based quality
+    # scoring, applied mixture, PQ rerank, bloom-prefiltered admit,
+    # Morton layout diagnostic, A/B readout, delta-merge rollup
+    "txt_chunk",
+    "txt_clf_score",
+    "txt_mix_apply",
+    "ann_pq_refine",
+    "dd_bloom_admit",
+    "op_zorder",
+    "ev_ab_lift",
+    "ev_delta_rollup",
 )
 
 

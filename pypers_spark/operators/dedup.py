@@ -1294,3 +1294,88 @@ SELECT (SELECT count(*) FROM batch) AS n_batch,
 
 QUERIES["dd_bloom_admit"] = dd_bloom_admit
 ORACLES["dd_bloom_admit"] = _duck_bloom_admit_sql()
+
+
+# --- dd_containment ----------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dd_containment(t: dict[str, DataFrame]) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A| on
+    char-4-gram sets, flagged when either direction ≥
+    {CONTAINMENT_THRESHOLD} — the near-SUPERSET case symmetric Jaccard
+    misses (a short article pasted into a long boilerplate page scores
+    J ≈ |A|/|B| ≈ 0 but containment ≈ 1; Broder's original resemblance
+    /containment split).
+
+    Reuses the checkpointed gram table; pairwise only within the
+    blocking key (source here, LSH band in production). No size-ratio
+    prune — asymmetric sizes are exactly the target — so block
+    boundedness is the entire cost control, which is why the LSH-band
+    blocking variant is the production shape. Emits both directions'
+    containment plus Jaccard for contrast, small-into-big orientation.
+    """
+    sets = _gram_table(t)
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("g").alias("g_a")
+    ).withColumn("ng_a", F.size("g_a"))
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), "source", F.col("g").alias("g_b")
+    ).withColumn("ng_b", F.size("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", inter)
+        .withColumn("cont_max", rnd(F.col("inter") / F.least("ng_a", "ng_b"), 4))
+        .filter(F.col("cont_max") >= CONTAINMENT_THRESHOLD)
+    )
+    return pairs.select(
+        "source",
+        "id_a",
+        "id_b",
+        rnd(F.col("inter") / F.col("ng_a"), 4).alias("cont_a_in_b"),
+        rnd(F.col("inter") / F.col("ng_b"), 4).alias("cont_b_in_a"),
+        rnd(
+            F.col("inter") / (F.col("ng_a") + F.col("ng_b") - F.col("inter")), 4
+        ).alias("jaccard"),
+        F.when(F.col("ng_a") <= F.col("ng_b"), F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a"))
+        .alias("direction"),
+    ).orderBy("source", "id_a", "id_b")
+
+
+def _duck_containment_sql() -> str:
+    from pypers_spark.functions.text import duck_char_ngrams
+
+    grams = (
+        f"list_distinct(list_transform({duck_char_ngrams('text', 4)}, "
+        f"s -> {duck_md5_int64('s')}))"
+    )
+    return f"""
+WITH {DUCK_CORPUS},
+sets AS (
+  SELECT doc_id, source, {grams} AS g
+  FROM corpus
+  WHERE length({duck_normalize_text('text')}) >= 4
+),
+pairs AS (
+  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g)) AS inter,
+         len(a.g) AS ng_a, len(b.g) AS ng_b
+  FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT source, id_a, id_b,
+       {duck_rnd('inter * 1.0 / ng_a', 4)} AS cont_a_in_b,
+       {duck_rnd('inter * 1.0 / ng_b', 4)} AS cont_b_in_a,
+       {duck_rnd('inter * 1.0 / (ng_a + ng_b - inter)', 4)} AS jaccard,
+       CASE WHEN ng_a <= ng_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM pairs
+WHERE {duck_rnd('inter * 1.0 / least(ng_a, ng_b)', 4)} >= {CONTAINMENT_THRESHOLD}
+ORDER BY source, id_a, id_b
+"""
+
+
+QUERIES["dd_containment"] = dd_containment
+ORACLES["dd_containment"] = _duck_containment_sql()

@@ -1029,3 +1029,78 @@ ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_pq_refine": ORACLE_ANN_PQ_REFINE,
 }
+
+
+# --- ann_knn_graph -----------------------------------------------------------
+
+KNN_K = 3
+
+
+def ann_knn_graph(t: dict[str, DataFrame]) -> DataFrame:
+    """k-NN graph construction: each vector's top-{KNN_K} cosine
+    neighbors WITHIN ITS BLOCK (label here; an IVF/LSH cell in
+    production) — the build step every graph-based ANN index (HNSW,
+    NSG) and graph-clustering pipeline starts from.
+
+    Block self-join → per-source window rank → keep {KNN_K}. The window
+    shares the self-join's block partitioning (one exchange); blocks
+    bound the pair count, so the build is O(Σ block²) with block size
+    capped by the cell assignment — never corpus². Emits a DIRECTED
+    edge list (vec_id → nbr_id, rank, cos); symmetrization (union with
+    the reverse and dedup) is one extra aggregate when an undirected
+    graph is needed.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.vectors import l2_norm
+
+    emb = t["embeddings"]
+    v = tracked_persist(
+        emb.select(
+            "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        ),
+        "similarity.knn_graph_vecs",
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_id"), "label",
+        F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nbr_id"), "label",
+        F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"),
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > 0, dot(F.col("e_a"), F.col("e_b")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("label", "vec_id", "nbr_id", rnd(cos, 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "rank", "nbr_id", "cos_sim", "label")
+        .orderBy("vec_id", "rank")
+    )
+
+
+ORACLE_ANN_KNN_GRAPH = f"""
+WITH pairs AS (
+  SELECT a.label AS label, a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id != b.vec_id
+)
+SELECT vec_id, CAST(rank AS INT) AS rank, nbr_id, cos_sim, label FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id
+  ) AS rank
+  FROM pairs
+) WHERE rank <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+QUERIES["ann_knn_graph"] = ann_knn_graph
+ORACLES["ann_knn_graph"] = ORACLE_ANN_KNN_GRAPH
