@@ -62,6 +62,8 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "ev_feature_matrix",
+    "txt_split_holdout",
     "dd_containment",
     "ann_knn_graph",
     "dd_bloom_admit",

@@ -1055,3 +1055,112 @@ GROUP BY 1, 2 ORDER BY day, event_type
 
 QUERIES["ev_delta_rollup"] = ev_delta_rollup
 ORACLES["ev_delta_rollup"] = ORACLE_DELTA_ROLLUP
+
+
+# --- ev_feature_matrix -------------------------------------------------------
+
+FEATURE_TYPES = ("view", "click", "signup", "error")
+
+
+def ev_feature_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Point-in-time-correct training-set construction: one row per
+    purchase event with features computed from the user's history
+    STRICTLY BEFORE that purchase — the feature-store discipline that
+    prevents label leakage (training features must match what serving
+    could have known at prediction time).
+
+    Features: per-type prior counts, prior purchase spend (exact
+    int-quantized sum), seconds since the user's first event. One
+    window shuffle keyed on user_id, frame = rows unbounded-preceding
+    to 1-preceding over the (ts, event_id) order — every feature for
+    every purchase in a single pass over the stream; no per-label
+    self-joins, no leakage-prone BETWEEN joins. The label (purchase
+    value) rides the same row.
+    """
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = [
+        F.count(F.when(F.col("event_type") == ty, 1)).over(w).alias(f"n_{ty}_before")
+        for ty in FEATURE_TYPES
+    ]
+    prior_spend = (
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)),
+            )
+        ).over(w)
+        / 1e6
+    )
+    first_ts = F.min(F.struct("ts", "event_id")).over(
+        Window.partitionBy("user_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )["ts"]
+    rows = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        *feats,
+        F.coalesce(prior_spend, F.lit(0.0)).alias("prior_spend"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(first_ts)).alias("secs_active"),
+        F.row_number().over(w_all).alias("seq_no"),
+    )
+    return (
+        rows.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            *[f"n_{ty}_before" for ty in FEATURE_TYPES],
+            rnd(F.col("prior_spend"), 4).alias("prior_spend"),
+            "secs_active",
+            (F.col("seq_no") - 1).alias("n_events_before"),
+            rnd(F.col("value"), 4).alias("label_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def _duck_feature_matrix_sql() -> str:
+    feats = ",\n         ".join(
+        f"count(CASE WHEN event_type = '{ty}' THEN 1 END) OVER w_prior AS n_{ty}_before"
+        for ty in FEATURE_TYPES
+    )
+    return f"""
+WITH rows_w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         {feats},
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END)
+                  OVER w_prior / 1000000.0, 0.0) AS prior_spend,
+         {_DUCK_EPOCH.format(col='ts')}
+           - min({_DUCK_EPOCH.format(col='ts')}) OVER w_user AS secs_active,
+         row_number() OVER w_ord AS seq_no
+  FROM events
+  WINDOW
+    w_prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_user AS (PARTITION BY user_id),
+    w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id AS purchase_id, user_id,
+       {", ".join(f"n_{ty}_before" for ty in FEATURE_TYPES)},
+       {duck_rnd('prior_spend', 4)} AS prior_spend,
+       CAST(secs_active AS BIGINT) AS secs_active,
+       CAST(seq_no - 1 AS BIGINT) AS n_events_before,
+       {duck_rnd('value', 4)} AS label_value
+FROM rows_w
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+QUERIES["ev_feature_matrix"] = ev_feature_matrix
+ORACLES["ev_feature_matrix"] = _duck_feature_matrix_sql()

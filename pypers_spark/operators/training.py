@@ -304,3 +304,67 @@ ORDER BY w.lang
 
 QUERIES["txt_mix_apply"] = txt_mix_apply
 ORACLES["txt_mix_apply"] = ORACLE_TXT_MIX_APPLY
+
+
+# --- txt_split_holdout -------------------------------------------------------
+
+SPLIT_PCTS = (90, 5, 5)  # train / val / test
+
+
+def txt_split_holdout(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic train/val/test corpus split ({SPLIT_PCTS[0]}/
+    {SPLIT_PCTS[1]}/{SPLIT_PCTS[2]}) by content-independent doc_id hash,
+    reported per source × split — the holdout assignment every training
+    pipeline fixes once and must be able to reproduce forever.
+
+    Hash-mod assignment (not row_number striping) is the scale-correct
+    rule: it needs no global ordering, is stable under corpus appends
+    (an existing doc never changes split when new docs arrive), and
+    shards uniformly. Keying on doc_id rather than content keeps
+    near-duplicate leakage a SEPARATE concern — dd_contamination
+    audits train/eval n-gram overlap on exactly this split's boundary.
+    Map-side assignment + one rollup shuffle.
+    """
+    docs = t["documents"]
+    h = md5_int64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < SPLIT_PCTS[0], F.lit("train"))
+        .when(h < SPLIT_PCTS[0] + SPLIT_PCTS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "source", split.alias("split"), F.col("n_chars"),
+            F.size(tokenize_ws(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+_DUCK_SPLIT_H = (
+    "(" + duck_md5_int64("'split:' || CAST(doc_id AS VARCHAR)") + " % 100)"
+)
+
+ORACLE_TXT_SPLIT = f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {_DUCK_SPLIT_H} < {SPLIT_PCTS[0]} THEN 'train'
+              WHEN {_DUCK_SPLIT_H} < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars, len({_DUCK_TOKS}) AS n_tok
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY source, split ORDER BY source, split
+"""
+
+QUERIES["txt_split_holdout"] = txt_split_holdout
+ORACLES["txt_split_holdout"] = ORACLE_TXT_SPLIT
