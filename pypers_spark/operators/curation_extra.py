@@ -1007,3 +1007,119 @@ GROUP BY h.doc_id ORDER BY doc_id
 
 QUERIES["txt_ngram_novelty"] = txt_ngram_novelty
 ORACLES["txt_ngram_novelty"] = ORACLE_NGRAM_NOVELTY
+
+
+# --- dd_span_scrub -----------------------------------------------------------
+
+
+def dd_span_scrub(t: dict[str, DataFrame]) -> DataFrame:
+    """The APPLIED exact-substring dedup (Lee et al.'s rewrite step):
+    remove every token covered by a cross-document duplicated
+    {SPAN_N}-gram span (dd_dup_spans finds them; this pass cuts them)
+    and emit the scrubbed corpus accounting — tokens before/removed and
+    the md5 of the surviving text, so the gate value-checks the actual
+    rewrite, not just the span list.
+
+    Plan: the posting window marks duplicated gram positions (same
+    single gram-hash shuffle as dd_dup_spans), each mark fans out to its
+    ≤{SPAN_N} covered token indices (bounded explode), and the rewrite
+    is one anti-join of the token table against the covered set followed
+    by an ordered re-assembly per document (array_sort over (idx, token)
+    structs — deterministic under any shuffle order). No quadratic
+    anything: cost is O(tokens · {SPAN_N}) regardless of corpus size.
+    """
+    docs = t["documents"]
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    with_toks = docs.select(
+        "doc_id", tokenize_ws(F.col("text")).alias("toks")
+    ).repartition(n_part, F.col("doc_id"))
+    from pypers_spark.functions.caching import tracked_persist
+
+    with_toks = tracked_persist(with_toks, "curation.span_scrub_toks")
+    grams = with_toks.select(
+        "doc_id",
+        F.posexplode(_word_ngrams_of(F.col("toks"), SPAN_N)).alias("pos", "gram"),
+    ).select("doc_id", "pos", md5_int64(F.col("gram")).alias("gh"))
+    wg = Window.partitionBy("gh")
+    marked = (
+        grams.withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "pos")
+    )
+    covered = marked.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))).alias("idx")
+    ).distinct()
+    tokens = with_toks.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("idx", "token")
+    )
+    kept = tokens.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "token"))),
+                    lambda s: s["token"],
+                ),
+            )
+        ).alias("scrubbed_md5"),
+    )
+    totals = with_toks.select("doc_id", F.size("toks").alias("n_tok"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_tok_kept"), F.lit(0)).alias("n_tok_kept"),
+            (F.col("n_tok") - F.coalesce(F.col("n_tok_kept"), F.lit(0))).alias(
+                "n_tok_removed"
+            ),
+            F.coalesce(F.col("scrubbed_md5"), F.md5(F.lit(""))).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_SCRUB = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, {_duck_word_ngrams('toks', SPAN_N)} AS grams FROM tok
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(grams) + 1)) AS i, grams FROM g
+),
+h AS (
+  SELECT doc_id, i - 1 AS pos, {duck_md5_int64("grams[i]")} AS gh FROM pos
+),
+dup AS (SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT h.doc_id, h.pos FROM h JOIN dup USING (gh)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM marked, unnest(range({SPAN_N})) AS t(d)
+),
+tokens AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) - 1 AS idx, toks FROM tok
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.toks[t.idx + 1] AS token
+  FROM tokens t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_tok_kept,
+         md5(string_agg(token, ' ' ORDER BY idx)) AS scrubbed_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id AS doc_id, len(tok.toks) AS n_tok,
+       coalesce(r.n_tok_kept, 0) AS n_tok_kept,
+       len(tok.toks) - coalesce(r.n_tok_kept, 0) AS n_tok_removed,
+       coalesce(r.scrubbed_md5, md5('')) AS scrubbed_md5
+FROM tok LEFT JOIN rebuilt r ON tok.doc_id = r.doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["dd_span_scrub"] = dd_span_scrub
+ORACLES["dd_span_scrub"] = ORACLE_SPAN_SCRUB
