@@ -136,3 +136,82 @@ def test_delta_rollup_merge_equals_direct(spark, sf_dir, qs, tables):
         .collect()
     }
     assert merged == direct
+
+
+def test_containment_dominates_jaccard(spark, sf_dir, qs):
+    """J = |∩|/|∪| ≤ |∩|/|A| = containment, both directions; and the op
+    must surface at least one asymmetric pair Jaccard would miss."""
+    rows = qs["dd_containment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["jaccard"] <= min(r["cont_a_in_b"], r["cont_b_in_a"]) + 1e-9
+        assert max(r["cont_a_in_b"], r["cont_b_in_a"]) >= 0.8 - 1e-9
+    assert any(r["jaccard"] < 0.8 for r in rows)
+
+
+def test_knn_graph_shape(spark, sf_dir, qs):
+    rows = qs["ann_knn_graph"](spark, sf_dir).collect()
+    per_vec: dict = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], []).append(r)
+    assert per_vec
+    for vec_id, rs in per_vec.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert vec_id not in {r["nbr_id"] for r in rs}
+
+
+def test_feature_matrix_no_leakage(spark, sf_dir, qs, tables):
+    """One row per purchase; prior counts can never exceed the total
+    strictly-before event count (the leakage invariant)."""
+    rows = qs["ev_feature_matrix"](spark, sf_dir).collect()
+    n_purchases = tables["events"].filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    for r in rows:
+        typed = sum(r[f"n_{ty}_before"] for ty in ("view", "click", "signup", "error"))
+        assert typed <= r["n_events_before"]  # remainder = prior purchases
+        assert r["secs_active"] >= 0
+        assert r["prior_spend"] >= 0
+
+
+def test_split_holdout_partitions_corpus(spark, sf_dir, qs, tables):
+    rows = qs["txt_split_holdout"](spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == tables["documents"].count()
+    train = sum(r["n_docs"] for r in rows if r["split"] == "train")
+    assert 0.8 < train / total < 0.97
+
+
+def test_span_scrub_consistent_with_spans(spark, sf_dir, qs, tables):
+    """Every doc appears once; docs named by dd_dup_spans lose at least
+    a span's worth of tokens, untouched docs keep their exact text."""
+    scrub = {r["doc_id"]: r for r in qs["dd_span_scrub"](spark, sf_dir).collect()}
+    assert len(scrub) == tables["documents"].count()
+    # token-coverage UNION per doc: two islands of duplicated gram
+    # positions separated by a sub-N gap overlap in token coverage, so
+    # summing widths would double-count
+    spans: dict = {}
+    for r in qs["dd_dup_spans"](spark, sf_dir).collect():
+        spans.setdefault(r["doc_id"], set()).update(
+            range(r["start_tok"], r["end_tok"] + 1)
+        )
+    spans = {k: len(v) for k, v in spans.items()}
+    from pypers_spark.functions.text import tokenize_ws
+
+    originals = {
+        r["doc_id"]: r["m"]
+        for r in tables["documents"]
+        .select(
+            "doc_id", F.md5(F.concat_ws(" ", tokenize_ws(F.col("text")))).alias("m")
+        )
+        .collect()
+    }
+    for doc_id, r in scrub.items():
+        assert 0 <= r["n_tok_removed"] <= r["n_tok"]
+        if doc_id in spans:
+            assert r["n_tok_removed"] == spans[doc_id]
+        else:
+            assert r["n_tok_removed"] == 0
+            assert r["scrubbed_md5"] == originals[doc_id]
