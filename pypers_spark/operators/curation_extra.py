@@ -1123,3 +1123,115 @@ ORDER BY doc_id
 
 QUERIES["dd_span_scrub"] = dd_span_scrub
 ORACLES["dd_span_scrub"] = ORACLE_SPAN_SCRUB
+
+
+# --- ann_kmeans_update -------------------------------------------------------
+
+
+def ann_kmeans_update(t: dict[str, DataFrame]) -> DataFrame:
+    """The OTHER half of a Lloyd iteration: recompute each centroid as
+    the exact mean of its assigned vectors and report how far it moved —
+    ann_kmeans_assign is the E-step, this is the M-step; together they
+    are the loop a production IVF/k-means codebook trainer iterates
+    (compare ann_ivf seeding and dd_semantic_dedup's sqrt-K cells).
+
+    The per-dimension mean is an exact int-quantized sum over a
+    posexplode of the assigned vectors — one shuffle keyed on
+    (cid, dim), {KMEANS_K}·64 output rows, order-independent and
+    bit-identical in the oracle. Movement = squared L2 between old and
+    new centroid, assembled by joining the 64 per-dim means back into
+    an array (array_agg over a sorted struct — deterministic). At
+    100 TB: the explode is map-side, the (cid, dim) aggregation is the
+    only data-sized shuffle, and the k×64 result broadcasts into the
+    next assign step.
+    """
+    emb = t["embeddings"]
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a, b = F.col("embedding"), F.col("cvec")
+    d2 = (dot(a, a) - 2 * dot(a, b) + dot(b, b)).alias("d2")
+    pairs = emb.crossJoin(F.broadcast(cent)).select("vec_id", "embedding", "cid", d2)
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("best.cid").alias("cid"), "embedding")
+    )
+    per_dim = (
+        assigned.select("cid", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            (F.sum(F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)))
+             / (F.count("*") * 1e6)).alias("mu")
+        )
+    )
+    new_cent = per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("nvec"),
+        F.count("*").alias("n_dims"),
+    )
+    moved = new_cent.join(cent, "cid").select(
+        "cid",
+        "n_dims",
+        rnd(
+            F.aggregate(
+                F.zip_with(
+                    F.col("nvec"),
+                    F.col("cvec"),
+                    lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("moved_d2"),
+    )
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+    return (
+        moved.join(counts, "cid")
+        .select("cid", "n_assigned", "n_dims", "moved_d2")
+        .orderBy("cid")
+    )
+
+
+ORACLE_KMEANS_UPDATE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+pairs AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_D2} AS d2
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+per_dim AS (
+  SELECT cid, dim - 1 AS dim,
+         sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           / (count(*) * 1000000.0) AS mu
+  FROM (
+    SELECT cid, unnest(range(1, len(embedding) + 1)) AS dim, embedding
+    FROM assigned
+  ) t_pos, LATERAL (SELECT embedding[dim] AS x) lx
+  GROUP BY cid, dim
+),
+new_cent AS (
+  SELECT cid, list(mu ORDER BY dim) AS nvec, count(*) AS n_dims FROM per_dim GROUP BY cid
+),
+counts AS (SELECT cid, count(*) AS n_assigned FROM assigned GROUP BY cid)
+SELECT n.cid AS cid, counts.n_assigned, CAST(n.n_dims AS BIGINT) AS n_dims,
+       {duck_rnd("list_sum(list_transform(range(1, len(n.nvec) + 1), i -> (n.nvec[i] - CAST(c.cvec[i] AS DOUBLE)) * (n.nvec[i] - CAST(c.cvec[i] AS DOUBLE))))", 6)} AS moved_d2
+FROM new_cent n JOIN c ON n.cid = c.cid JOIN counts ON counts.cid = n.cid
+ORDER BY cid
+"""
+
+QUERIES["ann_kmeans_update"] = ann_kmeans_update
+ORACLES["ann_kmeans_update"] = ORACLE_KMEANS_UPDATE
