@@ -368,3 +368,178 @@ FROM assigned GROUP BY source, split ORDER BY source, split
 
 QUERIES["txt_split_holdout"] = txt_split_holdout
 ORACLES["txt_split_holdout"] = ORACLE_TXT_SPLIT
+
+
+# --- pipe_training -----------------------------------------------------------
+
+from pypers_spark.stage import Stage  # noqa: E402
+
+
+class IngestTrainDocs(Stage):
+    """Lazy documents scan, spread for compute (same shape as curation)."""
+
+    outputs = ("docs",)
+
+    def process(self, pipeline, config, status=None, **inputs):
+        from pypers_spark.session import current_session
+
+        spark = current_session()
+        df = spark.read.parquet(f'{config["sf_dir"]}/documents.parquet')
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return {"docs": df.repartition(n, F.col("doc_id"))}
+
+
+class HoldoutSplit(Stage):
+    """Keep the train split (txt_split_holdout's hash-mod rule)."""
+
+    consumes = ("docs",)
+    outputs = ("train",)
+
+    def process(self, pipeline, config, status=None, docs=None, **inputs):
+        h = (
+            md5_int64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+            % 100
+        )
+        return {"train": docs.filter(h < SPLIT_PCTS[0])}
+
+
+class ClfQualityFilter(Stage):
+    """Keep docs the hashed-feature classifier scores non-negative."""
+
+    consumes = ("train",)
+    outputs = ("kept",)
+
+    def process(self, pipeline, config, status=None, train=None, **inputs):
+        toks = train.select(
+            "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token")
+        ).filter(F.col("token") != "")
+        w = _clf_weight(md5_int64(F.col("token")) % CLF_BUCKETS)
+        scores = (
+            toks.select("doc_id", w.alias("w"))
+            .groupBy("doc_id")
+            .agg(
+                rnd(
+                    F.sum(F.floor(F.col("w") * 1e6 + F.lit(0.5)))
+                    / (F.count("*") * 1e6),
+                    6,
+                ).alias("clf_score")
+            )
+        )
+        kept = train.join(scores, "doc_id").filter(F.col("clf_score") >= 0)
+        return {"kept": kept}
+
+
+class ChunkDocs(Stage):
+    """Context-window chunking of the surviving docs (txt_chunk rule)."""
+
+    consumes = ("kept",)
+    outputs = ("chunks",)
+
+    def process(self, pipeline, config, status=None, kept=None, **inputs):
+        toks = kept.select(
+            "doc_id", "source", tokenize_ws(F.col("text")).alias("toks")
+        )
+        sized = toks.withColumn("n", F.size("toks")).withColumn(
+            "n_chunks",
+            (
+                F.floor(
+                    (
+                        F.greatest(F.col("n") - CHUNK_SIZE, F.lit(0))
+                        + (CHUNK_STRIDE - 1)
+                    )
+                    / F.lit(CHUNK_STRIDE)
+                )
+                + 1
+            ).cast("int"),
+        )
+        chunk = F.slice(
+            F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+        )
+        chunks = sized.select(
+            "doc_id",
+            "source",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        ).select(
+            "doc_id", "source", F.size(chunk).alias("n_chunk_tokens")
+        )
+        return {"chunks": chunks}
+
+
+class TrainSetStats(Stage):
+    """Per-source rollup of the produced training chunks."""
+
+    consumes = ("chunks",)
+    outputs = ("stats",)
+
+    def process(self, pipeline, config, status=None, chunks=None, **inputs):
+        return {
+            "stats": chunks.groupBy("source").agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_chunks"),
+                F.sum("n_chunk_tokens").alias("total_chunk_tokens"),
+            )
+        }
+
+
+def pipe_training(t) -> DataFrame:
+    """The training-prep pipeline as ONE oracled query, built through the
+    real create_pipeline/Pipeline.process machinery (like pipe_curation
+    for curation): ingest → holdout split (train 90%) → hashed-feature
+    classifier filter → context-window chunking → per-source rollup.
+    The whole thing composes into a single Catalyst plan; the only
+    shuffles are the classifier's per-doc aggregation, its join back,
+    and the final rollup — chunking is generate-only.
+    """
+    from pypers_spark.config import Config
+    from pypers_spark.pipeline import create_pipeline
+
+    pipeline = create_pipeline(
+        [IngestTrainDocs(), HoldoutSplit(), ClfQualityFilter(), ChunkDocs(), TrainSetStats()]
+    )
+    config = Config({"ingest-train-docs": {"sf_dir": t._sf_dir}})
+    data, _, _ = pipeline.process(input_id=1, config=config)
+    return data["stats"].orderBy("source")
+
+
+def _duck_pipe_training_sql() -> str:
+    return f"""
+WITH train AS (
+  SELECT * FROM documents WHERE {_DUCK_SPLIT_H} < {SPLIT_PCTS[0]}
+),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM train
+),
+scores AS (
+  SELECT doc_id,
+         {duck_rnd('sum(CAST(floor(w * 1000000.0 + 0.5) AS BIGINT)) / (count(*) * 1000000.0)', 6)}
+           AS clf_score
+  FROM (SELECT doc_id, {_DUCK_W} AS w FROM toks WHERE token <> '')
+  GROUP BY doc_id
+),
+kept AS (
+  SELECT t.* FROM train t JOIN scores s ON t.doc_id = s.doc_id
+  WHERE s.clf_score >= 0
+),
+sized AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks,
+         len({_DUCK_TOKS}) AS n,
+         CAST(floor((greatest(len({_DUCK_TOKS}) - {CHUNK_SIZE}, 0)
+                     + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS INT) + 1
+           AS n_chunks
+  FROM kept
+),
+chunks AS (
+  SELECT doc_id, source,
+         len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                        i * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS n_chunk_tokens
+  FROM sized, unnest(range(n_chunks)) AS t(i)
+)
+SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["pipe_training"] = pipe_training
+ORACLES["pipe_training"] = _duck_pipe_training_sql()
