@@ -439,3 +439,68 @@ GROUP BY source ORDER BY source
 
 QUERIES["txt_quality_prune"] = txt_quality_prune
 ORACLES["txt_quality_prune"] = ORACLE_QUALITY_PRUNE
+
+
+# --- mm_chunk_bytes ----------------------------------------------------------
+
+BYTE_CHUNK = 64  # bytes per chunk (blob transport unit stand-in)
+
+
+def mm_chunk_bytes(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal payload chunking: split each opaque BINARY payload
+    into fixed {BYTE_CHUNK}-byte chunks (ragged tail) — the transport
+    shape for shipping large media blobs through bounded Arrow batches
+    / object-store multipart uploads, and the binary analogue of
+    txt_chunk.
+
+    Pure column expressions on the binary type (substring/md5 operate
+    on bytes JVM-side — no Python, no decode): one generate per
+    payload, no shuffle until the sink. The oracle chunks the same
+    bytes via DuckDB string ops (corpus is ASCII, bytes == chars) and
+    must match chunk count, sizes, AND per-chunk md5.
+    """
+    d = t["documents"]
+    payload = F.encode(F.col("text"), "utf-8")
+    sized = d.select("doc_id", payload.alias("b")).withColumn(
+        "n_bytes", F.octet_length("b")
+    ).withColumn(
+        "n_chunks",
+        F.greatest(
+            F.ceil(F.col("n_bytes") / F.lit(BYTE_CHUNK)).cast("int"), F.lit(1)
+        ),
+    )
+    chunk = F.substring(
+        F.col("b"), F.col("chunk_idx") * BYTE_CHUNK + 1, BYTE_CHUNK
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "b",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.octet_length(chunk).alias("n_chunk_bytes"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_MM_CHUNK = f"""
+WITH sized AS (
+  SELECT doc_id, text, length(text) AS n_bytes,
+         greatest(CAST(ceil(length(text) / {BYTE_CHUNK}.0) AS INT), 1) AS n_chunks
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(length(substr(text, i * {BYTE_CHUNK} + 1, {BYTE_CHUNK})) AS INT)
+         AS n_chunk_bytes,
+       md5(substr(text, i * {BYTE_CHUNK} + 1, {BYTE_CHUNK})) AS chunk_md5
+FROM sized, unnest(range(n_chunks)) AS t(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["mm_chunk_bytes"] = mm_chunk_bytes
+ORACLES["mm_chunk_bytes"] = ORACLE_MM_CHUNK
