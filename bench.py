@@ -75,6 +75,17 @@ HEADLINE = (
     "op_zorder",
     "ev_ab_lift",
     "ev_delta_rollup",
+    # round-4 final wave: the second orchestration-in-the-gate pipeline,
+    # the applied span rewrite, containment, kNN-graph build, the Lloyd
+    # M-step, PIT feature matrices, holdout split, byte chunking
+    "pipe_training",
+    "dd_span_scrub",
+    "dd_containment",
+    "ann_knn_graph",
+    "ann_kmeans_update",
+    "ev_feature_matrix",
+    "txt_split_holdout",
+    "mm_chunk_bytes",
 )
 
 

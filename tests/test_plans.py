@@ -209,3 +209,52 @@ def test_attribution_no_cartesian(spark, sf_dir):
     keyed on user_id — never a cartesian."""
     plan = plan_of(spark, sf_dir, "ev_attribution_linear")
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_admit_broadcasts_filter_table(spark, sf_dir):
+    """Both Bloom probe semi-joins broadcast (the ≤4096-row position
+    table); the exact verify join never shuffles the batch before the
+    bloom pass has shrunk it."""
+    plan = plan_of(spark, sf_dir, "dd_bloom_admit")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_clf_score_no_joins_at_all(spark, sf_dir):
+    """The hashed-feature classifier is pure map-side hash arithmetic +
+    one aggregation — a plan with any join would mean the weight lookup
+    regressed to a table."""
+    plan = plan_of(spark, sf_dir, "txt_clf_score")
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "HashAggregate" in plan
+
+
+def test_zorder_is_one_aggregation(spark, sf_dir):
+    """Morton coding is pure bit arithmetic in the scan projection; the
+    only shuffle is the bucket rollup (plus the output sort)."""
+    plan = plan_of(spark, sf_dir, "op_zorder")
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert j not in plan
+    import re
+
+    assert len(re.findall(r"\bExchange (?:hash|range)", plan)) <= 2
+
+
+def test_knn_graph_window_shares_block_join(spark, sf_dir):
+    """The per-vector rank window and the block self-join are both keyed
+    within the label block — no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "ann_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_pq_refine_broadcasts_lookup_and_shortlist(spark, sf_dir):
+    """ADC's K x M table broadcasts; the rerank fetch joins the
+    40-row shortlist without shuffling the corpus twice."""
+    plan = plan_of(spark, sf_dir, "ann_pq_refine")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
