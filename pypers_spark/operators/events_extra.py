@@ -1164,3 +1164,90 @@ ORDER BY purchase_id
 
 QUERIES["ev_feature_matrix"] = ev_feature_matrix
 ORACLES["ev_feature_matrix"] = _duck_feature_matrix_sql()
+
+
+# --- ev_seasonal_baseline ----------------------------------------------------
+
+
+def ev_seasonal_baseline(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonal-baseline anomaly readout: per (event_type, hour-of-day)
+    traffic baseline vs the actual hourly series — the monitoring shape
+    that catches "Tuesday 3am spike" anomalies a global z-score
+    (ev_zscore_outliers) smears away.
+
+    Two aggregations: hourly counts (day × hour × type), then the
+    seasonal baseline per (type, hour-of-day) from exact integer counts
+    — mean and a variance proxy via Σn/Σn² (dsum-free: counts are
+    already exact ints). Output: the hours whose count exceeds
+    baseline + 2σ, with the baseline stats. Both shuffles are
+    partial-aggregated; the baseline table (24 × n_types rows)
+    broadcasts back onto the series.
+    """
+    ev = t["events"]
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("hod", "event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    limits = base.select(
+        "hod",
+        "event_type",
+        "n_days",
+        mean.alias("mean_n"),
+        F.sqrt(var).alias("sd_n"),
+    )
+    return (
+        hourly.join(F.broadcast(limits), ["hod", "event_type"])
+        .filter(
+            (F.col("n_days") > 1)
+            & (F.col("n").cast("double") > F.col("mean_n") + 2.0 * F.col("sd_n"))
+        )
+        .select(
+            "day",
+            "hod",
+            "event_type",
+            "n",
+            rnd(F.col("mean_n"), 4).alias("mean_n"),
+            rnd(F.col("sd_n"), 4).alias("sd_n"),
+        )
+        .orderBy("day", "hod", "event_type")
+    )
+
+
+ORACLE_SEASONAL = f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INT) AS hod, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT hod, event_type, count(*) AS n_days,
+         sum(n) AS s1, sum(n * n) AS s2
+  FROM hourly GROUP BY 1, 2
+),
+limits AS (
+  SELECT hod, event_type, n_days,
+         CAST(s1 AS DOUBLE) / n_days AS mean_n,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+              / (n_days - 1)) AS sd_n
+  FROM base
+)
+SELECT day, h.hod AS hod, h.event_type AS event_type, n,
+       {duck_rnd('mean_n', 4)} AS mean_n,
+       {duck_rnd('sd_n', 4)} AS sd_n
+FROM hourly h JOIN limits l ON h.hod = l.hod AND h.event_type = l.event_type
+WHERE l.n_days > 1 AND CAST(n AS DOUBLE) > mean_n + 2.0 * sd_n
+ORDER BY day, hod, event_type
+"""
+
+QUERIES["ev_seasonal_baseline"] = ev_seasonal_baseline
+ORACLES["ev_seasonal_baseline"] = ORACLE_SEASONAL
