@@ -215,3 +215,17 @@ def test_span_scrub_consistent_with_spans(spark, sf_dir, qs, tables):
         else:
             assert r["n_tok_removed"] == 0
             assert r["scrubbed_md5"] == originals[doc_id]
+
+
+def test_pipe_training_is_one_catalyst_plan(spark, sf_dir, qs):
+    """The five training stages compose into one Catalyst plan over the
+    single documents source — pruned scans, no Python row UDFs, and the
+    split filter evaluated at/near the scan (pushdown through stages)."""
+    df = qs["pipe_training"](spark, sf_dir)
+    explained = df._jdf.queryExecution().toString()
+    n_scans = explained.count("FileScan")
+    assert 1 <= n_scans <= 3
+    assert explained.count("documents.parquet") >= n_scans
+    read_schemas = [seg.split(">")[0] for seg in explained.split("ReadSchema: ")[1:]]
+    assert read_schemas and all("n_chars" not in rs for rs in read_schemas)
+    assert "BatchEvalPython" not in explained
