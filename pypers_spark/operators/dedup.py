@@ -1235,27 +1235,41 @@ def dd_bloom_admit(t: dict[str, DataFrame]) -> DataFrame:
             F.col("doc_id") % 2 == 0, F.concat(F.lit("  "), F.upper(F.col("text")))
         ).otherwise(F.concat(F.col("text"), F.lit(" fresh"))).alias("text"),
     ).select("doc_id", fp_s.alias("fp"))
+    # Single-pass accounting: the bloom membership tests are two
+    # broadcast LEFT joins producing flags (not two semi-joins feeding
+    # four separate count branches), the exact check is ONE left join of
+    # just the bloom-passed sliver against the base fingerprints, and
+    # every output count is a conditional aggregate of the same row
+    # stream — one corpus join, one aggregation, no crossJoined scalar
+    # subplans. (The first cut used semi/anti joins + four agg branches:
+    # 7 exchanges and the base join paid twice; this shape halves both.)
     probed = batch.select("doc_id", "fp", *pos)
-    passed = probed
+    flagged = probed
     for j in range(BLOOM_K):
-        b = bloom.withColumnRenamed("pos", f"bpos{j}")
-        passed = passed.join(
-            F.broadcast(b), passed[f"pos{j}"] == b[f"bpos{j}"], "left_semi"
+        b = bloom.select(F.col("pos").alias(f"bpos{j}"))
+        flagged = flagged.join(
+            F.broadcast(b), flagged[f"pos{j}"] == b[f"bpos{j}"], "left"
         )
-    true_dup = passed.join(base, "fp", "left_semi")
-    false_pos = passed.join(base, "fp", "left_anti")
-    counts = (
-        batch.agg(F.count("*").alias("n_batch"))
-        .crossJoin(passed.agg(F.count("*").alias("n_bloom_pass")))
-        .crossJoin(true_dup.agg(F.count("*").alias("n_true_dup")))
-        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+    bloom_pass = F.lit(True)
+    for j in range(BLOOM_K):
+        bloom_pass = bloom_pass & F.col(f"bpos{j}").isNotNull()
+    flagged = flagged.withColumn("bloom_pass", bloom_pass)
+    dup_mark = base.withColumn("is_dup", F.lit(1))
+    checked = flagged.join(
+        dup_mark.hint("shuffle_hash"),
+        (F.col("bloom_pass")) & (flagged["fp"] == dup_mark["fp"]),
+        "left",
     )
-    return counts.select(
-        "n_batch",
-        "n_bloom_pass",
-        "n_true_dup",
-        "n_false_pos",
-        (F.col("n_batch") - F.col("n_bloom_pass")).alias("n_exact_checks_avoided"),
+    return checked.agg(
+        F.count("*").alias("n_batch"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_bloom_pass"),
+        F.count(F.when(F.col("bloom_pass") & F.col("is_dup").isNotNull(), 1)).alias(
+            "n_true_dup"
+        ),
+        F.count(F.when(F.col("bloom_pass") & F.col("is_dup").isNull(), 1)).alias(
+            "n_false_pos"
+        ),
+        F.count(F.when(~F.col("bloom_pass"), 1)).alias("n_exact_checks_avoided"),
     )
 
 
