@@ -1393,3 +1393,139 @@ ORDER BY source, id_a, id_b
 
 QUERIES["dd_containment"] = dd_containment
 ORACLES["dd_containment"] = _duck_containment_sql()
+
+
+# --- dd_containment_idx ------------------------------------------------------
+
+CONT_IDX_TAU = 0.5      # containment threshold for the indexed variant
+CONT_IDX_DF_CAP = 64    # drop postings of grams shared by > CAP docs (skew guard)
+CONT_IDX_PREFILTER = 0.5  # candidate needs shared_uncapped >= PREFILTER·τ·|min|
+
+
+def dd_containment_idx(t: dict[str, DataFrame]) -> DataFrame:
+    """Production-shaped containment: candidates from an INVERTED WORD-
+    3-GRAM INDEX instead of within-block pairwise — the scale path for
+    asymmetric near-superset detection, where MinHash banding is the
+    WRONG tool (a short doc inside a long one has low Jaccard, so LSH
+    bands won't collide exactly on the target pairs).
+
+    Plan: postings = (gram hash → doc) with hot grams capped at df ≤
+    {CONT_IDX_DF_CAP} (the same skew discipline as the LSH bucket cap,
+    QUALIFY-mirrored in the oracle); candidate pairs come from a
+    postings self-join whose per-gram fan-out is bounded by the cap;
+    the shared-gram COUNT falls out of the same aggregation (grams are
+    distinct per doc — no array_intersect during candidate generation);
+    a lossless-given-the-cap prefilter (shared ≥
+    {CONT_IDX_PREFILTER}·τ·min size) shrinks the verify set; exact
+    array-intersect containment runs only on survivors. Corpus-wide —
+    no metadata blocking at all, unlike dd_containment's source-blocked
+    demo. Cost: O(Σ_gram df²) with df ≤ cap, linear in corpus size.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+
+    c = corpus(t, repartition=False)
+    n_part = int(c.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = c.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
+    ).repartition(n_part, F.col("doc_id"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 2),
+        lambda i: md5_int64(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i.cast("int")),
+                F.element_at(F.col("tk"), (i + 1).cast("int")),
+                F.element_at(F.col("tk"), (i + 2).cast("int")),
+            )
+        ),
+    )
+    sets = tracked_persist(
+        toks.filter(F.size("tk") >= 3)
+        .select("doc_id", F.array_distinct(tri).alias("g"))
+        .withColumn("ng", F.size("g")),
+        "dedup.containment_idx_sets",
+    )
+    post = sets.select("doc_id", F.explode("g").alias("gh"))
+    wdf = Window.partitionBy("gh")
+    post_c = post.withColumn("df", F.count("*").over(wdf)).filter(
+        F.col("df") <= CONT_IDX_DF_CAP
+    )
+    a = post_c.select(F.col("doc_id").alias("id_a"), "gh")
+    b = post_c.select(F.col("doc_id").alias("id_b"), "gh")
+    cand = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ga = sets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"), F.col("ng").alias("ng_a"))
+    gb = sets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"), F.col("ng").alias("ng_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(
+            F.col("shared")
+            >= CONT_IDX_PREFILTER * CONT_IDX_TAU * F.least("ng_a", "ng_b")
+        )
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("cont_max", rnd(F.col("inter") / F.least("ng_a", "ng_b"), 4))
+        .filter(F.col("cont_max") >= CONT_IDX_TAU)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "ng_a",
+        "ng_b",
+        "cont_max",
+        F.when(F.col("ng_a") <= F.col("ng_b"), F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a"))
+        .alias("direction"),
+    ).orderBy("id_a", "id_b")
+
+
+def _duck_containment_idx_sql() -> str:
+    tri = (
+        "list_transform(range(1, len(tk) - 2 + 1 - 1 + 1), "
+        "i -> " + duck_md5_int64("tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]") + ")"
+    )
+    return f"""
+WITH {DUCK_CORPUS},
+toks AS (
+  SELECT doc_id, string_split({duck_normalize_text('text')}, ' ') AS tk FROM corpus
+),
+sets AS (
+  SELECT doc_id, list_distinct({tri}) AS g, len(list_distinct({tri})) AS ng
+  FROM toks WHERE len(tk) >= 3
+),
+post AS (SELECT doc_id, unnest(g) AS gh FROM sets),
+post_c AS (
+  SELECT doc_id, gh FROM post
+  QUALIFY count(*) OVER (PARTITION BY gh) <= {CONT_IDX_DF_CAP}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM post_c a JOIN post_c b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.g, sb.g)) AS inter,
+         sa.ng AS ng_a, sb.ng AS ng_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE c.shared >= {CONT_IDX_PREFILTER} * {CONT_IDX_TAU} * least(sa.ng, sb.ng)
+)
+SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+       CAST(ng_a AS INT) AS ng_a, CAST(ng_b AS INT) AS ng_b,
+       {duck_rnd('inter * 1.0 / least(ng_a, ng_b)', 4)} AS cont_max,
+       CASE WHEN ng_a <= ng_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM verified
+WHERE {duck_rnd('inter * 1.0 / least(ng_a, ng_b)', 4)} >= {CONT_IDX_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["dd_containment_idx"] = dd_containment_idx
+ORACLES["dd_containment_idx"] = _duck_containment_idx_sql()
