@@ -1324,11 +1324,14 @@ def dd_containment(t: dict[str, DataFrame]) -> DataFrame:
     /containment split).
 
     Reuses the checkpointed gram table; pairwise only within the
-    blocking key (source here, LSH band in production). No size-ratio
+    blocking key (source — the bounded demo blocking). No size-ratio
     prune — asymmetric sizes are exactly the target — so block
-    boundedness is the entire cost control, which is why the LSH-band
-    blocking variant is the production shape. Emits both directions'
-    containment plus Jaccard for contrast, small-into-big orientation.
+    boundedness is the entire cost control. NOTE: LSH banding is NOT a
+    valid blocking here (MinHash approximates Jaccard, and the target
+    pairs have low Jaccard by definition); the production shape is the
+    inverted-index candidate generation of ``dd_containment_idx``.
+    Emits both directions' containment plus Jaccard for contrast,
+    small-into-big orientation.
     """
     sets = _gram_table(t)
     a = sets.select(
