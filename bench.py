@@ -86,6 +86,7 @@ HEADLINE = (
     "ev_feature_matrix",
     "txt_split_holdout",
     "mm_chunk_bytes",
+    "dd_containment_idx",
 )
 
 

@@ -229,3 +229,19 @@ def test_pipe_training_is_one_catalyst_plan(spark, sf_dir, qs):
     read_schemas = [seg.split(">")[0] for seg in explained.split("ReadSchema: ")[1:]]
     assert read_schemas and all("n_chars" not in rs for rs in read_schemas)
     assert "BatchEvalPython" not in explained
+
+
+def test_containment_idx_finds_exact_copies(spark, sf_dir, qs, tables):
+    """The perturbed corpus copy has an identical normalized trigram set
+    per doc, so every (d, d+1e6) pair must surface with cont_max = 1.0;
+    all emitted pairs clear τ."""
+    rows = qs["dd_containment_idx"](spark, sf_dir).collect()
+    assert rows
+    exact = {(r["id_a"], r["id_b"]) for r in rows if r["cont_max"] >= 0.9999}
+    n_docs_3tok = (
+        tables["documents"].filter(F.size(F.split(F.col("text"), " ")) >= 3).count()
+    )
+    assert len(exact) >= n_docs_3tok  # at least every base↔copy pair
+    for r in rows:
+        assert r["cont_max"] >= 0.5
+        assert r["inter"] <= min(r["ng_a"], r["ng_b"])
