@@ -62,6 +62,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "ev_markov_stationary",
     "dd_containment_idx",
     "ev_seasonal_baseline",
     "mm_chunk_bytes",

@@ -1251,3 +1251,112 @@ ORDER BY day, hod, event_type
 
 QUERIES["ev_seasonal_baseline"] = ev_seasonal_baseline
 ORACLES["ev_seasonal_baseline"] = ORACLE_SEASONAL
+
+
+# --- ev_markov_stationary ----------------------------------------------------
+
+MARKOV_ITERS = 3  # unrolled power iterations (same pattern as gr_pagerank)
+
+
+def ev_markov_stationary(t: dict[str, DataFrame]) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain: ev_type_transitions estimates P(next | current); this runs
+    {MARKOV_ITERS} unrolled power iterations π' = πP from a uniform
+    start — "where does user behavior settle" — and reports each
+    state's stationary mass next to its raw share for drift contrast.
+
+    The chain has one row per (prev, curr) TYPE pair — a few dozen rows
+    at any corpus size — so after the single lag-window + count shuffle
+    that builds it, every iteration is a broadcast join over a
+    type-cardinality table: iteration cost is independent of the event
+    count. Probabilities are ratios of exact integer counts; mass is
+    rounded at the end only (multiplication chains are IEEE-identical
+    across engines). Same unrolled-iteration discipline as gr_pagerank
+    (perf lesson 9: the loop-invariant transition table is built once).
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    from pypers_spark.functions.caching import tracked_persist
+
+    wsrc = Window.partitionBy("prev_type")
+    trans = tracked_persist(
+        pairs.withColumn(
+            "p", F.col("n").cast("double") / F.sum("n").over(wsrc)
+        ).select("prev_type", "curr_type", "p"),
+        "events.markov_trans",
+    )
+    states = trans.select(F.col("prev_type").alias("state")).union(
+        trans.select(F.col("curr_type"))
+    ).distinct()
+    n_states = states.count()  # scalar: state-space cardinality (tiny)
+    pi = states.select("state", (F.lit(1.0) / n_states).alias("mass"))
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(trans, pi["state"] == trans["prev_type"])
+            .select(F.col("curr_type").alias("state"), (F.col("mass") * F.col("p")).alias("m"))
+            .groupBy("state")
+            .agg(F.sum(F.floor(F.col("m") * 1e12 + F.lit(0.5))).alias("mq"))
+            .select("state", (F.col("mq") / 1e12).alias("mass"))
+        )
+    raw = ev.groupBy(F.col("event_type").alias("state")).agg(F.count("*").alias("n_events"))
+    total = ev.count()
+    return (
+        pi.join(raw, "state")
+        .select(
+            "state",
+            rnd(F.col("mass"), 6).alias("stationary_mass"),
+            "n_events",
+            rnd(F.col("n_events") / F.lit(float(total)), 6).alias("raw_share"),
+        )
+        .orderBy("state")
+    )
+
+
+def _duck_markov_sql() -> str:
+    it = """
+pi{k} AS (
+  SELECT t.curr_type AS state,
+         sum(CAST(floor(p.mass * t.p * 1000000000000.0 + 0.5) AS BIGINT)) / 1000000000000.0 AS mass
+  FROM pi{j} p JOIN trans t ON p.state = t.prev_type
+  GROUP BY t.curr_type
+)"""
+    iters = ",".join(it.format(k=i + 1, j=i) for i in range(MARKOV_ITERS))
+    return f"""
+WITH pairs AS (
+  SELECT prev_type, curr_type, count(*) AS n FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           event_type AS curr_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+trans AS (
+  SELECT prev_type, curr_type,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+  FROM pairs
+),
+states AS (
+  SELECT DISTINCT prev_type AS state FROM trans
+  UNION SELECT DISTINCT curr_type FROM trans
+),
+pi0 AS (
+  SELECT state, 1.0 / (SELECT count(*) FROM states) AS mass FROM states
+),{iters},
+raw AS (
+  SELECT event_type AS state, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT p.state AS state, {duck_rnd('p.mass', 6)} AS stationary_mass,
+       r.n_events,
+       {duck_rnd('r.n_events / (SELECT CAST(count(*) AS DOUBLE) FROM events)', 6)} AS raw_share
+FROM pi{MARKOV_ITERS} p JOIN raw r ON p.state = r.state
+ORDER BY state
+"""
+
+
+QUERIES["ev_markov_stationary"] = ev_markov_stationary
+ORACLES["ev_markov_stationary"] = _duck_markov_sql()
