@@ -451,17 +451,9 @@ ORACLES["ev_asof_tolerance"] = ORACLE_ASOF_TOLERANCE
 FUNNEL_WINDOW_S = 3600
 
 
-def ev_funnel_windowed(t: dict[str, DataFrame]) -> DataFrame:
-    """Conversion funnel with a bounded window: first view, then the
-    first click within {FUNNEL_WINDOW_S} s of it, then the first
-    purchase within {FUNNEL_WINDOW_S} s of that click — the
-    time-to-convert funnel (unbounded variant: ev_funnel).
-
-    Three broadcast-size per-user min aggregations chained by joins;
-    every aggregation is partial-aggregated on user_id.
-    """
+def _funnel_windowed(t: dict[str, DataFrame], window_s: int) -> DataFrame:
     ev = t["events"]
-    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
+    win = F.expr(f"INTERVAL {window_s} SECONDS")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -520,8 +512,38 @@ FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id
 """
 
+def ev_funnel_windowed(t: dict[str, DataFrame]) -> DataFrame:
+    """Conversion funnel with a bounded window: first view, then the
+    first click within {FUNNEL_WINDOW_S} s of it, then the first
+    purchase within {FUNNEL_WINDOW_S} s of that click — the
+    time-to-convert funnel (unbounded variant: ev_funnel).
+
+    Three broadcast-size per-user min aggregations chained by joins;
+    every aggregation is partial-aggregated on user_id.
+    """
+    return _funnel_windowed(t, FUNNEL_WINDOW_S)
+
+
+def ev_funnel_windowed_24h(t: dict[str, DataFrame]) -> DataFrame:
+    """24-hour window variant: the synthetic event stream is too sparse
+    for any user to convert view→click→purchase inside the 1 h
+    production window (0 rows at every test SF — a correct but VACUOUS
+    gate entry), so this twin keeps the chained-window join path
+    value-checked on real conversions (25 rows at sf0.01), same
+    discipline as dd_embedding_cos_t03 / gr_pagerank_t03."""
+    return _funnel_windowed(t, 86400)
+
+
+def _oracle_funnel_windowed(window_s: int) -> str:
+    return ORACLE_FUNNEL_WINDOWED.replace(
+        f"INTERVAL {FUNNEL_WINDOW_S} SECOND", f"INTERVAL {window_s} SECOND"
+    )
+
+
 QUERIES["ev_funnel_windowed"] = ev_funnel_windowed
 ORACLES["ev_funnel_windowed"] = ORACLE_FUNNEL_WINDOWED
+QUERIES["ev_funnel_windowed_24h"] = ev_funnel_windowed_24h
+ORACLES["ev_funnel_windowed_24h"] = _oracle_funnel_windowed(86400)
 
 
 # --- ev_attribution_linear ---------------------------------------------------

@@ -932,3 +932,31 @@ QUERIES["op_window_firstlast"] = op_window_firstlast
 QUERIES["op_percentile_exact"] = op_percentile_exact
 ORACLES["op_window_firstlast"] = ORACLE_WINDOW_FIRSTLAST
 ORACLES["op_percentile_exact"] = ORACLE_PERCENTILE_EXACT
+
+
+def op_join_anti_filtered(t: dict[str, DataFrame]) -> DataFrame:
+    """Left-anti join against a FILTERED build side: customers with no
+    1995 orders. The unfiltered twin (op_join_anti) is legitimately
+    empty on this dataset — every customer has at least one order — so
+    this variant keeps the anti-join path value-checked on real rows
+    (326 at sf0.01) and exercises filter-below-join placement."""
+    orders_95 = t["orders"].filter(F.year("o_orderdate") == 1995)
+    return (
+        t["customer"]
+        .join(orders_95, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_ANTI_FILTERED = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995
+)
+ORDER BY c_custkey
+"""
+
+QUERIES["op_join_anti_filtered"] = op_join_anti_filtered
+ORACLES["op_join_anti_filtered"] = ORACLE_JOIN_ANTI_FILTERED
