@@ -494,3 +494,130 @@ FROM base ORDER BY doc_id
 
 QUERIES["txt_pii_scrub"] = txt_pii_scrub
 ORACLES["txt_pii_scrub"] = _oracle_pii_scrub()
+
+
+# --- txt_rake ----------------------------------------------------------------
+
+RAKE_TOP_K = 10
+
+
+def txt_rake(t: dict[str, DataFrame]) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), log-free: candidate
+    phrases are maximal stopword-free token runs; word score =
+    degree/frequency (degree = summed length of phrases containing the
+    word — co-occurrence weight); phrase score = Σ member word scores;
+    top-{RAKE_TOP_K} distinct phrases corpus-wide.
+
+    Plan: one explode + gaps-and-islands (pos − row_number) builds the
+    phrase table in a single doc_id-keyed window shuffle; word scores
+    are one hash-agg over the exploded phrase members; the phrase score
+    re-join is member-keyed with the word-score table broadcast (its
+    cardinality is the vocabulary, not the corpus). The final phrase
+    score sums word-score doubles through the 1e-6 int quantization so
+    shuffle order can't move it — the same dsum discipline as every
+    revenue aggregate.
+    """
+    from pypers_spark.functions.text import STOPWORDS_EN
+
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    nonstop = toks.filter(~F.col("token").isin(*STOPWORDS_EN))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = nonstop.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    phrases = runs.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    members = phrases.select(
+        "phrase", "n_words", F.explode(F.split(F.col("phrase"), " ")).alias("token")
+    )
+    scores = members.groupBy("token").agg(
+        F.count("*").alias("freq"), F.sum("n_words").alias("deg")
+    ).select(
+        "token", (F.col("deg").cast("double") / F.col("freq")).alias("w_score")
+    )
+    dphrase = phrases.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"), F.first("n_words").alias("n_words")
+    )
+    pscore = (
+        dphrase.select(
+            "phrase", "n_occurrences", "n_words",
+            F.explode(F.split(F.col("phrase"), " ")).alias("token"),
+        )
+        .join(F.broadcast(scores), "token")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(
+            (F.sum(F.floor(F.col("w_score") * 1e6 + F.lit(0.5))) / 1e6).alias("s")
+        )
+    )
+    return (
+        pscore.select(
+            "phrase", "n_words", "n_occurrences", rnd(F.col("s"), 4).alias("rake_score")
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+def _duck_rake_sql() -> str:
+    from pypers_spark.functions.text import STOPWORDS_EN
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+),
+nonstop AS (
+  SELECT doc_id, pos, token FROM toks
+  WHERE token <> '' AND token NOT IN ({stop})
+),
+runs AS (
+  SELECT doc_id, pos, token,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM nonstop
+),
+phrases AS (
+  SELECT doc_id, grp, string_agg(token, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n_words
+  FROM runs GROUP BY doc_id, grp
+),
+members AS (
+  SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS token FROM phrases
+),
+scores AS (
+  SELECT token, CAST(sum(n_words) AS DOUBLE) / count(*) AS w_score
+  FROM members GROUP BY token
+),
+dphrase AS (
+  SELECT phrase, count(*) AS n_occurrences, any_value(n_words) AS n_words
+  FROM phrases GROUP BY phrase
+),
+pmembers AS (
+  SELECT phrase, n_occurrences, n_words,
+         unnest(string_split(phrase, ' ')) AS token
+  FROM dphrase
+)
+SELECT p.phrase,
+       CAST(p.n_words AS BIGINT) AS n_words,
+       p.n_occurrences,
+       {duck_rnd('sum(CAST(floor(s.w_score * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0', 4)}
+         AS rake_score
+FROM pmembers p JOIN scores s ON p.token = s.token
+GROUP BY p.phrase, p.n_words, p.n_occurrences
+ORDER BY rake_score DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
+QUERIES["txt_rake"] = txt_rake
+ORACLES["txt_rake"] = _duck_rake_sql()
