@@ -87,6 +87,9 @@ HEADLINE = (
     "txt_split_holdout",
     "mm_chunk_bytes",
     "dd_containment_idx",
+    "ev_markov_stationary",
+    "ev_seasonal_baseline",
+    "txt_rake",
 )
 
 
