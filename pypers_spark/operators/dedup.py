@@ -388,20 +388,10 @@ FROM j GROUP BY 1 ORDER BY j_bucket
 """
 
 
-def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:
-    """The dedup DECISION: (drop_id, keep_id) per near-duplicate group.
-
-    Pair lists don't dedup a corpus — the applied artifact is the drop
-    list: connected components over the MinHash+LSH pair graph
-    (A~B, B~C ⟹ one group even when A,C never pair directly), keep the
-    min doc id per component, drop everyone else. Components come from
-    iterative min-label propagation over the pair members only (nodes
-    outside any pair keep themselves and are not emitted); near-dup
-    components have tiny diameters, so rounds stay in single digits at
-    any corpus size — each round one shuffle keyed on the edge
-    endpoint (same design as similarity.dd_cluster, which walks the
-    embedding pair graph; oracle is the same recursive CTE shape).
-    """
+def _minhash_component_labels(t: dict[str, DataFrame]) -> DataFrame:
+    """(node, lbl) for every member of the MinHash pair graph after
+    min-label propagation converges — the component assignment shared
+    by the drop list (keep = min id) and the SoftDeDup weights."""
     from pypers_spark.functions.caching import tracked_persist
 
     pairs = dd_minhash_lsh(t).select("id_a", "id_b")
@@ -443,8 +433,26 @@ def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:
             "dd_minhash_drop_list: label propagation did not converge in 20 "
             "rounds (pathological chain components); pre-collapse exact dups"
         )
+    return labels
+
+
+def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:
+    """The dedup DECISION: (drop_id, keep_id) per near-duplicate group.
+
+    Pair lists don't dedup a corpus — the applied artifact is the drop
+    list: connected components over the MinHash+LSH pair graph
+    (A~B, B~C ⟹ one group even when A,C never pair directly), keep the
+    min doc id per component, drop everyone else. Components come from
+    iterative min-label propagation over the pair members only (nodes
+    outside any pair keep themselves and are not emitted); near-dup
+    components have tiny diameters, so rounds stay in single digits at
+    any corpus size — each round one shuffle keyed on the edge
+    endpoint (same design as similarity.dd_cluster, which walks the
+    embedding pair graph; oracle is the same recursive CTE shape).
+    """
     return (
-        labels.filter(F.col("node") != F.col("lbl"))
+        _minhash_component_labels(t)
+        .filter(F.col("node") != F.col("lbl"))
         .select(F.col("node").alias("drop_id"), F.col("lbl").alias("keep_id"))
         .orderBy("drop_id")
     )
@@ -1532,3 +1540,71 @@ ORDER BY id_a, id_b
 
 QUERIES["dd_containment_idx"] = dd_containment_idx
 ORACLES["dd_containment_idx"] = _duck_containment_idx_sql()
+
+
+# --- dd_soft_weights ---------------------------------------------------------
+
+
+def dd_soft_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """SoftDeDup-style training weights: instead of DROPPING near-dup
+    group members (dd_minhash_drop_list → dd_minhash_apply), keep every
+    document and weight it 1/|group| so each near-duplicate cluster
+    contributes one document's worth of gradient — the soft alternative
+    training recipes use when hard dedup is too lossy.
+
+    Reuses the converged component labels; the corpus left-joins them
+    (docs outside any pair group keep weight 1.0), group sizes come
+    from one count per label, and the per-source rollup reports doc
+    count vs EFFECTIVE doc count (Σ weights — the gradient-mass
+    equivalent the hard drop would have kept). Weight sums go through
+    the 1e-6 int quantization, order-independent.
+    """
+    labels = _minhash_component_labels(t)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("group_size"))
+    member = labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("group_id"),
+        "group_size",
+    )
+    c = corpus(t).select("doc_id", "source")
+    joined = c.join(F.broadcast(member), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("group_size"), F.lit(1)).alias("group_size"),
+    )
+    w = 1.0 / F.col("group_size").cast("double")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("group_size") > 1, 1)).alias("n_grouped"),
+            rnd(
+                (F.sum(F.floor(w * 1e6 + F.lit(0.5))) / 1e6), 4
+            ).alias("effective_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_soft_weights_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_drop_ctes()},
+sizes AS (SELECT lbl, count(*) AS group_size FROM cl GROUP BY lbl),
+member AS (
+  SELECT cl.node AS doc_id, cl.lbl AS group_id, sizes.group_size
+  FROM cl JOIN sizes ON cl.lbl = sizes.lbl
+),
+joined AS (
+  SELECT c.doc_id, c.source, coalesce(m.group_size, 1) AS group_size
+  FROM corpus c LEFT JOIN member m ON c.doc_id = m.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       count(CASE WHEN group_size > 1 THEN 1 END) AS n_grouped,
+       {duck_rnd('sum(CAST(floor((1.0 / CAST(group_size AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0', 4)}
+         AS effective_docs
+FROM joined GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["dd_soft_weights"] = dd_soft_weights
+ORACLES["dd_soft_weights"] = _duck_soft_weights_sql()
