@@ -245,3 +245,55 @@ def test_containment_idx_finds_exact_copies(spark, sf_dir, qs, tables):
     for r in rows:
         assert r["cont_max"] >= 0.5
         assert r["inter"] <= min(r["ng_a"], r["ng_b"])
+
+
+def test_markov_stationary_is_a_distribution(spark, sf_dir, qs):
+    rows = qs["ev_markov_stationary"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["stationary_mass"] for r in rows)
+    assert abs(total - 1.0) < 1e-6  # power iteration preserves mass
+    for r in rows:
+        assert 0.0 < r["stationary_mass"] < 1.0
+
+
+def test_rake_phrases_are_stopword_free(spark, sf_dir, qs):
+    from pypers_spark.functions.text import STOPWORDS_EN
+
+    rows = qs["txt_rake"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert len(words) == r["n_words"]
+        assert not set(words) & set(STOPWORDS_EN)
+        assert r["rake_score"] > 0
+
+
+def test_soft_weights_effective_mass(spark, sf_dir, qs):
+    """Effective docs ≤ total docs; equality only when nothing grouped;
+    and the hard-drop survivor count from dd_minhash_apply must be ≤
+    the soft effective mass (soft keeps fractional credit hard drops)."""
+    rows = qs["dd_soft_weights"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["effective_docs"] <= r["n_docs"] + 1e-9
+        if r["n_grouped"] == 0:
+            assert abs(r["effective_docs"] - r["n_docs"]) < 1e-9
+        else:
+            assert r["effective_docs"] < r["n_docs"]
+
+
+def test_seasonal_flags_exceed_their_baseline(spark, sf_dir, qs):
+    rows = qs["ev_seasonal_baseline"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] > r["mean_n"] + 2.0 * r["sd_n"] - 1e-6
+
+
+def test_funnel_24h_superset_of_1h(spark, sf_dir, qs):
+    """Widening the window can only admit more conversions."""
+    u1 = {r["user_id"] for r in qs["ev_funnel_windowed"](spark, sf_dir).collect()}
+    u24 = {r["user_id"] for r in qs["ev_funnel_windowed_24h"](spark, sf_dir).collect()}
+    assert u1 <= u24
+    assert u24  # non-vacuous at the gate SF
