@@ -1382,3 +1382,132 @@ ORDER BY state
 
 QUERIES["ev_markov_stationary"] = ev_markov_stationary
 ORACLES["ev_markov_stationary"] = _duck_markov_sql()
+
+
+# --- ev_rfm_segments ---------------------------------------------------------
+
+
+def ev_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (days since last
+    purchase, vs the corpus max day), Frequency (purchase count), and
+    Monetary (exact int-quantized spend) quartile scores 1-4 (1 = best
+    on every axis), rolled up to segment populations — the classic
+    lifecycle-marketing cut.
+
+    Scale-correct scoring: quartile CUTOFFS come from one percentile
+    aggregation (1e-6-quantized in both engines, the op_winsorize /
+    ev_mad discipline), broadcast back, and each user scores MAP-SIDE
+    via three threshold comparisons per axis — no ntile, because ntile
+    needs a single global sort partition, which is exactly what doesn't
+    survive a billion-user table. Threshold ties land deterministically
+    on one side in both engines, so the gate stays value-exact.
+    """
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max(F.to_date("ts")).alias("anchor"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            (F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))) / 1e6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor", "last_day"))
+    )
+    cuts = per_user.agg(
+        *[
+            rnd(F.percentile(F.col(m), F.lit(q)), 6).alias(f"{m}_q{int(q * 100)}")
+            for m in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def asc_score(m):  # low value = best (recency)
+        return (
+            F.lit(1)
+            + (F.col(m) > F.col(f"{m}_q25")).cast("int")
+            + (F.col(m) > F.col(f"{m}_q50")).cast("int")
+            + (F.col(m) > F.col(f"{m}_q75")).cast("int")
+        )
+
+    def desc_score(m):  # high value = best (frequency, monetary)
+        return (
+            F.lit(4)
+            - (F.col(m) > F.col(f"{m}_q25")).cast("int")
+            - (F.col(m) > F.col(f"{m}_q50")).cast("int")
+            - (F.col(m) > F.col(f"{m}_q75")).cast("int")
+        )
+
+    scored = per_user.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        asc_score("recency_days").alias("r_score"),
+        desc_score("frequency").alias("f_score"),
+        desc_score("monetary").alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            rnd(
+                (F.sum(F.floor(F.col("monetary") * 1e6 + F.lit(0.5))) / 1e6), 2
+            ).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _duck_rfm_sql() -> str:
+    cut_cols = ",\n         ".join(
+        duck_rnd(f"quantile_cont({m}, {q})", 6) + f" AS {m}_q{int(q * 100)}"
+        for m in ("recency_days", "frequency", "monetary")
+        for q in (0.25, 0.50, 0.75)
+    )
+    asc = (
+        "1 + CAST(recency_days > recency_days_q25 AS INT)"
+        " + CAST(recency_days > recency_days_q50 AS INT)"
+        " + CAST(recency_days > recency_days_q75 AS INT)"
+    )
+    def desc(m):
+        return (
+            f"4 - CAST({m} > {m}_q25 AS INT)"
+            f" - CAST({m} > {m}_q50 AS INT)"
+            f" - CAST({m} > {m}_q75 AS INT)"
+        )
+    return f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS anchor FROM p),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(date_trunc('day', ts) AS DATE)),
+                   (SELECT anchor FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS monetary
+  FROM p GROUP BY user_id
+),
+cuts AS (
+  SELECT {cut_cols}
+  FROM per_user
+),
+scored AS (
+  SELECT user_id,
+         {asc} AS r_score,
+         {desc('frequency')} AS f_score,
+         {desc('monetary')} AS m_score,
+         monetary
+  FROM per_user CROSS JOIN cuts
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       count(*) AS n_users,
+       {duck_rnd("sum(CAST(floor(monetary * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0", 2)}
+         AS segment_value
+FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+"""
+
+
+ORACLE_RFM = _duck_rfm_sql()
+
+QUERIES["ev_rfm_segments"] = ev_rfm_segments
+ORACLES["ev_rfm_segments"] = ORACLE_RFM
