@@ -1104,3 +1104,80 @@ ORDER BY vec_id, rank
 
 QUERIES["ann_knn_graph"] = ann_knn_graph
 ORACLES["ann_knn_graph"] = ORACLE_ANN_KNN_GRAPH
+
+
+# --- ann_recall_report -------------------------------------------------------
+
+RECALL_METHODS = ("ann_lsh_probe", "ann_ivf", "ann_ivf_nprobe", "ann_pq_adc", "ann_pq_refine")
+
+
+def ann_recall_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@{TOP_K} of every approximate ANN variant against the
+    brute-force exact top-{TOP_K} — "measure, don't guess" applied to
+    the ANN family itself: the artifact you read before trading exact
+    scans for bucketed/coded search at scale.
+
+    Each method's result set (already a ≤{TOP_K}-row plan) is tagged
+    and unioned; one broadcast semi-join against the exact set marks
+    hits; one aggregation emits (method, n_returned, n_hits, recall).
+    Costs the sum of its member plans — the per-query top-k tables are
+    single-digit rows regardless of corpus size.
+    """
+    exact = ann_topk_cosine(t).select("vec_id")
+    tagged = None
+    fns = {
+        "ann_lsh_probe": ann_lsh_probe,
+        "ann_ivf": ann_ivf,
+        "ann_ivf_nprobe": ann_ivf_nprobe,
+        "ann_pq_adc": ann_pq_adc,
+        "ann_pq_refine": ann_pq_refine,
+    }
+    for name in RECALL_METHODS:
+        m = fns[name](t).select("vec_id").withColumn("method", F.lit(name))
+        tagged = m if tagged is None else tagged.unionByName(m)
+    hits = tagged.join(F.broadcast(exact), "vec_id", "left_semi").groupBy(
+        "method"
+    ).agg(F.count("*").alias("n_hits"))
+    returned = tagged.groupBy("method").agg(F.count("*").alias("n_returned"))
+    return (
+        returned.join(hits, "method", "left")
+        .select(
+            "method",
+            "n_returned",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            rnd(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
+
+
+def _duck_recall_report_sql() -> str:
+    subs = {
+        "ann_lsh_probe": _duck_lsh_probe_sql(),
+        "ann_ivf": ORACLE_ANN_IVF,
+        "ann_ivf_nprobe": ORACLE_ANN_IVF_NPROBE,
+        "ann_pq_adc": ORACLE_ANN_PQ_ADC,
+        "ann_pq_refine": ORACLE_ANN_PQ_REFINE,
+    }
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, '{name}' AS method FROM ({sql})"
+        for name, sql in subs.items()
+    )
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({ORACLE_ANN_TOPK})),
+tagged AS (
+{union}
+)
+SELECT method,
+       count(*) AS n_returned,
+       count(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 END) AS n_hits,
+       {duck_rnd(f'count(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 END) / {float(TOP_K)}', 4)}
+         AS recall_at_k
+FROM tagged GROUP BY method ORDER BY method
+"""
+
+
+QUERIES["ann_recall_report"] = ann_recall_report
+ORACLES["ann_recall_report"] = _duck_recall_report_sql()
