@@ -634,3 +634,130 @@ FROM coded GROUP BY 1 ORDER BY bucket
 
 QUERIES["op_zorder"] = op_zorder
 ORACLES["op_zorder"] = ORACLE_ZORDER
+
+
+# --- op_dq_checks ------------------------------------------------------------
+
+
+def op_dq_checks(t: dict[str, DataFrame]) -> DataFrame:
+    """Declarative data-quality report (the Deequ / dbt-tests shape):
+    one row per check with its violation count — nullness, uniqueness,
+    referential integrity, and range/domain rules over the warehouse
+    tables, the gate a scheduled ingest runs before publishing a
+    partition.
+
+    Every check is a count aggregate; uniqueness is a groupBy-HAVING
+    count, FKs are anti-join counts (broadcast where the parent side is
+    dim-sized, shuffle otherwise with AQE deciding). All checks union
+    into one result so a single pass publishes the whole report; each
+    check subtree scans only the columns it tests (verified by the
+    audit's ReadSchema). At 100 TB you run this per ingested partition,
+    not per corpus — the shapes are identical.
+    """
+    orders, li, cust = t["orders"], t["lineitem"], t["customer"]
+
+    def check(name, df):
+        return df.select(
+            F.lit(name).alias("check"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        check(
+            "orders.o_orderkey unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count("*").alias("n")),
+        ),
+        check(
+            "orders.o_custkey not null",
+            orders.agg(
+                F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")
+            ),
+        ),
+        check(
+            "orders.o_totalprice > 0",
+            orders.agg(
+                F.count(F.when(~(F.col("o_totalprice") > 0), 1)).alias("n")
+            ),
+        ),
+        check(
+            "orders.o_custkey in customer",
+            orders.join(
+                cust.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        check(
+            "lineitem.l_orderkey in orders",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        check(
+            "lineitem.l_discount in [0,1]",
+            li.agg(
+                F.count(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    )
+                ).alias("n")
+            ),
+        ),
+        check(
+            "lineitem.(orderkey,linenumber) unique",
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count("*").alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("passed", (F.col("n_violations") == 0).cast("int")).orderBy(
+        "check"
+    )
+
+
+ORACLE_DQ_CHECKS = """
+WITH checks AS (
+  SELECT 'orders.o_orderkey unique' AS check,
+         (SELECT count(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+         )) AS n_violations
+  UNION ALL
+  SELECT 'orders.o_custkey not null',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'orders.o_totalprice > 0',
+         (SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0))
+  UNION ALL
+  SELECT 'orders.o_custkey in customer',
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_orderkey in orders',
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_discount in [0,1]',
+         (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+  UNION ALL
+  SELECT 'lineitem.(orderkey,linenumber) unique',
+         (SELECT count(*) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+         ))
+)
+SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_violations = 0 AS INT) AS passed
+FROM checks ORDER BY "check"
+"""
+
+QUERIES["op_dq_checks"] = op_dq_checks
+ORACLES["op_dq_checks"] = ORACLE_DQ_CHECKS
