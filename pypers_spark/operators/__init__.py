@@ -62,6 +62,8 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "ev_forecast_linear",
+    "op_forget_user",
     "op_dq_checks",
     "ann_recall_report",
     "ev_rfm_segments",

@@ -1511,3 +1511,71 @@ ORACLE_RFM = _duck_rfm_sql()
 
 QUERIES["ev_rfm_segments"] = ev_rfm_segments
 ORACLES["ev_rfm_segments"] = ORACLE_RFM
+
+
+# --- ev_forecast_linear ------------------------------------------------------
+
+
+def ev_forecast_linear(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type linear trend on the daily event-count series, with a
+    next-day forecast — least squares from EXACT integer moment sums
+    (Σx, Σy, Σxy, Σx² over day-index x and daily count y), the
+    op_corr_exact machinery pointed at forecasting.
+
+    Two aggregations: daily counts (day × type), then the per-type
+    moment rollup (both partial-aggregated; second input is
+    days×types-sized). Slope/intercept are ratios of exact int64 sums —
+    bit-identical across engines with no quantization at all; rounding
+    happens only at the output. Day index x = datediff from the
+    per-type first day, so the numbers stay small regardless of epoch.
+    """
+    ev = t["events"]
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("y"))
+    w0 = Window.partitionBy("event_type")
+    d = daily.withColumn("x", F.datediff("day", F.min("day").over(w0)))
+    m = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("x_last"),
+    )
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / denom
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return m.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        rnd(slope, 6).alias("slope_per_day"),
+        rnd(intercept, 4).alias("intercept"),
+        rnd(intercept + slope * (F.col("x_last") + 1), 4).alias("forecast_next_day"),
+    ).orderBy("event_type")
+
+
+ORACLE_FORECAST = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         date_diff('day', min(day) OVER (PARTITION BY event_type), day) AS x
+  FROM daily
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, max(x) AS x_last
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, n,
+       {duck_rnd('CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)', 6)} AS slope_per_day,
+       {duck_rnd('(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n', 4)} AS intercept,
+       {duck_rnd('(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n + (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * (x_last + 1)', 4)} AS forecast_next_day
+FROM m WHERE n > 1 ORDER BY event_type
+"""
+
+QUERIES["ev_forecast_linear"] = ev_forecast_linear
+ORACLES["ev_forecast_linear"] = ORACLE_FORECAST

@@ -761,3 +761,50 @@ FROM checks ORDER BY "check"
 
 QUERIES["op_dq_checks"] = op_dq_checks
 ORACLES["op_dq_checks"] = ORACLE_DQ_CHECKS
+
+
+# --- op_forget_user ----------------------------------------------------------
+
+FORGET_MOD = 10  # the deletion keyset: user_id % 10 == 7 (a GDPR batch)
+
+
+def op_forget_user(t: dict[str, DataFrame]) -> DataFrame:
+    """Right-to-be-forgotten batch: purge a deletion keyset (here every
+    user with id ≡ 7 mod {FORGET_MOD} — standing in for the DSR queue)
+    from the event stream and emit the compliance accounting per
+    event type: rows before, rows purged, rows after, distinct users
+    purged — the report a privacy officer signs off on.
+
+    One broadcastable keyset derivation + one map-side predicate (an
+    IN-set at production scale: broadcast anti-join against the DSR
+    table), one conditional aggregation — the purge and its audit in a
+    single pass. At 100 TB the same plan runs per partition and the
+    rewrite is a partition-overwrite write of the kept rows; the purged
+    counts land in the audit log.
+    """
+    ev = t["events"]
+    doomed = F.col("user_id") % FORGET_MOD == 7
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.count(F.when(doomed, 1)).alias("n_purged"),
+            F.count(F.when(~doomed, 1)).alias("n_after"),
+            F.count_distinct(F.when(doomed, F.col("user_id"))).alias("n_users_purged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FORGET_USER = f"""
+SELECT event_type,
+       count(*) AS n_before,
+       count(CASE WHEN user_id % {FORGET_MOD} = 7 THEN 1 END) AS n_purged,
+       count(CASE WHEN user_id % {FORGET_MOD} != 7 THEN 1 END) AS n_after,
+       count(DISTINCT CASE WHEN user_id % {FORGET_MOD} = 7 THEN user_id END)
+         AS n_users_purged
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["op_forget_user"] = op_forget_user
+ORACLES["op_forget_user"] = ORACLE_FORGET_USER
