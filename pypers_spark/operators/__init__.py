@@ -62,6 +62,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "dd_minhash_incremental",
     "ev_forecast_linear",
     "op_forget_user",
     "op_dq_checks",

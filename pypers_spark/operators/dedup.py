@@ -1608,3 +1608,183 @@ FROM joined GROUP BY source ORDER BY source
 
 QUERIES["dd_soft_weights"] = dd_soft_weights
 ORACLES["dd_soft_weights"] = _duck_soft_weights_sql()
+
+
+# --- dd_minhash_incremental --------------------------------------------------
+
+
+def _shingle_sets_of(df: DataFrame, key: str) -> DataFrame:
+    """(doc_id, hs) word-3-shingle signature sets for an arbitrary
+    (doc_id, text) frame — the _signature_table construction opened up
+    for the incremental path, with the same lambda discipline (tokens
+    materialize below an exchange) and a tracked persist per consumer
+    key (bands + verify both read it)."""
+    from pypers_spark.functions.caching import tracked_persist
+
+    toks = df.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
+    )
+    toks = _repartitioned(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1),
+        F.element_at(F.col("tk"), i + 2),
+    )
+    hs = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: md5_int64(gram(i)))
+    )
+    return tracked_persist(
+        toks.filter(F.size("tk") >= 3).select("doc_id", hs.alias("hs")), key
+    )
+
+
+def dd_minhash_incremental(t: dict[str, DataFrame]) -> DataFrame:
+    """NEAR-dup admit at ingest: dd_incremental's exact-fingerprint gate
+    upgraded to MinHash — each batch document's LSH bands probe the
+    base corpus's (df-capped) band index; only colliding pairs pay an
+    exact Jaccard verify; batch docs with no verified match ≥ τ admit.
+
+    The batch is half near-duplicates (base text + a 3-word suffix —
+    J = n/(n+3) on word-3-shingles, above τ={JACCARD_THRESHOLD} for
+    docs with ≥ 14 words, deterministically below it for shorter ones,
+    so the report shows both outcomes) and half genuinely fresh
+    (word-reversed text — near-zero shingle overlap). Per batch doc:
+    candidate count, best verified Jaccard, matched base id, admit
+    flag. At 100 TB the base band index is the persisted artifact
+    (table_checkpoint family); a batch probes it with a broadcast-sized
+    band join and the verify touches only collisions — ingest cost is
+    O(batch), never O(corpus).
+    """
+    d = t["documents"].select("doc_id", "text")
+    rev = F.concat_ws(
+        " ", F.reverse(F.split(normalize_text(F.col("text")), " "))
+    )
+    batch = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" zq augmented row")))
+        .otherwise(rev)
+        .alias("text"),
+    )
+    base_sets = _shingle_sets_of(d, "dedup.incr_base_sets")
+    batch_sets = _shingle_sets_of(batch, "dedup.incr_batch_sets")
+    bb = _bands_of(base_sets)
+    wb = Window.partitionBy("band", *BAND_KEY_COLS)
+    bb_capped = bb.withColumn("wd", F.count("*").over(wb)).filter(
+        F.col("wd") <= LSH_MAX_BUCKET_WIDTH
+    )
+    qb = _bands_of(batch_sets)
+    cand = (
+        qb.alias("q")
+        .join(
+            bb_capped.alias("b"),
+            [F.col(f"q.{k}") == F.col(f"b.{k}") for k in ("band", *BAND_KEY_COLS)],
+        )
+        .select(F.col("q.doc_id").alias("qid"), F.col("b.doc_id").alias("bid"))
+        .distinct()
+    )
+    qhs = batch_sets.select(F.col("doc_id").alias("qid"), F.col("hs").alias("hs_q"))
+    bhs = base_sets.select(F.col("doc_id").alias("bid"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_q", "hs_b"))
+    union = F.size("hs_q") + F.size("hs_b") - inter
+    verified = (
+        cand.join(qhs, "qid")
+        .join(bhs, "bid")
+        .withColumn("jaccard", rnd(inter / union, 4))
+    )
+    cand_agg = cand.groupBy("qid").agg(F.count("*").alias("n_candidates"))
+    ver_agg = (
+        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("qid")
+        .agg(F.max("jaccard").alias("best_jaccard"), F.min("bid").alias("matched_base"))
+    )
+    return (
+        batch.select(F.col("doc_id").alias("qid"))
+        .join(cand_agg, "qid", "left")
+        .join(ver_agg, "qid", "left")
+        .select(
+            F.col("qid").alias("doc_id"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            "best_jaccard",
+            "matched_base",
+            F.col("matched_base").isNull().cast("int").alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_minhash_incr_sql() -> str:
+    mh_elems = ", ".join(
+        f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)}))"
+        for j in range(N_HASHES)
+    )
+    key_list = ", ".join(BAND_KEY_COLS)
+
+    def band_union(src):
+        return "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band, {keys} FROM {src}".format(
+                b=b,
+                keys=", ".join(_duck_packed_band_keys(b, lambda i: f"mh[{i + 1}]")),
+                src=src,
+            )
+            for b in range(N_BANDS)
+        )
+
+    on_keys = " AND ".join(f"q.{k} = b.{k}" for k in ["band", *BAND_KEY_COLS])
+    rev = f"array_to_string(list_reverse(string_split({duck_normalize_text('text')}, ' ')), ' ')"
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text || ' zq augmented row'
+              ELSE {rev} END AS text
+  FROM documents
+),
+bsets AS (
+  SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
+  FROM base
+  WHERE len(string_split({duck_normalize_text('text')}, ' ')) >= 3
+),
+qsets AS (
+  SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
+  FROM batch
+  WHERE len(string_split({duck_normalize_text('text')}, ' ')) >= 3
+),
+bmh AS (SELECT doc_id, hs, [{mh_elems}] AS mh FROM bsets),
+qmh AS (SELECT doc_id, hs, [{mh_elems}] AS mh FROM qsets),
+bbands_all AS (
+{band_union('bmh')}
+),
+bbands AS (
+  SELECT doc_id, band, {key_list} FROM bbands_all
+  QUALIFY count(*) OVER (PARTITION BY band, {key_list}) <= {LSH_MAX_BUCKET_WIDTH}
+),
+qbands AS (
+{band_union('qmh')}
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS qid, b.doc_id AS bid
+  FROM qbands q JOIN bbands b ON {on_keys}
+),
+verified AS (
+  SELECT c.qid, c.bid,
+         {duck_rnd('len(list_intersect(q.hs, b.hs)) * 1.0 / (len(q.hs) + len(b.hs) - len(list_intersect(q.hs, b.hs)))', 4)} AS jaccard
+  FROM cand c JOIN qsets q ON q.doc_id = c.qid JOIN bsets b ON b.doc_id = c.bid
+),
+cand_agg AS (SELECT qid, count(*) AS n_candidates FROM cand GROUP BY qid),
+ver_agg AS (
+  SELECT qid, max(jaccard) AS best_jaccard, min(bid) AS matched_base
+  FROM verified WHERE jaccard >= {JACCARD_THRESHOLD} GROUP BY qid
+)
+SELECT bt.doc_id AS doc_id,
+       coalesce(c.n_candidates, 0) AS n_candidates,
+       v.best_jaccard,
+       v.matched_base,
+       CAST(v.matched_base IS NULL AS INT) AS admitted
+FROM batch bt
+LEFT JOIN cand_agg c ON c.qid = bt.doc_id
+LEFT JOIN ver_agg v ON v.qid = bt.doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["dd_minhash_incremental"] = dd_minhash_incremental
+ORACLES["dd_minhash_incremental"] = _duck_minhash_incr_sql()
