@@ -90,6 +90,13 @@ HEADLINE = (
     "ev_markov_stationary",
     "ev_seasonal_baseline",
     "txt_rake",
+    "ev_rfm_segments",
+    "dd_soft_weights",
+    "ann_recall_report",
+    "op_dq_checks",
+    "ev_forecast_linear",
+    "op_forget_user",
+    "dd_minhash_incremental",
 )
 
 

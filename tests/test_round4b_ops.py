@@ -297,3 +297,59 @@ def test_funnel_24h_superset_of_1h(spark, sf_dir, qs):
     u24 = {r["user_id"] for r in qs["ev_funnel_windowed_24h"](spark, sf_dir).collect()}
     assert u1 <= u24
     assert u24  # non-vacuous at the gate SF
+
+
+def test_forecast_residual_reconstruction(spark, sf_dir, qs, tables):
+    """slope/intercept must reproduce the daily series' least-squares
+    fit: recompute the normal equations in python and compare."""
+    rows = qs["ev_forecast_linear"](spark, sf_dir).collect()
+    assert rows
+    daily = (
+        tables["events"]
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    for r in rows:
+        pts = sorted(series[r["event_type"]])
+        d0 = pts[0][0]
+        xs = [(d - d0).days for d, _ in pts]
+        ys = [y for _, y in pts]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(r["slope_per_day"] - slope) < 1e-4
+
+
+def test_forget_user_conservation(spark, sf_dir, qs, tables):
+    rows = qs["op_forget_user"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_before"] == r["n_purged"] + r["n_after"]
+        assert r["n_purged"] > 0  # the keyset is non-empty on this data
+    total_purged = sum(r["n_purged"] for r in rows)
+    expect = tables["events"].filter(F.col("user_id") % 10 == 7).count()
+    assert total_purged == expect
+
+
+def test_minhash_incremental_decisions(spark, sf_dir, qs):
+    """Suffix variants of long docs must be caught (matched to their own
+    base doc), word-reversed docs must admit; matches map to doc_id−1e6."""
+    rows = qs["dd_minhash_incremental"](spark, sf_dir).collect()
+    caught = [r for r in rows if r["admitted"] == 0]
+    admitted = [r for r in rows if r["admitted"] == 1]
+    assert caught and admitted
+    for r in caught:
+        assert r["best_jaccard"] >= 0.8
+        # matched_base is the SMALLEST matching base doc — usually the
+        # batch doc's own base, but corpus-internal near-dup groups can
+        # surface an even smaller sibling (observed: 1000012 → 8)
+        assert r["matched_base"] < 1000000
+        assert r["doc_id"] % 2 == 0  # only suffix variants can match
+    for r in admitted:
+        assert r["matched_base"] is None
