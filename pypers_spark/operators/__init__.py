@@ -21,6 +21,7 @@ from pypers_spark.operators import (
     relational_extra,
     semistructured,
     similarity,
+    sketches,
     streaming_batch,
     text,
     text_extra,
@@ -34,6 +35,7 @@ from pypers_spark.operators import (
 # intricate operator families (streaming drain, curation, similarity,
 # LSH dedup, multimodal) lead and the battle-tested TPC-H shapes trail.
 MODULES = (
+    sketches,
     training,
     streaming_batch,
     curation_extra,
@@ -62,6 +64,9 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "sk_cms_heavy",
+    "sk_hll_distinct",
+    "sk_kmv_distinct",
     "dd_minhash_incremental",
     "ev_forecast_linear",
     "op_forget_user",

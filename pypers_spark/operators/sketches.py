@@ -1,0 +1,364 @@
+"""Mergeable-sketch operators (SURVEY.md §2.D additions, round 4e).
+
+The three sketch families every 100 TB aggregation layer ends up
+shipping — implemented deterministically (md5→int64 base hash + affine
+families, integer-exact accumulators) so DuckDB reproduces every
+register, cell, and estimate bit-for-bit:
+
+- ``sk_cms_heavy``  — Count-Min sketch (depth 4 × width 128) over the
+  corpus word-3-gram stream; the exact top-20 heavy hitters are probed
+  against the sketch, so the gate row checks both the cell table and
+  the min-over-rows estimate (including real collision overestimates —
+  ~16k distinct grams share 128 buckets per row).
+- ``sk_hll_distinct`` — HyperLogLog (m=64 registers, standard
+  α₆₄=0.709 raw estimator + linear-counting fallback) over the same
+  stream; rho is derived from the hash's trailing-zero count via
+  lowest-set-bit + log2, both engines bit-identical.
+- ``sk_kmv_distinct`` — k-minimum-values (theta-sketch family, k=64):
+  distinct-hash min-k via TakeOrderedAndProject, estimate
+  (k−1)·2^60/h_k.
+
+Why sketches when the engine can count exactly: at 100 TB the exact
+count-distinct / heavy-hitter shuffle is the bottleneck; all three
+sketches are ONE map-side pass producing a tiny mergeable state
+(512 cells / 64 registers / 64 hashes) that partial-aggregates per
+partition and merges associatively on the reduce side — the same
+contract as Spark's own approx_count_distinct, but reproducible
+cross-engine (Spark's HLL++ register layout is not portable, so the
+oracle could never check it; this one is checked to the last bit).
+
+Scale notes (100 TB intent):
+- The gram/token stream is the classic inverted-index explode: grams
+  are built from a materialized token array below a hash exchange
+  (perf lesson 1 — lambdas must reference columns, not expression
+  subtrees).
+- CMS cell build: one hash aggregation keyed (row, bucket) — 512
+  groups regardless of corpus size; partial aggregation makes the
+  shuffle O(512 × partitions).
+- HLL registers: one hash aggregation keyed bucket (64 groups); the
+  register merge is max() — associative, partial-aggregated.
+- KMV: orderBy(h).limit(k) plans as TakeOrderedAndProject — per-
+  partition top-k map-side, k-row merge on the driver.
+- Estimates join the tiny sketch tables back via broadcast; no
+  second scan of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.hashing import (
+    affine_hash,
+    duck_affine_hash,
+    duck_md5_int64,
+    md5_int64,
+)
+from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.text import duck_normalize_text, normalize_text
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- shared word-3-gram stream ----------------------------------------------
+
+
+def _gram_rows(t: dict[str, DataFrame]) -> DataFrame:
+    """One row per word-3-gram occurrence in ``documents`` (with repeats —
+    CMS counts occurrences; HLL/KMV dedupe downstream).
+
+    Token arrays are materialized below a hash exchange so the gram
+    lambda references a COLUMN (perf lesson 1: inlining the normalize
+    regex into the transform re-evaluates it per array element).
+    """
+    docs = t["documents"]
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk"))
+        .repartition(n, F.col("doc_id"))
+        .filter(F.size("tk") >= 3)
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("tk"), i),
+        F.element_at(F.col("tk"), i + 1),
+        F.element_at(F.col("tk"), i + 2),
+    )
+    return toks.select(
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: gram(i))
+        ).alias("gram")
+    )
+
+
+_DUCK_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
+
+# DuckDB twin of the gram stream (1-based list indexing, [a, b) range).
+_DUCK_GRAMS = f"""
+toks AS (
+  SELECT {_DUCK_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         AS gram
+  FROM toks WHERE len(tk) >= 3
+)
+"""
+
+
+# --- sk_cms_heavy ------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+CMS_SEED = 200  # affine-family seeds CMS_SEED..CMS_SEED+CMS_DEPTH-1
+CMS_TOP_K = 20
+
+
+def _cms_probe_cols(h):
+    """(row, bucket) struct per CMS row for a base-hash column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("d"),
+                (affine_hash(h, CMS_SEED + d) % CMS_WIDTH).alias("bucket"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+
+
+def sk_cms_heavy(t: dict[str, DataFrame]) -> DataFrame:
+    """Count-Min heavy-hitter readout: exact top-20 grams probed against
+    the depth×width cell table; est = min over rows, always ≥ exact
+    (CMS guarantees one-sided error — ``overest`` exposes collisions).
+    """
+    occ = _gram_rows(t).withColumn("h", md5_int64(F.col("gram")))
+    cell = F.explode(_cms_probe_cols(F.col("h"))).alias("cell")
+    cells = (
+        occ.select(cell)
+        .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    top = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), "gram")
+        .limit(CMS_TOP_K)
+        .withColumn("h", md5_int64(F.col("gram")))
+    )
+    probes = top.select("gram", "exact", F.explode(_cms_probe_cols(F.col("h"))).alias("cell"))
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (probes["cell.d"] == cells["d"]) & (probes["cell.bucket"] == cells["bucket"]),
+        )
+        .groupBy("gram")
+        .agg(F.max("exact").alias("exact"), F.min("cell_cnt").alias("est"))
+        .withColumn("overest", F.col("est") - F.col("exact"))
+        .orderBy(F.desc("exact"), "gram")
+    )
+
+
+def _duck_cms_buckets(h_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN d = {d} THEN ({duck_affine_hash(h_expr, CMS_SEED + d)}) % {CMS_WIDTH}"
+        for d in range(CMS_DEPTH)
+    )
+    return f"CASE {whens} END"
+
+
+ORACLE_CMS_HEAVY = f"""
+WITH {_DUCK_GRAMS},
+occ AS (SELECT gram, {duck_md5_int64('gram')} AS h FROM grams),
+cells AS (
+  SELECT d, {_duck_cms_buckets('h')} AS bucket, count(*) AS cell_cnt
+  FROM occ, unnest(range(0, {CMS_DEPTH})) AS r(d)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT gram, count(*) AS exact, {duck_md5_int64('gram')} AS h
+  FROM occ GROUP BY gram ORDER BY exact DESC, gram LIMIT {CMS_TOP_K}
+),
+probes AS (
+  SELECT gram, exact, d, {_duck_cms_buckets('h')} AS bucket
+  FROM top, unnest(range(0, {CMS_DEPTH})) AS r(d)
+)
+SELECT p.gram AS gram, max(p.exact) AS exact, min(c.cell_cnt) AS est,
+       min(c.cell_cnt) - max(p.exact) AS overest
+FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.gram
+ORDER BY exact DESC, gram
+"""
+
+QUERIES["sk_cms_heavy"] = sk_cms_heavy
+ORACLES["sk_cms_heavy"] = ORACLE_CMS_HEAVY
+
+
+# --- sk_hll_distinct ---------------------------------------------------------
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_W_BITS = 60 - HLL_P  # hash bits left after the bucket index
+HLL_RHO_MAX = HLL_W_BITS + 1  # rho when the remaining bits are all zero
+HLL_ALPHA = 0.709  # standard α for m=64 (Flajolet et al. 2007)
+
+
+def sk_hll_distinct(t: dict[str, DataFrame]) -> DataFrame:
+    """HyperLogLog distinct-gram estimate vs the exact count, one row.
+
+    rho = trailing zeros of the non-bucket hash bits + 1, via
+    lowest-set-bit (w & −w) + log2 — log2 of an exact power of two is
+    exact in both engines, and floor(+0.5) tolerates a half-ulp anyway.
+    The harmonic-mean denominator Σ 2^−M[j] is computed as the exact
+    integer Σ 2^(RHO_MAX − M[j]) ≤ 64·2^55 < 2^62 — order-independent.
+    """
+    grams = _gram_rows(t)
+    h = md5_int64(F.col("gram"))
+    hashed = grams.select(
+        (h % HLL_M).alias("bucket"), F.shiftright(h, HLL_P).alias("w")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.floor(F.log2(F.col("w").bitwiseAND(-F.col("w"))) + F.lit(0.5)).cast("bigint")
+        + 1
+    )
+    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m_reg")
+    )
+    spine = (
+        grams.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"))
+    )
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
+        F.coalesce(F.col("m_reg"), F.lit(0)).alias("m_reg")
+    )
+    sketch = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")).alias("s"),
+        F.count(F.when(F.col("m_reg") == 0, 1)).alias("v_zero"),
+    )
+    exact = grams.agg(F.count_distinct("gram").alias("n_exact"))
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / F.col("s").cast("double")
+    )
+    lin = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
+    )
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0), lin).otherwise(raw)
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).alias("m"),
+        F.col("n_exact"),
+        rnd(raw, 4).alias("raw_est"),
+        rnd(est, 4).alias("est"),
+        rnd(
+            F.abs(est - F.col("n_exact").cast("double")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+_DUCK_HLL_EST = f"""
+  CAST({HLL_ALPHA} AS DOUBLE) * {float(HLL_M * HLL_M)} * {float(1 << HLL_RHO_MAX)}
+  / CAST(s AS DOUBLE)
+"""
+_DUCK_HLL_LIN = (
+    f"{float(HLL_M)} * ln({float(HLL_M)} / "
+    f"CAST(greatest(v_zero, 1) AS DOUBLE))"
+)
+_DUCK_HLL_CHOSEN = f"""
+  CASE WHEN ({_DUCK_HLL_EST}) <= {2.5 * HLL_M} AND v_zero > 0
+       THEN {_DUCK_HLL_LIN} ELSE ({_DUCK_HLL_EST}) END
+"""
+
+ORACLE_HLL_DISTINCT = f"""
+WITH {_DUCK_GRAMS},
+hashed AS (
+  SELECT ({duck_md5_int64('gram')}) % {HLL_M} AS bucket,
+         ({duck_md5_int64('gram')}) >> {HLL_P} AS w
+  FROM grams
+),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                  ELSE CAST(floor(log2(w & (-w)) + 0.5) AS BIGINT) + 1 END) AS m_reg
+  FROM hashed GROUP BY bucket
+),
+spine AS (SELECT unnest(range(0, {HLL_M})) AS bucket),
+full_regs AS (
+  SELECT coalesce(m_reg, 0) AS m_reg
+  FROM spine LEFT JOIN regs ON spine.bucket = regs.bucket
+),
+sketch AS (
+  SELECT sum((1::BIGINT) << ({HLL_RHO_MAX} - m_reg)) AS s,
+         count(CASE WHEN m_reg = 0 THEN 1 END) AS v_zero
+  FROM full_regs
+),
+exact AS (SELECT count(DISTINCT gram) AS n_exact FROM grams)
+SELECT {HLL_M} AS m, n_exact,
+       {duck_rnd(_DUCK_HLL_EST, 4)} AS raw_est,
+       {duck_rnd(_DUCK_HLL_CHOSEN, 4)} AS est,
+       {duck_rnd(f'abs(({_DUCK_HLL_CHOSEN}) - CAST(n_exact AS DOUBLE)) / n_exact', 6)}
+         AS rel_err
+FROM sketch, exact
+"""
+
+QUERIES["sk_hll_distinct"] = sk_hll_distinct
+ORACLES["sk_hll_distinct"] = ORACLE_HLL_DISTINCT
+
+
+# --- sk_kmv_distinct ---------------------------------------------------------
+
+KMV_K = 64
+_H_SPACE = float(1 << 60)  # md5_int64 range
+
+
+def sk_kmv_distinct(t: dict[str, DataFrame]) -> DataFrame:
+    """k-minimum-values distinct estimate (theta-sketch family):
+    keep the k smallest distinct hashes, estimate (k−1)·2^60/h_k.
+    orderBy+limit plans as TakeOrderedAndProject — per-partition
+    map-side top-k, a k-row merge, never a global sort."""
+    hs = _gram_rows(t).select(md5_int64(F.col("gram")).alias("h")).distinct()
+    kmin = hs.orderBy("h").limit(KMV_K).agg(
+        F.max("h").alias("kth_min_hash"), F.count("*").alias("k_eff")
+    )
+    exact = hs.agg(F.count("*").alias("n_exact"))
+    est = (
+        (F.col("k_eff") - 1).cast("double")
+        * F.lit(_H_SPACE)
+        / F.col("kth_min_hash").cast("double")
+    )
+    return kmin.crossJoin(F.broadcast(exact)).select(
+        F.col("k_eff").alias("k"),
+        F.col("n_exact"),
+        F.col("kth_min_hash"),
+        rnd(est, 4).alias("est"),
+        rnd(
+            F.abs(est - F.col("n_exact").cast("double")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+_DUCK_KMV_EST = (
+    f"CAST(k_eff - 1 AS DOUBLE) * {_H_SPACE} / CAST(kth_min_hash AS DOUBLE)"
+)
+
+ORACLE_KMV_DISTINCT = f"""
+WITH {_DUCK_GRAMS},
+hs AS (SELECT DISTINCT {duck_md5_int64('gram')} AS h FROM grams),
+kmin AS (
+  SELECT max(h) AS kth_min_hash, count(*) AS k_eff
+  FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})
+),
+exact AS (SELECT count(*) AS n_exact FROM hs)
+SELECT k_eff AS k, n_exact, kth_min_hash,
+       {duck_rnd(_DUCK_KMV_EST, 4)} AS est,
+       {duck_rnd(f'abs(({_DUCK_KMV_EST}) - CAST(n_exact AS DOUBLE)) / n_exact', 6)}
+         AS rel_err
+FROM kmin, exact
+"""
+
+QUERIES["sk_kmv_distinct"] = sk_kmv_distinct
+ORACLES["sk_kmv_distinct"] = ORACLE_KMV_DISTINCT
