@@ -15,6 +15,7 @@ from pypers_spark.operators import (
     curation_extra,
     dedup,
     graph,
+    incremental,
     events,
     events_extra,
     relational,
@@ -35,6 +36,7 @@ from pypers_spark.operators import (
 # intricate operator families (streaming drain, curation, similarity,
 # LSH dedup, multimodal) lead and the battle-tested TPC-H shapes trail.
 MODULES = (
+    incremental,
     sketches,
     training,
     streaming_batch,
@@ -64,6 +66,10 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "gr_bfs_reach",
+    "op_incremental_join",
+    "op_compaction_plan",
+    "op_target_encode",
     "sk_cms_heavy",
     "sk_hll_distinct",
     "sk_kmv_distinct",

@@ -555,3 +555,94 @@ FROM qc
 
 QUERIES["gr_modularity"] = gr_modularity
 ORACLES["gr_modularity"] = _oracle_modularity()
+
+
+# --- gr_bfs_reach ------------------------------------------------------------
+
+BFS_SEED_MOD = 50
+BFS_HOPS = 3
+
+
+def gr_bfs_reach(t: dict[str, DataFrame]) -> DataFrame:
+    """Multi-source BFS reachability over the τ=0.3 near-dup graph:
+    min hop distance from the seed set (vec_id ≡ 0 mod 50), unrolled
+    {BFS_HOPS} hops — the frontier-expansion workload behind blast-
+    radius / lineage / affected-set queries.
+
+    Iterations are UNROLLED into one Catalyst plan (like gr_pagerank);
+    edges are persisted so the pairwise-cosine join executes once, not
+    once per hop (perf lesson 9 — at 100 TB the edge table is a
+    checkpointed parquet artifact). Each hop = one join shuffled on the
+    frontier key + one min-aggregate; the frontier is node-cardinality,
+    edges dominate, AQE broadcasts the frontier when it fits.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    pairs = _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b")
+    edges = tracked_persist(
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ),
+        "graph.bfs_edges",
+    )
+    frontier = (
+        t["embeddings"]
+        .filter(F.col("vec_id") % BFS_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("v"), F.lit(0).alias("dist"))
+    )
+    for hop in range(1, BFS_HOPS + 1):
+        nxt = frontier.join(edges, frontier["v"] == edges["id_a"]).select(
+            F.col("id_b").alias("v"), F.lit(hop).alias("dist")
+        )
+        frontier = (
+            frontier.unionByName(nxt).groupBy("v").agg(F.min("dist").alias("dist"))
+        )
+    return (
+        frontier.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("v").alias("min_node"),
+            F.max("v").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _oracle_bfs_reach() -> str:
+    from pypers_spark.operators.similarity import COS_T03, _oracle_dd_emb
+
+    pair_sql = _oracle_dd_emb(COS_T03).replace("ORDER BY label, id_a, id_b", "")
+    hops = [
+        f"f0 AS (SELECT vec_id AS v, 0 AS dist FROM embeddings "
+        f"WHERE vec_id % {BFS_SEED_MOD} = 0)"
+    ]
+    for hop in range(1, BFS_HOPS + 1):
+        hops.append(
+            f"""f{hop} AS (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM f{hop - 1}
+    UNION ALL
+    SELECT e.id_b AS v, {hop} AS dist
+    FROM f{hop - 1} f JOIN edges e ON f.v = e.id_a
+  ) GROUP BY v
+)"""
+        )
+    chain = ",\n".join(hops)
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+{chain}
+SELECT dist, count(*) AS n_nodes, min(v) AS min_node, max(v) AS max_node
+FROM f{BFS_HOPS}
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+QUERIES["gr_bfs_reach"] = gr_bfs_reach
+ORACLES["gr_bfs_reach"] = _oracle_bfs_reach()

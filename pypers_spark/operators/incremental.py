@@ -1,0 +1,262 @@
+"""Incremental-maintenance and physical-layout operators (round 4e).
+
+The lakehouse maintenance jobs that surround a 100 TB table — all
+expressed as declarative DataFrame plans with exact cross-engine
+oracles:
+
+- ``op_incremental_join`` — incremental JOIN-view maintenance:
+  Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB. The view (revenue per
+  nation over orders⋈customer) is refreshed by merging the old
+  partial with the three delta contributions; the oracle recomputes
+  the full join from scratch, so equality PROVES the delta
+  decomposition exact — the companion to ``ev_delta_rollup``'s
+  aggregate-side merge.
+- ``op_compaction_plan`` — OPTIMIZE-style small-file bin packing:
+  per partition, files roll up into output groups by cumulative-size
+  window assignment — the compaction planner that turns a
+  million-small-file partition into target-sized rewrites.
+- ``op_target_encode`` — leave-one-out target encoding with additive
+  smoothing (the classic train-safe categorical feature): per-row
+  enc = (Σ_cat − y_i + α·prior) / (n_cat − 1 + α), computed from
+  exact 1e-6-quantized integer sums so the encoding is
+  order-independent and bit-identical cross-engine.
+
+Scale notes (100 TB intent):
+- Incremental join: the delta sides are ingest batches (≪ base), so
+  both ΔA⋈B and A⋈ΔB broadcast the delta; the old view is a
+  nation-cardinality partial that never re-reads the base fact. Cost
+  per refresh is O(Δ), not O(A⋈B) — the materialized-view contract.
+- Compaction: the file inventory is metadata (one row per file), the
+  cumulative window runs per partition — thousands of rows per
+  partition, never data-sized.
+- Target encoding: one groupBy per category table (broadcast back) +
+  one map-side expression; no window over the fact table, so no
+  per-category sort of 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- op_incremental_join -----------------------------------------------------
+
+# Ingest-batch membership: stand-ins for "rows that arrived since the
+# last refresh" on each side of the join.
+NEW_O_MOD = 13
+NEW_C_MOD = 17
+
+
+def op_incremental_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental join-view refresh, merged from four quadrant partials.
+
+    quadrant = 2·is_new(order) + is_new(customer); the view's measures
+    are algebraic (count, dsum), so the quadrant partials merge by
+    addition. ``n_quadrants`` counts how many partials contributed per
+    nation — the gate row shows the merge genuinely combined deltas
+    (it is 4 for every populated nation at sf0.01).
+    """
+    o = t["orders"].withColumn("o_new", F.col("o_orderkey") % NEW_O_MOD == 0)
+    c = t["customer"].withColumn("c_new", F.col("c_custkey") % NEW_C_MOD == 0)
+    quadrants = []
+    for o_new in (False, True):
+        for c_new in (False, True):
+            part = (
+                o.filter(F.col("o_new") == o_new)
+                .join(
+                    F.broadcast(c.filter(F.col("c_new") == c_new)),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+                .groupBy("c_nationkey")
+                .agg(
+                    F.count("*").alias("pn"),
+                    F.sum(F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))).alias(
+                        "psum"
+                    ),
+                )
+                .withColumn("quadrant", F.lit(2 * int(o_new) + int(c_new)))
+            )
+            quadrants.append(part)
+    merged = quadrants[0]
+    for q in quadrants[1:]:
+        merged = merged.unionByName(q)
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            (F.sum("psum") / F.lit(1e6)).cast("double").alias("rev"),
+            F.count_distinct("quadrant").alias("n_quadrants"),
+        )
+        .select(
+            "c_nationkey",
+            "n_orders",
+            rnd(F.col("rev"), 2).alias("revenue"),
+            "n_quadrants",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_INCREMENTAL_JOIN = f"""
+SELECT c_nationkey,
+       count(*) AS n_orders,
+       {duck_rnd(duck_dsum('o_totalprice'), 2)} AS revenue,
+       count(DISTINCT 2 * CAST(o_orderkey % {NEW_O_MOD} = 0 AS INT)
+                       + CAST(c_custkey % {NEW_C_MOD} = 0 AS INT)) AS n_quadrants
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+QUERIES["op_incremental_join"] = op_incremental_join
+ORACLES["op_incremental_join"] = ORACLE_INCREMENTAL_JOIN
+
+
+# --- op_compaction_plan ------------------------------------------------------
+
+FILE_BUCKETS = 16  # synthetic "file" id within a partition
+ROW_BYTES = 120  # per-row size estimate for the inventory
+TARGET_BYTES = 40_000  # compaction output target size
+
+
+def op_compaction_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """OPTIMIZE bin-packing plan over a synthetic file inventory.
+
+    Inventory: one row per (month partition, file) with estimated
+    bytes; plan: files ordered within the partition, output group =
+    floor(cumulative-bytes-before / target) — the greedy first-fit
+    packing every table-maintenance service runs. Output is one row
+    per planned output file with what it compacts.
+    """
+    inv = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("p_month"),
+            (F.col("o_orderkey") % FILE_BUCKETS).alias("file_id"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("bytes", F.col("n_rows") * ROW_BYTES)
+    )
+    w = (
+        Window.partitionBy("p_month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = inv.withColumn(
+        "out_file",
+        F.floor(F.coalesce(F.sum("bytes").over(w), F.lit(0)) / TARGET_BYTES),
+    )
+    return (
+        planned.groupBy("p_month", "out_file")
+        .agg(
+            F.count("*").alias("n_input_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .orderBy("p_month", "out_file")
+    )
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH inv AS (
+  SELECT date_trunc('month', o_orderdate) AS p_month,
+         o_orderkey % {FILE_BUCKETS} AS file_id,
+         count(*) AS n_rows,
+         count(*) * {ROW_BYTES} AS bytes
+  FROM orders GROUP BY 1, 2
+),
+planned AS (
+  SELECT *,
+         CAST(floor(coalesce(sum(bytes) OVER (
+             PARTITION BY p_month ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {TARGET_BYTES}) AS BIGINT) AS out_file
+  FROM inv
+)
+SELECT p_month, out_file, count(*) AS n_input_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows
+FROM planned
+GROUP BY 1, 2
+ORDER BY p_month, out_file
+"""
+
+QUERIES["op_compaction_plan"] = op_compaction_plan
+ORACLES["op_compaction_plan"] = ORACLE_COMPACTION_PLAN
+
+
+# --- op_target_encode --------------------------------------------------------
+
+TE_ALPHA = 10  # additive-smoothing pseudo-count
+
+
+def op_target_encode(t: dict[str, DataFrame]) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value,
+    reported as per-category encoding statistics.
+
+    All sums are exact 1e-6-quantized int64s; the per-row encoding is
+    a ratio of exact integers (identical IEEE division in both
+    engines) and the readout re-aggregates the encodings through the
+    same quantized-sum discipline — order-independent end to end.
+    LOO removes the row's own target from its category sum, the
+    standard train-leakage guard.
+    """
+    ev = t["events"].withColumn(
+        "sv", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    )
+    cat = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_c"), F.sum("sv").alias("s_c")
+    )
+    glob = ev.agg(F.count("*").alias("n_g"), F.sum("sv").alias("s_g"))
+    prior = (F.col("s_g") / F.lit(1e6)).cast("double") / F.col("n_g")
+    enc = (
+        (F.col("s_c") - F.col("sv")).cast("double") / F.lit(1e6)
+        + F.lit(float(TE_ALPHA)) * prior
+    ) / (F.col("n_c") - 1 + TE_ALPHA).cast("double")
+    return (
+        ev.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select("event_type", enc.alias("enc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(dsum(F.col("enc")) / F.count("*"), 6).alias("mean_enc"),
+            rnd(F.min("enc"), 6).alias("min_enc"),
+            rnd(F.max("enc"), 6).alias("max_enc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TARGET_ENCODE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS sv
+  FROM events
+),
+cat AS (SELECT event_type, count(*) AS n_c, sum(sv) AS s_c FROM ev GROUP BY 1),
+tot AS (SELECT count(*) AS n_g, sum(sv) AS s_g FROM ev),
+enc AS (
+  SELECT ev.event_type AS event_type,
+         (CAST(s_c - sv AS DOUBLE) / 1000000.0
+          + CAST({TE_ALPHA} AS DOUBLE) * (CAST(s_g AS DOUBLE) / 1000000.0 / n_g))
+         / CAST(n_c - 1 + {TE_ALPHA} AS DOUBLE) AS enc
+  FROM ev JOIN cat ON ev.event_type = cat.event_type, tot
+)
+SELECT event_type, count(*) AS n,
+       {duck_rnd(f"{duck_dsum('enc')} / count(*)", 6)} AS mean_enc,
+       {duck_rnd('min(enc)', 6)} AS min_enc,
+       {duck_rnd('max(enc)', 6)} AS max_enc
+FROM enc
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["op_target_encode"] = op_target_encode
+ORACLES["op_target_encode"] = ORACLE_TARGET_ENCODE
