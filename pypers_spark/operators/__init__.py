@@ -66,6 +66,9 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "sk_hist_quantile",
+    "ev_rate_limit",
+    "op_snapshot_diff",
     "gr_bfs_reach",
     "op_incremental_join",
     "op_compaction_plan",

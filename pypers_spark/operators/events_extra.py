@@ -1579,3 +1579,75 @@ FROM m WHERE n > 1 ORDER BY event_type
 
 QUERIES["ev_forecast_linear"] = ev_forecast_linear
 ORACLES["ev_forecast_linear"] = ORACLE_FORECAST
+
+
+# --- ev_rate_limit -----------------------------------------------------------
+
+RL_WINDOW_S = 3600
+RL_MAX_PER_WINDOW = 5
+
+
+def ev_rate_limit(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding-window rate-limit readout: per user, each event carries
+    its trailing-1-hour request count; events past the cap are flagged
+    throttled and the report rolls up per event type (throttle rate,
+    worst burst).
+
+    This is the OBSERVABILITY form (every event counts toward the
+    window, including throttled ones) — the form a monitoring pipeline
+    computes over the log. Enforcement-with-feedback (denied requests
+    don't consume quota) is a stateful recursion: that lives in the
+    streaming sessionizer family, not in a window expression.
+
+    One shuffle on user_id; the RANGE frame is event-time-bounded, so
+    skewed users cost sort time, not memory (frame is count-only).
+    """
+    ev = t["events"].withColumn("ts_s", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-RL_WINDOW_S, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_type",
+        F.count("*").over(w).alias("burst"),
+    ).withColumn("throttled", F.col("burst") > RL_MAX_PER_WINDOW)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("throttled"), 1)).alias("n_throttled"),
+            F.max("burst").alias("max_burst"),
+            rnd(
+                F.count(F.when(F.col("throttled"), 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("throttle_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_RATE_LIMIT = f"""
+WITH flagged AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY user_id
+                        ORDER BY epoch(date_trunc('second', ts))
+                        RANGE BETWEEN {RL_WINDOW_S} PRECEDING AND CURRENT ROW)
+           AS burst
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(CASE WHEN burst > {RL_MAX_PER_WINDOW} THEN 1 END) AS n_throttled,
+       max(burst) AS max_burst,
+       {duck_rnd(
+           f'CAST(count(CASE WHEN burst > {RL_MAX_PER_WINDOW} THEN 1 END) AS DOUBLE)'
+           ' / count(*)', 6)} AS throttle_rate
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["ev_rate_limit"] = ev_rate_limit
+ORACLES["ev_rate_limit"] = ORACLE_RATE_LIMIT

@@ -260,3 +260,98 @@ ORDER BY event_type
 
 QUERIES["op_target_encode"] = op_target_encode
 ORACLES["op_target_encode"] = ORACLE_TARGET_ENCODE
+
+
+# --- op_snapshot_diff --------------------------------------------------------
+
+DEL_MOD = 11  # v2 drops these keys
+UPD_MOD = 7  # v2 reprices these keys
+INS_MOD = 13  # v2 adds a shifted copy of these keys
+INS_SHIFT = 10_000_000
+
+
+def _snapshot_v2(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic 'next snapshot' of orders: deletes (mod 11),
+    updates (+10% reprice, mod 7), inserts (shifted-key copies,
+    mod 13) — the CDC fixture both engines derive identically."""
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    kept = o.filter(F.col("o_orderkey") % DEL_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % UPD_MOD == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserted = o.filter(F.col("o_orderkey") % INS_MOD == 0).select(
+        (F.col("o_orderkey") + INS_SHIFT).alias("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    return kept.unionByName(inserted)
+
+
+def op_snapshot_diff(t: dict[str, DataFrame]) -> DataFrame:
+    """Snapshot reconciliation (the CDC diff job): full-outer join of
+    two table versions on the key, rows classified added / removed /
+    changed / unchanged, per-class counts + exact value drift.
+
+    At 100 TB both snapshots are bucketed on the key (sources/
+    bucketed.py) so this join is Exchange-free; the diff report is the
+    audit artifact a replication pipeline emits per sync run.
+    """
+    v1 = t["orders"].select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = _snapshot_v2(t).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p2")
+    )
+    joined = v1.join(v2, "k", "full_outer")
+    cls = (
+        F.when(F.col("p1").isNull(), F.lit("added"))
+        .when(F.col("p2").isNull(), F.lit("removed"))
+        .when(F.col("p1") != F.col("p2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            cls.alias("change_type"),
+            F.coalesce(F.col("p2"), F.lit(0.0)).alias("p2v"),
+            F.coalesce(F.col("p1"), F.lit(0.0)).alias("p1v"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            rnd(dsum(F.col("p2v") - F.col("p1v")), 2).alias("value_drift"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p1 FROM orders),
+v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % {UPD_MOD} = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS p2
+  FROM orders WHERE o_orderkey % {DEL_MOD} != 0
+  UNION ALL
+  SELECT o_orderkey + {INS_SHIFT} AS k, o_totalprice AS p2
+  FROM orders WHERE o_orderkey % {INS_MOD} = 0
+),
+joined AS (
+  SELECT CASE WHEN p1 IS NULL THEN 'added'
+              WHEN p2 IS NULL THEN 'removed'
+              WHEN p1 != p2 THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(p2, 0.0) - coalesce(p1, 0.0) AS drift
+  FROM v1 FULL OUTER JOIN v2 USING (k)
+)
+SELECT change_type, count(*) AS n_rows,
+       {duck_rnd(duck_dsum('drift'), 2)} AS value_drift
+FROM joined
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+QUERIES["op_snapshot_diff"] = op_snapshot_diff
+ORACLES["op_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF

@@ -362,3 +362,135 @@ FROM kmin, exact
 
 QUERIES["sk_kmv_distinct"] = sk_kmv_distinct
 ORACLES["sk_kmv_distinct"] = ORACLE_KMV_DISTINCT
+
+
+# --- sk_hist_quantile --------------------------------------------------------
+
+HQ_BINS = 128
+HQ_QS = (0.5, 0.95, 0.99)
+
+
+def sk_hist_quantile(t: dict[str, DataFrame]) -> DataFrame:
+    """Equi-width histogram quantile sketch over order totals: 128 bin
+    counts (mergeable — bins sum associatively across partitions /
+    partial states) interpolated at p50/p95/p99, next to the exact
+    interpolated percentile for the measured-accuracy readout.
+
+    The crossing bin (first cumulative count ≥ q·n) is found by
+    struct-min over the ≤128-row bin table — the corpus is scanned
+    once for bounds and once for counts; everything downstream is
+    sketch-sized and broadcast.
+    """
+    vals = t["orders"].select(F.col("o_totalprice").alias("x"))
+    bounds = vals.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count("*").alias("n"),
+        rnd(F.percentile(F.col("x"), F.lit(0.5)), 4).alias("ex50"),
+        rnd(F.percentile(F.col("x"), F.lit(0.95)), 4).alias("ex95"),
+        rnd(F.percentile(F.col("x"), F.lit(0.99)), 4).alias("ex99"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HQ_BINS))
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+                F.lit(HQ_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    qs = (
+        vals.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in HQ_QS])).alias("q"))
+    )
+    crossing = (
+        qs.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(bounds.select("lo", "hi", "n", "ex50", "ex95", "ex99")))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("bin", "cum", "cnt")).alias("c"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.first("n").alias("n"),
+            F.first("ex50").alias("ex50"),
+            F.first("ex95").alias("ex95"),
+            F.first("ex99").alias("ex99"),
+        )
+    )
+    width2 = (F.col("hi") - F.col("lo")) / F.lit(float(HQ_BINS))
+    est = F.col("lo") + width2 * (
+        F.col("c.bin").cast("double")
+        + (F.col("q") * F.col("n") - (F.col("c.cum") - F.col("c.cnt")).cast("double"))
+        / F.col("c.cnt").cast("double")
+    )
+    exact = (
+        F.when(F.col("q") == 0.5, F.col("ex50"))
+        .when(F.col("q") == 0.95, F.col("ex95"))
+        .otherwise(F.col("ex99"))
+    )
+    return crossing.select(
+        "q",
+        rnd(est, 4).alias("est"),
+        exact.alias("exact"),
+        rnd(F.abs(rnd(est, 4) - exact) / exact, 6).alias("rel_err"),
+    ).orderBy("q")
+
+
+_DUCK_HQ_EST = f"""
+  lo + ((hi - lo) / {float(HQ_BINS)}) * (
+    CAST(bin AS DOUBLE)
+    + (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+"""
+
+ORACLE_HIST_QUANTILE = f"""
+WITH vals AS (SELECT o_totalprice AS x FROM orders),
+bounds AS (
+  SELECT min(x) AS lo, max(x) AS hi, count(*) AS n,
+         {duck_rnd('quantile_cont(x, 0.5)', 4)} AS ex50,
+         {duck_rnd('quantile_cont(x, 0.95)', 4)} AS ex95,
+         {duck_rnd('quantile_cont(x, 0.99)', 4)} AS ex99
+  FROM vals
+),
+binned AS (
+  SELECT least(CAST(floor((x - lo) / ((hi - lo) / {float(HQ_BINS)})) AS BIGINT),
+               {HQ_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM vals, bounds GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM binned
+),
+qs AS (SELECT unnest([{', '.join(str(q) for q in HQ_QS)}]) AS q),
+crossing AS (
+  SELECT q, min(bin) AS bin FROM qs, cum, bounds
+  WHERE cum >= q * n GROUP BY q
+),
+pick AS (
+  SELECT q, c.bin AS bin, c.cum AS cum, c.cnt AS cnt, lo, hi, n,
+         ex50, ex95, ex99
+  FROM crossing JOIN cum c USING (bin), bounds
+)
+SELECT q, {duck_rnd(_DUCK_HQ_EST, 4)} AS est,
+       CASE WHEN q = 0.5 THEN ex50 WHEN q = 0.95 THEN ex95 ELSE ex99 END AS exact,
+       {duck_rnd(
+           f'abs({duck_rnd(_DUCK_HQ_EST, 4)} - '
+           'CASE WHEN q = 0.5 THEN ex50 WHEN q = 0.95 THEN ex95 ELSE ex99 END) / '
+           'CASE WHEN q = 0.5 THEN ex50 WHEN q = 0.95 THEN ex95 ELSE ex99 END', 6)}
+         AS rel_err
+FROM pick
+ORDER BY q
+"""
+
+QUERIES["sk_hist_quantile"] = sk_hist_quantile
+ORACLES["sk_hist_quantile"] = ORACLE_HIST_QUANTILE
