@@ -66,6 +66,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "pipe_incremental",
     "sk_hist_quantile",
     "ev_rate_limit",
     "op_snapshot_diff",

@@ -355,3 +355,153 @@ ORDER BY change_type
 
 QUERIES["op_snapshot_diff"] = op_snapshot_diff
 ORACLES["op_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+# --- pipe_incremental --------------------------------------------------------
+
+from pypers_spark.functions.text import duck_normalize_text, normalize_text  # noqa: E402
+from pypers_spark.stage import Stage  # noqa: E402
+
+MIN_ADMIT_TOKENS = 25  # quality gate: drop sub-25-token batch docs
+
+
+class IngestIncrDocs(Stage):
+    """Base corpus + the deterministic ingest batch (even ids arrive as
+    normalize-equal duplicates, odd ids as genuinely new docs)."""
+
+    outputs = ("base", "batch")
+
+    def process(self, pipeline, config, status=None, **inputs):
+        from pypers_spark.session import current_session
+
+        spark = current_session()
+        df = spark.read.parquet(f'{config["sf_dir"]}/documents.parquet')
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base = df.repartition(n, F.col("doc_id"))
+        batch = base.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("  "), F.upper(F.col("text"))),
+            )
+            .otherwise(F.concat(F.col("text"), F.lit(" fresh")))
+            .alias("text"),
+            F.col("source"),
+        )
+        return {"base": base, "batch": batch}
+
+
+class ExactAdmitGate(Stage):
+    """Flag batch docs whose normalized fingerprint already exists in the
+    base corpus (the dd_incremental anti-join, kept as a flag so the
+    report can account for every row)."""
+
+    inputs = ("base",)
+    consumes = ("batch",)
+    outputs = ("flagged",)
+
+    def process(self, pipeline, config, status=None, base=None, batch=None, **kw):
+        fp = F.md5(normalize_text(F.col("text")))
+        base_fps = base.select(fp.alias("fp")).distinct().withColumn(
+            "hit", F.lit(1)
+        )
+        flagged = (
+            batch.withColumn("fp", fp)
+            .join(base_fps, "fp", "left")
+            .withColumn("is_dup", F.col("hit").isNotNull())
+            .drop("hit")
+        )
+        return {"flagged": flagged}
+
+
+class QualityAdmitGate(Stage):
+    """Flag batch docs below the token-count floor (Gopher-style length
+    gate on the ingest path)."""
+
+    consumes = ("flagged",)
+    outputs = ("gated",)
+
+    def process(self, pipeline, config, status=None, flagged=None, **kw):
+        n_tok = F.size(F.split(normalize_text(F.col("text")), " "))
+        return {
+            "gated": flagged.withColumn(
+                "ok_quality", n_tok >= MIN_ADMIT_TOKENS
+            )
+        }
+
+
+class AdmitReport(Stage):
+    """Per-source ingest accounting: batch size, exact-dup rejects,
+    quality rejects, admitted rows — one conditional aggregation."""
+
+    consumes = ("gated",)
+    outputs = ("report",)
+
+    def process(self, pipeline, config, status=None, gated=None, **kw):
+        adm = ~F.col("is_dup") & F.col("ok_quality")
+        return {
+            "report": gated.groupBy("source").agg(
+                F.count("*").alias("n_batch"),
+                F.count(F.when(F.col("is_dup"), 1)).alias("n_exact_dup"),
+                F.count(
+                    F.when(~F.col("is_dup") & ~F.col("ok_quality"), 1)
+                ).alias("n_quality_drop"),
+                F.count(F.when(adm, 1)).alias("n_admitted"),
+            )
+        }
+
+
+def pipe_incremental(t) -> DataFrame:
+    """The incremental-ingest pipeline as ONE oracled query through the
+    real create_pipeline/Pipeline.process machinery (the third
+    orchestration-in-the-gate query beside pipe_curation and
+    pipe_training): synthesize batch → exact-dup gate against the base
+    fingerprint index → quality gate → per-source admit accounting.
+    Everything composes into a single Catalyst plan; the only shuffles
+    are the base fingerprint distinct and the admit join (batch-sized —
+    ingest cost is O(batch), never O(corpus): at 100 TB the base
+    fingerprint index is a checkpointed bucketed table).
+    """
+    from pypers_spark.config import Config
+    from pypers_spark.pipeline import create_pipeline
+
+    pipeline = create_pipeline(
+        [IngestIncrDocs(), ExactAdmitGate(), QualityAdmitGate(), AdmitReport()]
+    )
+    config = Config({"ingest-incr-docs": {"sf_dir": t._sf_dir}})
+    data, _, _ = pipeline.process(input_id=1, config=config)
+    return data["report"].orderBy("source")
+
+
+_DUCK_BATCH_NTOK = f"len(string_split({duck_normalize_text('text')}, ' '))"
+
+ORACLE_PIPE_INCREMENTAL = f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN '  ' || upper(text)
+              ELSE text || ' fresh' END AS text,
+         source
+  FROM documents
+),
+base_fps AS (
+  SELECT DISTINCT md5({duck_normalize_text('text')}) AS fp FROM documents
+),
+gated AS (
+  SELECT b.source AS source,
+         (f.fp IS NOT NULL) AS is_dup,
+         {_DUCK_BATCH_NTOK} >= {MIN_ADMIT_TOKENS} AS ok_quality
+  FROM batch b
+  LEFT JOIN base_fps f ON md5({duck_normalize_text('b.text')}) = f.fp
+)
+SELECT source,
+       count(*) AS n_batch,
+       count(CASE WHEN is_dup THEN 1 END) AS n_exact_dup,
+       count(CASE WHEN NOT is_dup AND NOT ok_quality THEN 1 END) AS n_quality_drop,
+       count(CASE WHEN NOT is_dup AND ok_quality THEN 1 END) AS n_admitted
+FROM gated
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["pipe_incremental"] = pipe_incremental
+ORACLES["pipe_incremental"] = ORACLE_PIPE_INCREMENTAL
