@@ -97,6 +97,20 @@ HEADLINE = (
     "ev_forecast_linear",
     "op_forget_user",
     "dd_minhash_incremental",
+    # round-4e wave: mergeable sketches, incremental maintenance, CDC
+    # diff, rate-limit readout, BFS reachability, the third composed
+    # pipeline
+    "sk_cms_heavy",
+    "sk_hll_distinct",
+    "sk_kmv_distinct",
+    "sk_hist_quantile",
+    "op_incremental_join",
+    "op_compaction_plan",
+    "op_target_encode",
+    "op_snapshot_diff",
+    "ev_rate_limit",
+    "gr_bfs_reach",
+    "pipe_incremental",
 )
 
 
