@@ -505,3 +505,110 @@ ORDER BY source
 
 QUERIES["pipe_incremental"] = pipe_incremental
 ORACLES["pipe_incremental"] = ORACLE_PIPE_INCREMENTAL
+
+
+# --- op_zone_map_prune -------------------------------------------------------
+
+ZM_FILES = 16
+ZM_PRED_LO = 150_000.0
+ZM_PRED_HI = 200_000.0
+
+
+def op_zone_map_prune(t: dict[str, DataFrame]) -> DataFrame:
+    """Data-skipping effectiveness readout: per-file (min, max) zone
+    maps on o_totalprice under two physical layouts — hash (orderkey
+    mod) vs value-clustered (equi-width value bucket between the global
+    min/max) — scored against a fixed range predicate. The clustered
+    layout's zone maps prune almost every file; the hash layout's prune
+    none: the one-table artifact that justifies paying the clustering
+    write (op_zorder's multi-column sibling).
+
+    The clustered assignment is a MAP-SIDE bucket against broadcast
+    global bounds — not an ntile window, which would force a global
+    single-partition sort (at 100 TB the write path range-partitions
+    instead; the zone-map arithmetic is identical). Everything after
+    the two inventory aggregations is file-cardinality metadata; in
+    production the zone maps come from parquet footers (op_file_stats)
+    and this op is the planner that reads them.
+    """
+    o = t["orders"]
+    hash_inv = (
+        o.groupBy((F.col("o_orderkey") % ZM_FILES).alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("zmin"),
+            F.max("o_totalprice").alias("zmax"),
+        )
+        .withColumn("layout", F.lit("hash"))
+    )
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(ZM_FILES))
+    clus_inv = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_totalprice",
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("bigint"),
+                F.lit(ZM_FILES - 1),
+            ).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("zmin"),
+            F.max("o_totalprice").alias("zmax"),
+        )
+        .withColumn("layout", F.lit("clustered"))
+    )
+    inv = hash_inv.unionByName(clus_inv)
+    skippable = (F.col("zmax") < ZM_PRED_LO) | (F.col("zmin") > ZM_PRED_HI)
+    return (
+        inv.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.count(F.when(skippable, 1)).alias("n_skipped"),
+            F.sum(F.when(skippable, F.col("n_rows"))).alias("rows_skipped"),
+            rnd(
+                F.count(F.when(skippable, 1)).cast("double") / F.count("*"), 4
+            ).alias("skip_ratio"),
+        )
+        .orderBy("layout")
+    )
+
+
+ORACLE_ZONE_MAP_PRUNE = f"""
+WITH hash_inv AS (
+  SELECT 'hash' AS layout, o_orderkey % {ZM_FILES} AS file_id,
+         count(*) AS n_rows, min(o_totalprice) AS zmin, max(o_totalprice) AS zmax
+  FROM orders GROUP BY 2
+),
+bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+clus_inv AS (
+  SELECT 'clustered' AS layout, file_id, count(*) AS n_rows,
+         min(o_totalprice) AS zmin, max(o_totalprice) AS zmax
+  FROM (
+    SELECT o_totalprice,
+           least(CAST(floor((o_totalprice - lo)
+                            / ((hi - lo) / {float(ZM_FILES)})) AS BIGINT),
+                 {ZM_FILES - 1}) AS file_id
+    FROM orders, bounds
+  ) GROUP BY 2
+),
+inv AS (SELECT * FROM hash_inv UNION ALL SELECT * FROM clus_inv),
+scored AS (
+  SELECT *, (zmax < {ZM_PRED_LO} OR zmin > {ZM_PRED_HI}) AS skippable FROM inv
+)
+SELECT layout, count(*) AS n_files,
+       count(CASE WHEN skippable THEN 1 END) AS n_skipped,
+       CAST(sum(CASE WHEN skippable THEN n_rows END) AS BIGINT) AS rows_skipped,
+       {duck_rnd('CAST(count(CASE WHEN skippable THEN 1 END) AS DOUBLE) / count(*)', 4)}
+         AS skip_ratio
+FROM scored
+GROUP BY layout
+ORDER BY layout
+"""
+
+QUERIES["op_zone_map_prune"] = op_zone_map_prune
+ORACLES["op_zone_map_prune"] = ORACLE_ZONE_MAP_PRUNE

@@ -494,3 +494,116 @@ ORDER BY q
 
 QUERIES["sk_hist_quantile"] = sk_hist_quantile
 ORACLES["sk_hist_quantile"] = ORACLE_HIST_QUANTILE
+
+
+# --- sk_join_cardinality -----------------------------------------------------
+
+JC_SEED = 300  # CMS family for the join estimator (distinct from CMS_SEED)
+JC_WIDTH = 4096  # wider than CMS_WIDTH: inner-product error ~ n_a*n_b/width,
+# so the join estimator needs width >> distinct keys where the heavy-hitter
+# probe only needs width >> k
+
+
+def sk_join_cardinality(t: dict[str, DataFrame]) -> DataFrame:
+    """Join-size estimation by Count-Min inner product (the AMS/CMS
+    optimizer statistic): |A ⋈ B| on a many-to-many key is estimated as
+    min_d Σ_b cmsA[d][b]·cmsB[d][b] — computable from two tiny sketches
+    without touching either table again, and a guaranteed overestimate
+    (bucket collisions only add cross terms).
+
+    Sides: events.user_id vs orders.o_custkey (genuinely many-to-many).
+    The exact cardinality Σ_k cntA(k)·cntB(k) — what the estimate is
+    judged against — is one join of the two per-key count tables (key
+    cardinality, not row cardinality). Each CMS build is one hash
+    aggregation to {CMS_DEPTH}×{JC_WIDTH} cells; the inner product is a
+    {JC_WIDTH}-row broadcast join per depth. At 100 TB the sketches are
+    maintained incrementally at ingest (cell counts sum) and the
+    estimator never scans the facts at all.
+    """
+
+    def cms_of(df: DataFrame, key: str) -> DataFrame:
+        h = md5_int64(F.col(key))
+        cell = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("bigint").alias("d"),
+                        (affine_hash(h, JC_SEED + d) % JC_WIDTH).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+        return (
+            df.select(cell)
+            .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+    cms_a = cms_of(t["events"], "user_id")
+    cms_b = cms_of(t["orders"], "o_custkey")
+    est = (
+        cms_a.alias("a")
+        .join(
+            F.broadcast(cms_b.alias("b")),
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("est_card"))
+    )
+    ca = t["events"].groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("na"))
+    cb = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+    exact = ca.join(cb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("exact_card")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "d",
+            "est_card",
+            "exact_card",
+            (F.col("est_card") - F.col("exact_card")).alias("overest"),
+        )
+        .orderBy("d")
+    )
+
+
+def _duck_jc_cms(table: str, key: str) -> str:
+    return f"""
+  SELECT d, {_duck_cms_buckets_seeded(duck_md5_int64(key), JC_SEED)} AS bucket,
+         count(*) AS cnt
+  FROM {table}, unnest(range(0, {CMS_DEPTH})) AS r(d)
+  GROUP BY 1, 2
+"""
+
+
+def _duck_cms_buckets_seeded(h_expr: str, seed: int, width: int = JC_WIDTH) -> str:
+    whens = " ".join(
+        f"WHEN d = {d} THEN ({duck_affine_hash(h_expr, seed + d)}) % {width}"
+        for d in range(CMS_DEPTH)
+    )
+    return f"CASE {whens} END"
+
+
+ORACLE_JOIN_CARDINALITY = f"""
+WITH cms_a AS ({_duck_jc_cms('events', 'user_id')}),
+cms_b AS ({_duck_jc_cms('orders', 'o_custkey')}),
+est AS (
+  SELECT a.d AS d, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS est_card
+  FROM cms_a a JOIN cms_b b ON a.d = b.d AND a.bucket = b.bucket
+  GROUP BY 1
+),
+ca AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
+cb AS (SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+exact AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_card FROM ca JOIN cb USING (k)
+)
+SELECT d, est_card, exact_card, est_card - exact_card AS overest
+FROM est, exact
+ORDER BY d
+"""
+
+QUERIES["sk_join_cardinality"] = sk_join_cardinality
+ORACLES["sk_join_cardinality"] = ORACLE_JOIN_CARDINALITY

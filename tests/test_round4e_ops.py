@@ -173,3 +173,26 @@ def test_pipe_incremental_accounting_tiles_batch(spark, sf_dir, qs):
     # both rejection paths fire somewhere on the corpus
     assert any(r["n_exact_dup"] > 0 for r in rows)
     assert any(r["n_admitted"] > 0 for r in rows)
+
+
+def test_join_cardinality_overestimates_within_bound(spark, sf_dir, qs, tables):
+    """CMS inner product: est ≥ exact for EVERY depth, and the error
+    stays within ~3x the theoretical N_a·N_b/width bound."""
+    rows = qs["sk_join_cardinality"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    from pypers_spark.operators.sketches import JC_WIDTH
+
+    na = tables["events"].count()
+    nb = tables["orders"].count()
+    bound = na * nb / JC_WIDTH
+    for r in rows:
+        assert r["overest"] >= 0
+        assert r["overest"] <= 3 * bound + 1, (r, bound)
+
+
+def test_zone_map_clustered_beats_hash(spark, sf_dir, qs):
+    """The value-clustered layout must prune strictly more files than
+    the hash layout (which should prune ~none)."""
+    rows = {r["layout"]: r for r in qs["op_zone_map_prune"](spark, sf_dir).collect()}
+    assert rows["clustered"]["n_skipped"] > rows["hash"]["n_skipped"]
+    assert rows["clustered"]["skip_ratio"] >= 0.5
