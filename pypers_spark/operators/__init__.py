@@ -66,6 +66,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "st_hll_registers",
     "sk_join_cardinality",
     "op_zone_map_prune",
     "pipe_incremental",

@@ -206,6 +206,16 @@ HLL_RHO_MAX = HLL_W_BITS + 1  # rho when the remaining bits are all zero
 HLL_ALPHA = 0.709  # standard α for m=64 (Flajolet et al. 2007)
 
 
+def hll_rho(w):
+    """rho(w) = trailing zeros of the non-bucket hash bits + 1 (capped at
+    RHO_MAX when w == 0) — shared by the batch sketch and the streaming
+    register drain (st_hll_registers)."""
+    return F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.floor(F.log2(w.bitwiseAND(-w)) + F.lit(0.5)).cast("bigint") + 1
+    )
+
+
+
 def sk_hll_distinct(t: dict[str, DataFrame]) -> DataFrame:
     """HyperLogLog distinct-gram estimate vs the exact count, one row.
 
@@ -220,13 +230,9 @@ def sk_hll_distinct(t: dict[str, DataFrame]) -> DataFrame:
     hashed = grams.select(
         (h % HLL_M).alias("bucket"), F.shiftright(h, HLL_P).alias("w")
     )
-    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        F.floor(F.log2(F.col("w").bitwiseAND(-F.col("w"))) + F.lit(0.5)).cast("bigint")
-        + 1
-    )
-    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("m_reg")
-    )
+    regs = hashed.select("bucket", hll_rho(F.col("w")).alias("rho")).groupBy(
+        "bucket"
+    ).agg(F.max("rho").alias("m_reg"))
     spine = (
         grams.sparkSession.range(1)
         .select(F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"))

@@ -356,3 +356,59 @@ FROM events ORDER BY event_id
 
 QUERIES["st_upsert_drain"] = st_upsert_drain
 ORACLES["st_upsert_drain"] = ORACLE_ST_UPSERT
+
+
+def st_hll_registers(t: dict[str, DataFrame]) -> DataFrame:
+    """HyperLogLog registers maintained BY THE STREAMING ENGINE: the
+    distinct-user sketch as streaming state. bucket/rho are computed
+    map-side per event; the register table is a complete-mode
+    ``groupBy(bucket).max(rho)`` — max is associative and
+    watermark-free, so the drained registers equal the batch sketch
+    bit-for-bit at ANY micro-batch cut. This is the ingest-time sketch
+    maintenance the batch estimators (sk_hll_distinct,
+    sk_join_cardinality) assume: state is 64 rows regardless of stream
+    length, and merging two streams' registers is the same max().
+    """
+    from pypers_spark.functions.hashing import md5_int64
+    from pypers_spark.operators.sketches import HLL_M, HLL_P, hll_rho
+    from pypers_spark.streaming.core import stream_events
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    h = md5_int64(F.col("user_id"))
+    regs = (
+        stream.select((h % HLL_M).alias("bucket"), F.shiftright(h, HLL_P).alias("w"))
+        .select("bucket", hll_rho(F.col("w")).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    name = f"st_hll_registers_{next(_SINK_SEQ)}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("bucket")
+
+
+def _oracle_st_hll() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+    from pypers_spark.operators.sketches import HLL_M, HLL_P, HLL_RHO_MAX
+
+    h = duck_md5_int64("user_id")
+    return f"""
+WITH hashed AS (
+  SELECT ({h}) % {HLL_M} AS bucket, ({h}) >> {HLL_P} AS w FROM events
+)
+SELECT bucket,
+       max(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                ELSE CAST(floor(log2(w & (-w)) + 0.5) AS BIGINT) + 1 END) AS m_reg
+FROM hashed GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES["st_hll_registers"] = st_hll_registers
+ORACLES["st_hll_registers"] = _oracle_st_hll()
