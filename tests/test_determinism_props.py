@@ -153,3 +153,77 @@ def test_pii_patterns_cross_engine(spark, texts):
         )
     }
     assert got == want
+
+
+# --- sketch bit-primitives ---------------------------------------------------
+#
+# The HLL register path adds two more cross-engine primitives: the
+# bucket/remainder split (mod + arithmetic shift) and rho (trailing
+# zeros via lowest-set-bit + log2). Random 60-bit hashes — including
+# all-trailing-zero shapes — must produce identical registers in both
+# engines AND match a pure-Python bit-twiddling reference.
+
+H60 = st.integers(min_value=0, max_value=(1 << 60) - 1)
+POW2 = st.integers(min_value=0, max_value=53).map(lambda k: 1 << k)
+
+
+@given(hs=st.lists(H60 | POW2, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_hll_rho_bit_identical(spark, hs):
+    from pypers_spark.operators.sketches import HLL_M, HLL_P, HLL_RHO_MAX, hll_rho
+
+    pdf = pd.DataFrame({"i": range(len(hs)), "h": hs})
+    sdf = spark.createDataFrame(pdf)
+    h = F.col("h")
+    got = {
+        r["i"]: (r["bucket"], r["rho"])
+        for r in sdf.select(
+            "i",
+            (h % HLL_M).alias("bucket"),
+            hll_rho(F.shiftright(h, HLL_P)).alias("rho"),
+        ).collect()
+    }
+
+    def py_rho(h: int) -> int:
+        w = h >> HLL_P
+        if w == 0:
+            return HLL_RHO_MAX
+        return (w & -w).bit_length()  # trailing zeros + 1
+
+    for i, h_val in enumerate(hs):
+        assert got[i] == (h_val % HLL_M, py_rho(h_val)), (i, h_val)
+
+    want = {
+        i: (b, r)
+        for i, b, r in _duck(
+            pdf,
+            f"""SELECT i, h % {HLL_M} AS bucket,
+                 CASE WHEN (h >> {HLL_P}) = 0 THEN {HLL_RHO_MAX}
+                      ELSE CAST(floor(log2((h >> {HLL_P}) & (-(h >> {HLL_P}))) + 0.5)
+                                AS BIGINT) + 1 END AS rho
+                 FROM t""",
+        )
+    }
+    assert got == want
+
+
+@given(hs=st.lists(H60, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_cms_bucket_bit_identical(spark, hs):
+    """The CMS (depth, bucket) mapping — affine family mod width — is
+    identical across engines for every depth."""
+    from pypers_spark.operators.sketches import CMS_SEED, CMS_WIDTH
+
+    pdf = pd.DataFrame({"i": range(len(hs)), "h": hs})
+    sdf = spark.createDataFrame(pdf)
+    cols = [
+        (affine_hash(F.col("h"), CMS_SEED + d) % CMS_WIDTH).alias(f"b{d}")
+        for d in range(4)
+    ]
+    got = {r["i"]: tuple(r[f"b{d}"] for d in range(4)) for r in sdf.select("i", *cols).collect()}
+    sel = ", ".join(
+        f"({duck_affine_hash('h', CMS_SEED + d)}) % {CMS_WIDTH} AS b{d}"
+        for d in range(4)
+    )
+    want = {row[0]: tuple(row[1:]) for row in _duck(pdf, f"SELECT i, {sel} FROM t")}
+    assert got == want
