@@ -612,3 +612,57 @@ ORDER BY layout
 
 QUERIES["op_zone_map_prune"] = op_zone_map_prune
 ORACLES["op_zone_map_prune"] = ORACLE_ZONE_MAP_PRUNE
+
+
+# --- op_k_anonymity ----------------------------------------------------------
+
+KANON_K = 10  # release threshold (min QI-class size on this corpus is 5,
+# so the risky path is non-vacuous in every segment)
+
+
+def op_k_anonymity(t: dict[str, DataFrame]) -> DataFrame:
+    """k-anonymity audit before a data release: group the table by its
+    quasi-identifier tuple (nation × market segment) and report, per
+    segment, how many equivalence classes fall below k — the
+    re-identification risk gate a privacy review runs before
+    publishing micro-data. Two hash aggregations (QI classes, then the
+    rollup); class cardinality is |QI-value-space|, never row-scale.
+    """
+    classes = (
+        t["customer"]
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("class_size"))
+    )
+    risky = F.col("class_size") < KANON_K
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.count(F.when(risky, 1)).alias("n_risky_classes"),
+            F.sum(F.when(risky, F.col("class_size")).otherwise(F.lit(0))).alias(
+                "n_risky_rows"
+            ),
+            F.min("class_size").alias("min_class_size"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       count(*) AS n_classes,
+       count(CASE WHEN class_size < {KANON_K} THEN 1 END) AS n_risky_classes,
+       CAST(sum(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_risky_rows,
+       min(class_size) AS min_class_size
+FROM classes
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["op_k_anonymity"] = op_k_anonymity
+ORACLES["op_k_anonymity"] = ORACLE_K_ANONYMITY

@@ -613,3 +613,141 @@ ORDER BY d
 
 QUERIES["sk_join_cardinality"] = sk_join_cardinality
 ORACLES["sk_join_cardinality"] = ORACLE_JOIN_CARDINALITY
+
+
+# --- sk_hll_grouped ----------------------------------------------------------
+
+HLLG_P = 8
+HLLG_M = 1 << HLLG_P  # 256 registers: per-type cardinality (~150) sits in
+# the linear-counting regime, so the fallback branch -- dead in the
+# corpus-wide sketch -- is genuinely exercised here
+HLLG_W_BITS = 60 - HLLG_P
+HLLG_RHO_MAX = HLLG_W_BITS + 1
+HLLG_ALPHA = 0.7213 / (1 + 1.079 / HLLG_M)  # Flajolet alpha_m for m >= 128
+
+_DUCK_HLLG_EST = f"""
+  CAST({HLLG_ALPHA!r} AS DOUBLE) * {float(HLLG_M * HLLG_M)} * {float(1 << HLLG_RHO_MAX)}
+  / CAST(s AS DOUBLE)
+"""
+_DUCK_HLLG_LIN = (
+    f"{float(HLLG_M)} * ln({float(HLLG_M)} / "
+    f"CAST(greatest(v_zero, 1) AS DOUBLE))"
+)
+_DUCK_HLLG_CHOSEN = f"""
+  CASE WHEN ({_DUCK_HLLG_EST}) <= {2.5 * HLLG_M} AND v_zero > 0
+       THEN {_DUCK_HLLG_LIN} ELSE ({_DUCK_HLLG_EST}) END
+"""
+
+
+def hll_rho_g(w):
+    """rho for the grouped sketch's {HLLG_P}-bit bucket split."""
+    return F.when(w == 0, F.lit(HLLG_RHO_MAX)).otherwise(
+        F.floor(F.log2(w.bitwiseAND(-w)) + F.lit(0.5)).cast("bigint") + 1
+    )
+
+
+
+def sk_hll_grouped(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-group HyperLogLog: distinct users per event type from 64
+    registers per group — the GROUPed form every "distinct users per
+    day/segment" dashboard ships at 100 TB (state: groups × 64 rows,
+    mergeable by max). At this corpus's per-type cardinality (~150
+    users) the sketch sits in the linear-counting regime, so the
+    fallback branch — dead in the corpus-wide sk_hll_distinct — is
+    exercised non-vacuously here, next to the exact count for the
+    accuracy readout.
+    """
+    ev = t["events"]
+    h = md5_int64(F.col("user_id"))
+    regs = (
+        ev.select(
+            "event_type",
+            (h % HLLG_M).alias("bucket"),
+            F.shiftright(h, HLLG_P).alias("w"),
+        )
+        .select("event_type", "bucket", hll_rho_g(F.col("w")).alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(HLLG_M - 1))).alias("bucket"),
+    )
+    full = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce(F.col("m_reg"), F.lit(0)).alias("m_reg")
+    )
+    sketch = full.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLLG_RHO_MAX} - m_reg)")).alias("s"),
+        F.count(F.when(F.col("m_reg") == 0, 1)).alias("v_zero"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    raw = (
+        F.lit(HLLG_ALPHA)
+        * F.lit(float(HLLG_M * HLLG_M))
+        * F.lit(float(1 << HLLG_RHO_MAX))
+        / F.col("s").cast("double")
+    )
+    lin = F.lit(float(HLLG_M)) * F.log(
+        F.lit(float(HLLG_M)) / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
+    )
+    est = F.when((raw <= F.lit(2.5 * HLLG_M)) & (F.col("v_zero") > 0), lin).otherwise(raw)
+    return (
+        sketch.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.lit(HLLG_M).alias("m"),
+            F.col("n_exact"),
+            rnd(est, 4).alias("est"),
+            rnd(
+                F.abs(est - F.col("n_exact").cast("double")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HLL_GROUPED = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ({duck_md5_int64('user_id')}) % {HLLG_M} AS bucket,
+         ({duck_md5_int64('user_id')}) >> {HLLG_P} AS w
+  FROM events
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN {HLLG_RHO_MAX}
+                  ELSE CAST(floor(log2(w & (-w)) + 0.5) AS BIGINT) + 1 END) AS m_reg
+  FROM hashed GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM events),
+       (SELECT unnest(range(0, {HLLG_M})) AS bucket) b
+),
+full_regs AS (
+  SELECT spine.event_type AS event_type, coalesce(m_reg, 0) AS m_reg
+  FROM spine LEFT JOIN regs
+    ON spine.event_type = regs.event_type AND spine.bucket = regs.bucket
+),
+sketch AS (
+  SELECT event_type,
+         sum((1::BIGINT) << ({HLLG_RHO_MAX} - m_reg)) AS s,
+         count(CASE WHEN m_reg = 0 THEN 1 END) AS v_zero
+  FROM full_regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT sketch.event_type AS event_type, {HLLG_M} AS m, n_exact,
+       {duck_rnd(_DUCK_HLLG_CHOSEN, 4)} AS est,
+       {duck_rnd(f'abs(({_DUCK_HLLG_CHOSEN}) - CAST(n_exact AS DOUBLE)) / n_exact', 6)}
+         AS rel_err
+FROM sketch JOIN exact ON sketch.event_type = exact.event_type
+ORDER BY event_type
+"""
+
+QUERIES["sk_hll_grouped"] = sk_hll_grouped
+ORACLES["sk_hll_grouped"] = ORACLE_HLL_GROUPED
