@@ -66,6 +66,8 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "ev_psi_drift",
+    "dd_fuzzy_names",
     "sk_hll_grouped",
     "op_k_anonymity",
     "st_hll_registers",

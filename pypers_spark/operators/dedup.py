@@ -1788,3 +1788,101 @@ ORDER BY doc_id
 
 QUERIES["dd_minhash_incremental"] = dd_minhash_incremental
 ORACLES["dd_minhash_incremental"] = _duck_minhash_incr_sql()
+
+
+# --- dd_fuzzy_names ----------------------------------------------------------
+
+FZ_TYPO_MOD = 3  # batch rows with custkey % 3 == 0 get a last-char typo
+FZ_MAX_DIST = 2  # edit-distance match threshold
+FZ_BLOCK_LEN = 8  # block on the first 8 of the 9 name digits
+
+
+def dd_fuzzy_names(t: dict[str, DataFrame]) -> DataFrame:
+    """Entity resolution by blocked edit distance: a dirty batch of
+    customer names (deterministic last-char typo for every third key,
+    an un-matchable '-dup' suffix otherwise) is matched against the
+    clean registry — block on the digit prefix, verify with
+    levenshtein ≤ {FZ_MAX_DIST} inside the block.
+
+    Blocking bounds the pairwise work to |block|² with ~10-name blocks
+    (the same discipline as every LSH/IVF operator here: the quadratic
+    step runs only inside a bounded block); levenshtein is exact
+    integer edit distance, bit-identical across engines. The readout is
+    per perturbation kind: candidates generated, rows matched, and the
+    ambiguity rate — a typo'd digit matches EVERY sibling in its block
+    at distance 1, which is exactly the blocking-ambiguity a production
+    resolver must arbitrate (here: min-distance then min-key).
+    """
+    base = t["customer"].select(F.col("c_name").alias("name"))
+    batch = t["customer"].select(
+        F.col("c_custkey").alias("key"),
+        F.when(
+            F.col("c_custkey") % FZ_TYPO_MOD == 0,
+            F.concat(F.substring(F.col("c_name"), 1, 17), F.lit("X")),
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit("-dup")))
+        .alias("dirty"),
+        F.when(F.col("c_custkey") % FZ_TYPO_MOD == 0, F.lit("typo"))
+        .otherwise(F.lit("suffix"))
+        .alias("kind"),
+    )
+    block = lambda c: F.substring(c, 10, FZ_BLOCK_LEN)  # noqa: E731
+    cands = batch.withColumn("blk", block(F.col("dirty"))).join(
+        base.withColumn("blk", block(F.col("name"))), "blk"
+    )
+    scored = cands.select(
+        "key", "kind", F.levenshtein(F.col("dirty"), F.col("name")).alias("dist")
+    )
+    per_row = scored.groupBy("key", "kind").agg(
+        F.count("*").alias("n_cand"),
+        F.min("dist").alias("best_dist"),
+        F.count(F.when(F.col("dist") <= FZ_MAX_DIST, 1)).alias("n_matches"),
+    )
+    return (
+        per_row.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.count(F.when(F.col("best_dist") <= FZ_MAX_DIST, 1)).alias("n_matched"),
+            F.sum("n_cand").alias("n_candidates"),
+            F.sum("n_matches").alias("n_match_pairs"),
+            F.min("best_dist").alias("min_dist"),
+            F.max("best_dist").alias("max_dist"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE_FUZZY_NAMES = f"""
+WITH batch AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % {FZ_TYPO_MOD} = 0
+              THEN substr(c_name, 1, 17) || 'X'
+              ELSE c_name || '-dup' END AS dirty,
+         CASE WHEN c_custkey % {FZ_TYPO_MOD} = 0 THEN 'typo'
+              ELSE 'suffix' END AS kind
+  FROM customer
+),
+cands AS (
+  SELECT b.key AS key, b.kind AS kind,
+         levenshtein(b.dirty, c.c_name) AS dist
+  FROM batch b JOIN customer c
+    ON substr(b.dirty, 10, {FZ_BLOCK_LEN}) = substr(c.c_name, 10, {FZ_BLOCK_LEN})
+),
+per_row AS (
+  SELECT key, kind, count(*) AS n_cand, min(dist) AS best_dist,
+         count(CASE WHEN dist <= {FZ_MAX_DIST} THEN 1 END) AS n_matches
+  FROM cands GROUP BY 1, 2
+)
+SELECT kind, count(*) AS n_batch,
+       count(CASE WHEN best_dist <= {FZ_MAX_DIST} THEN 1 END) AS n_matched,
+       CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(n_matches) AS BIGINT) AS n_match_pairs,
+       min(best_dist) AS min_dist,
+       max(best_dist) AS max_dist
+FROM per_row
+GROUP BY kind
+ORDER BY kind
+"""
+
+QUERIES["dd_fuzzy_names"] = dd_fuzzy_names
+ORACLES["dd_fuzzy_names"] = ORACLE_FUZZY_NAMES

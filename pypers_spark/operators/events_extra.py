@@ -1651,3 +1651,143 @@ ORDER BY event_type
 
 QUERIES["ev_rate_limit"] = ev_rate_limit
 ORACLES["ev_rate_limit"] = ORACLE_RATE_LIMIT
+
+
+# --- ev_psi_drift ------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_THRESHOLD = 0.2  # the conventional "significant drift" cut
+PSI_FLOOR = 1e-6  # share floor so ln(p/q) is defined on empty bins
+PSI_DRIFT_TYPE = "purchase"  # injected-drift fixture: this type's current-
+# period values are DOUBLED so the drifted path is non-vacuous (the
+# raw synthetic stream is stationary); every other type exercises the
+# no-drift path
+
+
+def ev_psi_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Population Stability Index per event type — the ML-monitoring
+    drift statistic between a reference period (first half of the
+    stream) and the current period: PSI = Σ_bins (p−q)·ln(p/q) over 10
+    equi-width bins whose EDGES COME FROM THE REFERENCE PERIOD ONLY
+    (the frozen binning a deployed monitor uses; out-of-range current
+    values clamp to the edge bins).
+
+    Per-term products quantize to 1e-9 int64s before the bin sum, so
+    the 10-term reduction is order-independent. Everything heavier than
+    the two period aggregations is bin-cardinality metadata.
+    """
+    ev = t["events"].withColumn("ts_s", F.unix_timestamp("ts"))
+    split = ev.agg(
+        ((F.min("ts_s") + F.max("ts_s")) / 2).cast("bigint").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(split)).select(
+        "event_type",
+        (F.col("ts_s") <= F.col("mid")).alias("is_ref"),
+        F.when(
+            (F.col("ts_s") > F.col("mid"))
+            & (F.col("event_type") == PSI_DRIFT_TYPE),
+            F.col("value") * 2.0,
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    ref_bounds = (
+        tagged.filter(F.col("is_ref"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(PSI_BINS))
+    binned = (
+        tagged.join(F.broadcast(ref_bounds), "event_type")
+        .select(
+            "event_type",
+            "is_ref",
+            F.greatest(
+                F.least(
+                    F.floor((F.col("v") - F.col("lo")) / width).cast("bigint"),
+                    F.lit(PSI_BINS - 1),
+                ),
+                F.lit(0),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+            F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+        )
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.greatest(F.col("n_ref").cast("double") / F.col("t_ref"), F.lit(PSI_FLOOR))
+    q = F.greatest(F.col("n_cur").cast("double") / F.col("t_cur"), F.lit(PSI_FLOOR))
+    term = (p - q) * F.log(p / q)
+    psi = (
+        F.sum(F.floor(F.col("term") * 1e9 + F.lit(0.5))) / F.lit(1e9)
+    ).cast("double")
+    return (
+        binned.join(F.broadcast(totals), "event_type")
+        .select("event_type", term.alias("term"), "t_ref", "t_cur")
+        .groupBy("event_type")
+        .agg(
+            rnd(psi, 6).alias("psi"),
+            F.first("t_ref").alias("n_ref"),
+            F.first("t_cur").alias("n_cur"),
+        )
+        .withColumn("drifted", F.col("psi") > PSI_THRESHOLD)
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH ev AS (
+  SELECT event_type, epoch(date_trunc('second', ts))::BIGINT AS ts_s, value
+  FROM events
+),
+split AS (SELECT CAST((min(ts_s) + max(ts_s)) / 2 AS BIGINT) AS mid FROM ev),
+tagged AS (
+  SELECT event_type, ts_s <= mid AS is_ref,
+         CASE WHEN ts_s > mid AND event_type = '{PSI_DRIFT_TYPE}'
+              THEN value * 2.0 ELSE value END AS v
+  FROM ev, split
+),
+ref_bounds AS (
+  SELECT event_type, min(v) AS lo, max(v) AS hi
+  FROM tagged WHERE is_ref GROUP BY 1
+),
+binned AS (
+  SELECT t.event_type AS event_type,
+         greatest(least(CAST(floor((v - lo) / ((hi - lo) / {float(PSI_BINS)}))
+                             AS BIGINT), {PSI_BINS - 1}), 0) AS bin,
+         count(CASE WHEN is_ref THEN 1 END) AS n_ref,
+         count(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+  FROM tagged t JOIN ref_bounds b ON t.event_type = b.event_type
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM binned GROUP BY 1
+),
+terms AS (
+  SELECT b.event_type AS event_type,
+         (greatest(CAST(n_ref AS DOUBLE) / t_ref, {PSI_FLOOR})
+          - greatest(CAST(n_cur AS DOUBLE) / t_cur, {PSI_FLOOR}))
+         * ln(greatest(CAST(n_ref AS DOUBLE) / t_ref, {PSI_FLOOR})
+              / greatest(CAST(n_cur AS DOUBLE) / t_cur, {PSI_FLOOR})) AS term,
+         t_ref, t_cur
+  FROM binned b JOIN totals t ON b.event_type = t.event_type
+)
+SELECT event_type,
+       {duck_rnd('CAST(sum(CAST(floor(term * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0', 6)}
+         AS psi,
+       CAST(first(t_ref) AS BIGINT) AS n_ref,
+       CAST(first(t_cur) AS BIGINT) AS n_cur,
+       ({duck_rnd('CAST(sum(CAST(floor(term * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0', 6)})
+         > {PSI_THRESHOLD} AS drifted
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["ev_psi_drift"] = ev_psi_drift
+ORACLES["ev_psi_drift"] = ORACLE_PSI_DRIFT

@@ -196,3 +196,48 @@ def test_zone_map_clustered_beats_hash(spark, sf_dir, qs):
     rows = {r["layout"]: r for r in qs["op_zone_map_prune"](spark, sf_dir).collect()}
     assert rows["clustered"]["n_skipped"] > rows["hash"]["n_skipped"]
     assert rows["clustered"]["skip_ratio"] >= 0.5
+
+
+def test_psi_drift_flags_only_injected_type(spark, sf_dir, qs):
+    """The injected-drift type crosses the PSI threshold and carries the
+    LARGEST PSI (at tiny test scale factors the stationary types are
+    sampling-noisy, so the ordering — not an absolute cut — is the
+    scale-robust invariant; at sf0.01 the stationary types sit < 0.02)."""
+    from pypers_spark.operators.events_extra import PSI_DRIFT_TYPE
+
+    rows = {r["event_type"]: r for r in qs["ev_psi_drift"](spark, sf_dir).collect()}
+    assert rows[PSI_DRIFT_TYPE]["drifted"] is True
+    for k, r in rows.items():
+        assert r["psi"] >= 0  # PSI is nonnegative by construction
+        if k != PSI_DRIFT_TYPE:
+            assert r["psi"] < rows[PSI_DRIFT_TYPE]["psi"]
+
+
+def test_fuzzy_names_typos_match_suffixes_do_not(spark, sf_dir, qs):
+    rows = {r["kind"]: r for r in qs["dd_fuzzy_names"](spark, sf_dir).collect()}
+    assert rows["typo"]["n_matched"] == rows["typo"]["n_batch"]
+    assert rows["suffix"]["n_matched"] == 0
+    assert rows["typo"]["min_dist"] == 1
+    # blocking keeps candidate fan-out bounded (~block size per row)
+    assert rows["typo"]["n_candidates"] <= rows["typo"]["n_batch"] * 12
+
+
+def test_hll_grouped_linear_counting_accuracy(spark, sf_dir, qs):
+    """The grouped sketch must sit in the linear-counting regime on this
+    corpus and land within 5% of exact."""
+    for r in qs["sk_hll_grouped"](spark, sf_dir).collect():
+        assert r["rel_err"] <= 0.05, r
+
+
+def test_k_anonymity_risky_rows_consistent(spark, sf_dir, qs):
+    from pypers_spark.operators.incremental import KANON_K
+
+    for r in qs["op_k_anonymity"](spark, sf_dir).collect():
+        assert r["n_risky_classes"] <= r["n_classes"]
+        if r["min_class_size"] >= KANON_K:
+            assert r["n_risky_classes"] == 0
+        else:
+            assert r["n_risky_classes"] >= 1
+        assert r["n_risky_rows"] < KANON_K * max(r["n_risky_classes"], 1) or (
+            r["n_risky_classes"] == 0 and r["n_risky_rows"] == 0
+        )
