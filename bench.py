@@ -111,6 +111,12 @@ HEADLINE = (
     "ev_rate_limit",
     "gr_bfs_reach",
     "pipe_incremental",
+    "sk_join_cardinality",
+    "sk_hll_grouped",
+    "op_zone_map_prune",
+    "op_k_anonymity",
+    "ev_psi_drift",
+    "dd_fuzzy_names",
 )
 
 

@@ -304,3 +304,27 @@ def test_pipe_incremental_is_one_plan(spark, sf_dir):
 
     scans = re.findall(r"FileScan parquet", plan)
     assert 1 <= len(scans) <= 2, plan[:800]
+
+
+def test_fuzzy_names_block_join_no_cartesian(spark, sf_dir):
+    """The edit-distance verify must ride an equi-join on the block key
+    — never a cartesian across the registry."""
+    plan = plan_of(spark, sf_dir, "dd_fuzzy_names")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_drift_broadcasts_bounds(spark, sf_dir):
+    """Split point and reference bounds are broadcast to the fact scan;
+    no shuffle of events for the tagging pass."""
+    plan = plan_of(spark, sf_dir, "ev_psi_drift")
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_grouped_partial_agg(spark, sf_dir):
+    """Register max() must partial-aggregate map-side (the mergeable-
+    sketch contract)."""
+    df = entry_mod.queries()["sk_hll_grouped"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan

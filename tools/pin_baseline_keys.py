@@ -39,9 +39,13 @@ def main() -> None:
         out = json.load(f)
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
     assert out["sf"] == sf, f"baseline sf {out['sf']} != bench sf {sf}"
+    single = os.environ.get("PIN_SINGLE_RUN") == "1"  # for multi-minute
+    # oracles (recursive-CTE dedup chains) where warm+timed would blow
+    # the tool timeout; cold-vs-warm differs little at this input size
     for name in keys:
         sql = ORACLES[name]
-        con.sql(sql).fetchall()  # warm
+        if not single:
+            con.sql(sql).fetchall()  # warm
         t0 = time.perf_counter()
         con.sql(sql).fetchall()
         out["queries"][name] = round(time.perf_counter() - t0, 3)
