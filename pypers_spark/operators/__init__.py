@@ -14,6 +14,7 @@ from pypers_spark.operators import (
     curation,
     curation_extra,
     dedup,
+    geo,
     graph,
     incremental,
     events,
@@ -36,6 +37,7 @@ from pypers_spark.operators import (
 # intricate operator families (streaming drain, curation, similarity,
 # LSH dedup, multimodal) lead and the battle-tested TPC-H shapes trail.
 MODULES = (
+    geo,
     incremental,
     sketches,
     training,
@@ -66,6 +68,8 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "gs_radius_join",
+    "gs_grid_cells",
     "ev_psi_drift",
     "dd_fuzzy_names",
     "sk_hll_grouped",

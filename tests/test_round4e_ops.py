@@ -241,3 +241,31 @@ def test_k_anonymity_risky_rows_consistent(spark, sf_dir, qs):
         assert r["n_risky_rows"] < KANON_K * max(r["n_risky_classes"], 1) or (
             r["n_risky_classes"] == 0 and r["n_risky_rows"] == 0
         )
+
+
+def test_radius_join_deciles_within_radius(spark, sf_dir, qs):
+    """Every matched pair sits inside the radius; decile edges are
+    consistent; pair density grows with distance (ring area ~ r)."""
+    from pypers_spark.operators.geo import RADIUS_KM
+
+    rows = qs["gs_radius_join"](spark, sf_dir).collect()
+    assert rows, "the synthetic box must contain pairs within the radius"
+    for r in rows:
+        assert 0 <= r["dist_decile"] <= 9
+        assert 0 <= r["min_km"] <= r["max_km"] <= RADIUS_KM
+        lo = r["dist_decile"] * RADIUS_KM / 10
+        hi = lo + RADIUS_KM / 10
+        assert lo <= r["min_km"] and r["max_km"] <= hi + 1e-9
+    if len(rows) >= 5:
+        # outer rings hold more pairs than inner ones on uniform points
+        assert rows[-1]["n_pairs"] > rows[0]["n_pairs"]
+
+
+def test_grid_cells_cover_points(spark, sf_dir, qs, tables):
+    """Top-k densest cells are valid cells of the synthesis box."""
+    from pypers_spark.operators.geo import CELL_DEG, LAT0, LAT_SPAN, LON0, LON_SPAN
+
+    for r in qs["gs_grid_cells"](spark, sf_dir).collect():
+        assert LAT0 / CELL_DEG <= r["cell_y"] < (LAT0 + LAT_SPAN) / CELL_DEG
+        assert LON0 / CELL_DEG <= r["cell_x"] < (LON0 + LON_SPAN) / CELL_DEG
+        assert r["n_points"] >= 1
