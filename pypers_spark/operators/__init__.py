@@ -68,6 +68,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "op_market_basket",
     "gs_radius_join",
     "gs_grid_cells",
     "ev_psi_drift",

@@ -666,3 +666,95 @@ ORDER BY c_mktsegment
 
 QUERIES["op_k_anonymity"] = op_k_anonymity
 ORACLES["op_k_anonymity"] = ORACLE_K_ANONYMITY
+
+
+# --- op_market_basket --------------------------------------------------------
+
+MB_MIN_SUPPORT = 20  # pair-support floor before lift is meaningful
+MB_TOP_K = 20
+
+
+def op_market_basket(t: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket co-occurrence with lift: brands bought together in
+    one order, scored lift = P(ab)·N / (P(a)·P(b)) — the
+    recommender/assortment primitive, ln-free (a ratio of exact
+    counts, identical IEEE division in both engines).
+
+    Baskets are (order × distinct brand) — ≤13 lines here, bounded by
+    order width at any corpus size — so the within-basket pair
+    explosion is the same bounded-block discipline as every LSH/IVF
+    operator. part is a broadcast dim; one shuffle keys the basket
+    table on the order, one keys pair counts on the brand pair.
+    """
+    baskets = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = t["orders"].agg(F.count("*").alias("n_orders"))
+    supp = baskets.groupBy("p_brand").agg(F.count("*").alias("supp"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= MB_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("p_brand").alias("brand_a"), F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("p_brand").alias("brand_b"), F.col("supp").alias("supp_b"))
+    lift = (
+        F.col("pair_supp").cast("double")
+        * F.col("n_orders")
+        / (F.col("supp_a").cast("double") * F.col("supp_b"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_supp",
+            "supp_a",
+            "supp_b",
+            rnd(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(MB_TOP_K)
+    )
+
+
+ORACLE_MARKET_BASKET = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(*) AS n_orders FROM orders),
+supp AS (SELECT p_brand, count(*) AS supp FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS pair_supp
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {MB_MIN_SUPPORT}
+)
+SELECT brand_a, brand_b, pair_supp,
+       sa.supp AS supp_a, sb.supp AS supp_b,
+       {duck_rnd('CAST(pair_supp AS DOUBLE) * n_orders / (CAST(sa.supp AS DOUBLE) * sb.supp)', 4)}
+         AS lift
+FROM pairs
+JOIN supp sa ON pairs.brand_a = sa.p_brand
+JOIN supp sb ON pairs.brand_b = sb.p_brand, n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT {MB_TOP_K}
+"""
+
+QUERIES["op_market_basket"] = op_market_basket
+ORACLES["op_market_basket"] = ORACLE_MARKET_BASKET
