@@ -40,6 +40,9 @@ OPS = (
     "op_k_anonymity",
     "ev_psi_drift",
     "dd_fuzzy_names",
+    "gs_grid_cells",
+    "gs_radius_join",
+    "op_market_basket",
 )
 
 
