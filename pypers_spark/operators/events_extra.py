@@ -1791,3 +1791,113 @@ ORDER BY event_type
 
 QUERIES["ev_psi_drift"] = ev_psi_drift
 ORACLES["ev_psi_drift"] = ORACLE_PSI_DRIFT
+
+
+# --- ev_cooccurrence ---------------------------------------------------------
+
+CO_GAP_MIN = 30  # same session gap as ev_sessionize
+
+
+def ev_cooccurrence(t: dict[str, DataFrame]) -> DataFrame:
+    """Behavioral market basket: event-type pairs co-occurring within
+    one session, scored by ln-free lift = P(ab)·N / (P(a)·P(b)) over
+    sessions — the "users who viewed also purchased" co-occurrence
+    matrix behind session-based recommendation.
+
+    Sessions come from the same lag→flag→running-sum assignment as
+    ev_sessionize (one user_id shuffle); the within-session pair
+    explosion is bounded by the distinct-type count (≤ 5·4/2 pairs per
+    session regardless of session length), so the self-join is
+    block-bounded exactly like op_market_basket's order baskets.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = CO_GAP_MIN * 60
+    sess = (
+        t["events"]
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    n_sessions = sess.select("user_id", "session_id").distinct().agg(
+        F.count("*").alias("n_sessions")
+    )
+    supp = sess.groupBy("event_type").agg(F.count("*").alias("supp"))
+    a = sess.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = sess.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("pair_supp"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("supp").alias("supp_b"))
+    lift = (
+        F.col("pair_supp").cast("double")
+        * F.col("n_sessions")
+        / (F.col("supp_a").cast("double") * F.col("supp_b"))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a", "type_b", "pair_supp", "supp_a", "supp_b",
+            rnd(lift, 4).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_COOCCURRENCE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {CO_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM (
+    SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+    FROM flagged
+  )
+),
+n AS (
+  SELECT count(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_id FROM sess)
+),
+supp AS (SELECT event_type, count(*) AS supp FROM sess GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS pair_supp
+  FROM sess a JOIN sess b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, pair_supp, sa.supp AS supp_a, sb.supp AS supp_b,
+       {duck_rnd('CAST(pair_supp AS DOUBLE) * n_sessions / (CAST(sa.supp AS DOUBLE) * sb.supp)', 4)}
+         AS lift
+FROM pairs
+JOIN supp sa ON pairs.type_a = sa.event_type
+JOIN supp sb ON pairs.type_b = sb.event_type, n
+ORDER BY type_a, type_b
+"""
+
+QUERIES["ev_cooccurrence"] = ev_cooccurrence
+ORACLES["ev_cooccurrence"] = ORACLE_COOCCURRENCE

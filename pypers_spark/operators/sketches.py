@@ -751,3 +751,137 @@ ORDER BY event_type
 
 QUERIES["sk_hll_grouped"] = sk_hll_grouped
 ORACLES["sk_hll_grouped"] = ORACLE_HLL_GROUPED
+
+
+# --- sk_kmv_set_ops ----------------------------------------------------------
+
+KSO_K = 64
+
+
+def sk_kmv_set_ops(t: dict[str, DataFrame]) -> DataFrame:
+    """Theta-sketch set operations — the reason KMV sketches exist:
+    union and intersection cardinality of two sets estimated from two
+    64-hash sketches alone, next to the exact answers.
+
+    Sets: distinct (user, day) pairs with a 'click' vs with a
+    'purchase' (the "did both on the same day" audience-overlap
+    question). Union: min-k of the merged sketches. Intersection:
+    θ = min(θ_A, θ_B); common hashes below θ are a uniform sample of
+    A∩B at rate θ/2^60, so est = |common < θ| · 2^60 / θ — all exact
+    integer/double arithmetic, both engines identical.
+    """
+    ev = t["events"]
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
+    )
+    def sketch(typ: str) -> DataFrame:
+        hs = (
+            ev.filter(F.col("event_type") == typ)
+            .select(md5_int64(key).alias("h"))
+            .distinct()
+        )
+        return hs
+    a, b = sketch("click"), sketch("purchase")
+    mink = lambda df: df.orderBy("h").limit(KSO_K)  # noqa: E731
+    ka, kb = mink(a), mink(b)
+    theta_a = ka.agg(F.max("h").alias("ta"), F.count("*").alias("na_k"))
+    theta_b = kb.agg(F.max("h").alias("tb"), F.count("*").alias("nb_k"))
+    union_k = mink(ka.unionByName(kb).distinct())
+    union_est = union_k.agg(F.max("h").alias("tu"), F.count("*").alias("nu_k"))
+    common = ka.join(kb, "h")  # hashes in both sketches
+    thetas = theta_a.crossJoin(theta_b).select(
+        F.least(F.col("ta"), F.col("tb")).alias("theta"), "ta", "tb"
+    )
+    n_common = (
+        common.crossJoin(F.broadcast(thetas))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        a.withColumn("s", F.lit(1))
+        .unionByName(b.withColumn("s", F.lit(2)))
+        .groupBy("h")
+        .agg(F.count_distinct("s").alias("ns"))
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.count(F.when(F.col("ns") == 2, 1)).alias("exact_inter"),
+        )
+    )
+    est_u = (
+        (F.col("nu_k") - 1).cast("double") * F.lit(_H_SPACE) / F.col("tu")
+    )
+    est_i = (
+        F.col("n_common").cast("double")
+        * F.lit(_H_SPACE)
+        / F.col("theta").cast("double")
+    )
+    return (
+        union_est.crossJoin(F.broadcast(thetas))
+        .crossJoin(F.broadcast(n_common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KSO_K).alias("k"),
+            F.col("exact_union"),
+            rnd(est_u, 4).alias("est_union"),
+            F.col("exact_inter"),
+            rnd(est_i, 4).alias("est_inter"),
+            rnd(
+                F.abs(est_u - F.col("exact_union").cast("double"))
+                / F.col("exact_union"),
+                6,
+            ).alias("union_rel_err"),
+        )
+    )
+
+
+_DUCK_KSO_KEY = (
+    "CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)"
+)
+
+ORACLE_KMV_SET_OPS = f"""
+WITH a AS (
+  SELECT DISTINCT {duck_md5_int64(_DUCK_KSO_KEY)} AS h
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT DISTINCT {duck_md5_int64(_DUCK_KSO_KEY)} AS h
+  FROM events WHERE event_type = 'purchase'
+),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {KSO_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {KSO_K}),
+theta_ab AS (
+  SELECT least((SELECT max(h) FROM ka), (SELECT max(h) FROM kb)) AS theta
+),
+union_k AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {KSO_K}
+),
+union_est AS (SELECT max(h) AS tu, count(*) AS nu_k FROM union_k),
+n_common AS (
+  SELECT count(*) AS n_common
+  FROM ka JOIN kb USING (h), theta_ab WHERE h < theta
+),
+exact AS (
+  SELECT count(*) AS exact_union,
+         count(CASE WHEN ns = 2 THEN 1 END) AS exact_inter
+  FROM (
+    SELECT h, count(DISTINCT s) AS ns FROM (
+      SELECT h, 1 AS s FROM a UNION ALL SELECT h, 2 AS s FROM b
+    ) GROUP BY h
+  )
+)
+SELECT {KSO_K} AS k, exact_union,
+       {duck_rnd(f'CAST(nu_k - 1 AS DOUBLE) * {_H_SPACE} / tu', 4)} AS est_union,
+       exact_inter,
+       {duck_rnd(f'CAST(n_common AS DOUBLE) * {_H_SPACE} / CAST(theta AS DOUBLE)', 4)}
+         AS est_inter,
+       {duck_rnd(f'abs(CAST(nu_k - 1 AS DOUBLE) * {_H_SPACE} / tu'
+                 f' - CAST(exact_union AS DOUBLE)) / exact_union', 6)}
+         AS union_rel_err
+FROM union_est, theta_ab, n_common, exact
+"""
+
+QUERIES["sk_kmv_set_ops"] = sk_kmv_set_ops
+ORACLES["sk_kmv_set_ops"] = ORACLE_KMV_SET_OPS

@@ -412,3 +412,56 @@ FROM hashed GROUP BY bucket ORDER BY bucket
 
 QUERIES["st_hll_registers"] = st_hll_registers
 ORACLES["st_hll_registers"] = _oracle_st_hll()
+
+
+def st_cms_cells(t: dict[str, DataFrame]) -> DataFrame:
+    """Count-Min cells maintained BY THE STREAMING ENGINE: the user-id
+    frequency sketch as streaming state. Each event emits its
+    {CMS_DEPTH} (row, bucket) probes map-side; the cell table is a
+    complete-mode count aggregation — sums are associative, so the
+    drained cells equal the batch sketch at any micro-batch cut. With
+    st_hll_registers this completes the pair of streaming-maintained
+    sketch states (counts + cardinality) that the batch estimators
+    (sk_cms_heavy, sk_join_cardinality) consume.
+    """
+    from pypers_spark.operators.sketches import _cms_probe_cols
+    from pypers_spark.functions.hashing import md5_int64
+    from pypers_spark.streaming.core import stream_events
+
+    spark = t["events"].sparkSession
+    stream = stream_events(spark, t._sf_dir)
+    cells = (
+        stream.select(
+            F.explode(_cms_probe_cols(md5_int64(F.col("user_id")))).alias("cell")
+        )
+        .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    name = f"st_cms_cells_{next(_SINK_SEQ)}"
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("d", "bucket")
+
+
+def _oracle_st_cms() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+    from pypers_spark.operators.sketches import CMS_DEPTH, _duck_cms_buckets
+
+    h = duck_md5_int64("user_id")
+    return f"""
+SELECT d, {_duck_cms_buckets(h)} AS bucket, count(*) AS cell_cnt
+FROM events, unnest(range(0, {CMS_DEPTH})) AS r(d)
+GROUP BY 1, 2
+ORDER BY d, bucket
+"""
+
+
+QUERIES["st_cms_cells"] = st_cms_cells
+ORACLES["st_cms_cells"] = _oracle_st_cms()

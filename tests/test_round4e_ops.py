@@ -269,3 +269,33 @@ def test_grid_cells_cover_points(spark, sf_dir, qs, tables):
         assert LAT0 / CELL_DEG <= r["cell_y"] < (LAT0 + LAT_SPAN) / CELL_DEG
         assert LON0 / CELL_DEG <= r["cell_x"] < (LON0 + LON_SPAN) / CELL_DEG
         assert r["n_points"] >= 1
+
+
+def test_kmv_set_ops_bounds(spark, sf_dir, qs):
+    """Set-op estimates stay positive; union est within the KMV error
+    envelope; exact intersection ≤ exact union."""
+    r = qs["sk_kmv_set_ops"](spark, sf_dir).collect()[0]
+    assert 0 < r["exact_inter"] <= r["exact_union"]
+    assert r["est_union"] > 0 and r["est_inter"] >= 0
+    if r["k"] == 64:
+        assert r["union_rel_err"] <= 3 * 1.0 / 7.87
+
+
+def test_cooccurrence_consistent_with_supports(spark, sf_dir, qs):
+    """pair_supp ≤ min(supp_a, supp_b); lift positive; pairs ordered."""
+    rows = qs["ev_cooccurrence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["pair_supp"] <= min(r["supp_a"], r["supp_b"])
+        assert r["lift"] > 0
+
+
+def test_streaming_cms_equals_batch_probe_cells(spark, sf_dir, qs, tables):
+    """The streaming-drained CMS cells must total depth × n_events —
+    conservation of probes across micro-batches."""
+    from pypers_spark.operators.sketches import CMS_DEPTH
+
+    rows = qs["st_cms_cells"](spark, sf_dir).collect()
+    total = sum(r["cell_cnt"] for r in rows)
+    assert total == CMS_DEPTH * tables["events"].count()
