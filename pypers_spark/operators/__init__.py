@@ -68,6 +68,9 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "txt_pack_sequences",
+    "txt_curriculum_stages",
+    "op_interval_overlap",
     "sk_kmv_set_ops",
     "ev_cooccurrence",
     "st_cms_cells",

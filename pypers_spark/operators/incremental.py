@@ -758,3 +758,125 @@ LIMIT {MB_TOP_K}
 
 QUERIES["op_market_basket"] = op_market_basket
 ORACLES["op_market_basket"] = ORACLE_MARKET_BASKET
+
+
+# --- op_interval_overlap -----------------------------------------------------
+
+IVL_A_MOD = 3  # promo intervals: every third order, 10 days
+IVL_B_MOD = 5  # outage intervals: every fifth order, 15 days
+IVL_A_DAYS = 10
+IVL_B_DAYS = 15
+
+
+def op_interval_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Interval-overlap temporal join (promo windows × outage windows
+    per customer): the classic interval-intersection workload, blocked
+    by MONTH grid cells — each interval registers in every month it
+    touches, the join is an equi-join on (customer, month), and the
+    exact `a.start ≤ b.end ∧ b.start ≤ a.end` predicate verifies
+    inside the cell. Pairs deduplicate through min-month attribution
+    (an interval pair meets in possibly many months; it counts once,
+    in the first shared month) — all arithmetic on DATE/int days.
+
+    This is the time-domain version of gs_radius_join's grid blocking:
+    never an inequality-only join over the full fact table.
+    """
+    o = t["orders"]
+    a = o.filter(F.col("o_orderkey") % IVL_A_MOD == 0).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").cast("date").alias("a_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), IVL_A_DAYS).alias("a_end"),
+    )
+    b = o.filter(F.col("o_orderkey") % IVL_B_MOD == 0).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").cast("date").alias("b_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), IVL_B_DAYS).alias("b_end"),
+    )
+
+    def cells(df: DataFrame, start: str, end: str) -> DataFrame:
+        months = F.sequence(
+            F.date_trunc("month", F.col(start)).cast("date"),
+            F.date_trunc("month", F.col(end)).cast("date"),
+            F.expr("INTERVAL 1 MONTH"),
+        )
+        return df.withColumn("cell", F.explode(months))
+
+    pairs = (
+        cells(a, "a_start", "a_end")
+        .join(cells(b, "b_start", "b_end"), ["cust", "cell"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .groupBy("cust", "a_id", "b_id")
+        .agg(
+            F.min("cell").alias("first_cell"),
+            F.first(
+                F.datediff(
+                    F.least(F.col("a_end"), F.col("b_end")),
+                    F.greatest(F.col("a_start"), F.col("b_start")),
+                )
+                + 1
+            ).alias("overlap_days"),
+        )
+    )
+    return (
+        pairs.groupBy(F.date_trunc("month", F.col("first_cell")).alias("month"))
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum("overlap_days").alias("total_overlap_days"),
+            F.max("overlap_days").alias("max_overlap_days"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH a AS (
+  SELECT o_custkey AS cust, o_orderkey AS a_id,
+         CAST(o_orderdate AS DATE) AS a_start,
+         CAST(o_orderdate AS DATE) + {IVL_A_DAYS} AS a_end
+  FROM orders WHERE o_orderkey % {IVL_A_MOD} = 0
+),
+b AS (
+  SELECT o_custkey AS cust, o_orderkey AS b_id,
+         CAST(o_orderdate AS DATE) AS b_start,
+         CAST(o_orderdate AS DATE) + {IVL_B_DAYS} AS b_end
+  FROM orders WHERE o_orderkey % {IVL_B_MOD} = 0
+),
+ac AS (
+  SELECT a.*, unnest(generate_series(
+           CAST(date_trunc('month', a_start) AS DATE),
+           CAST(date_trunc('month', a_end) AS DATE),
+           INTERVAL 1 MONTH))::DATE AS cell
+  FROM a
+),
+bc AS (
+  SELECT b.*, unnest(generate_series(
+           CAST(date_trunc('month', b_start) AS DATE),
+           CAST(date_trunc('month', b_end) AS DATE),
+           INTERVAL 1 MONTH))::DATE AS cell
+  FROM b
+),
+pairs AS (
+  SELECT cust, a_id, b_id, min(cell) AS first_cell,
+         first(least(a_end, b_end) - greatest(a_start, b_start) + 1)
+           AS overlap_days
+  FROM ac JOIN bc USING (cust, cell)
+  WHERE a_start <= b_end AND b_start <= a_end AND a_id != b_id
+  GROUP BY 1, 2, 3
+)
+SELECT date_trunc('month', first_cell) AS month,
+       count(*) AS n_overlaps,
+       CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days,
+       max(overlap_days) AS max_overlap_days
+FROM pairs
+GROUP BY 1
+ORDER BY month
+"""
+
+QUERIES["op_interval_overlap"] = op_interval_overlap
+ORACLES["op_interval_overlap"] = ORACLE_INTERVAL_OVERLAP

@@ -543,3 +543,170 @@ FROM chunks GROUP BY source ORDER BY source
 
 QUERIES["pipe_training"] = pipe_training
 ORACLES["pipe_training"] = _duck_pipe_training_sql()
+
+
+# --- txt_pack_sequences ------------------------------------------------------
+
+PACK_CTX = 64  # training context length (tokens)
+PACK_SHARDS = 8  # writer shards — packing happens per shard
+
+
+def txt_pack_sequences(t: dict[str, DataFrame]) -> DataFrame:
+    """Sequence-packing readout for pretraining (concat-and-split, the
+    GPT-style packing): per writer shard, documents concatenate in
+    doc_id order and split into {PACK_CTX}-token sequences. Reports
+    sequences produced, tail waste, packing efficiency, and how many
+    documents straddle a sequence boundary (the attention-masking /
+    document-leakage accounting a packer emits).
+
+    One token-count projection, one per-shard cumulative window over
+    doc counts (shard-partitioned — never a global sort), one rollup.
+    At 100 TB shards are the writer-task partitioning and the window
+    runs inside each writer.
+    """
+    toks = t["documents"].select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokenize_ws(F.col("text"))).alias("n_tok"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    straddles = (
+        F.floor((F.col("cum_before") + F.col("n_tok") - 1) / PACK_CTX)
+        > F.floor(F.col("cum_before") / PACK_CTX)
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.ceil(F.sum("n_tok") / F.lit(float(PACK_CTX))).cast("bigint").alias(
+                "n_sequences"
+            ),
+            F.count(F.when(straddles, 1)).alias("n_straddling"),
+            rnd(
+                F.sum("n_tok")
+                / (
+                    F.ceil(F.sum("n_tok") / F.lit(float(PACK_CTX)))
+                    * F.lit(float(PACK_CTX))
+                ),
+                6,
+            ).alias("packing_efficiency"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split({duck_normalize_text('text')}, ' ')) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tok) / {float(PACK_CTX)}) AS BIGINT) AS n_sequences,
+       count(CASE WHEN floor((cum_before + n_tok - 1) / {PACK_CTX})
+                       > floor(cum_before / {PACK_CTX}) THEN 1 END)
+         AS n_straddling,
+       {duck_rnd(f'sum(n_tok) / (ceil(sum(n_tok) / {float(PACK_CTX)}) * {float(PACK_CTX)})', 6)}
+         AS packing_efficiency
+FROM placed
+GROUP BY shard
+ORDER BY shard
+"""
+
+QUERIES["txt_pack_sequences"] = txt_pack_sequences
+ORACLES["txt_pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+# --- txt_curriculum_stages ---------------------------------------------------
+
+CURR_STAGES = 4
+
+
+def txt_curriculum_stages(t: dict[str, DataFrame]) -> DataFrame:
+    """Curriculum-learning stage assignment: documents bucketed into
+    {CURR_STAGES} quality quartiles (easy→hard training order) via
+    BROADCAST exact percentile cutoffs + map-side threshold scoring —
+    the ev_rfm_segments discipline at document level, never a global
+    ntile sort. Readout: per stage, doc/char totals and the score
+    band, i.e. the shard manifest a curriculum scheduler consumes.
+    """
+    docs = t["documents"]
+    txt = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.lit(0.5) * F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
+            + F.lit(0.5)
+            * (F.size(tokenize_ws(txt)) / F.greatest(F.length(txt), F.lit(1)))
+            * F.lit(5.0)
+        ).alias("score"),
+    )
+    cuts = scored.agg(
+        rnd(F.percentile(F.col("score"), F.lit(0.25)), 6).alias("c1"),
+        rnd(F.percentile(F.col("score"), F.lit(0.5)), 6).alias("c2"),
+        rnd(F.percentile(F.col("score"), F.lit(0.75)), 6).alias("c3"),
+    )
+    stage = (
+        F.when(F.col("score") <= F.col("c1"), 0)
+        .when(F.col("score") <= F.col("c2"), 1)
+        .when(F.col("score") <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(stage.alias("stage"), "n_chars", F.col("score"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            rnd(F.min("score"), 6).alias("min_score"),
+            rnd(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("stage")
+    )
+
+
+_DUCK_CURR_SCORE = (
+    f"0.5 * least(length(text) / 500.0, 1.0)"
+    f" + 0.5 * (len(string_split({duck_normalize_text('text')}, ' '))"
+    f" / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0"
+)
+
+ORACLE_CURRICULUM_STAGES = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars, {_DUCK_CURR_SCORE} AS score FROM documents
+),
+cuts AS (
+  SELECT {duck_rnd('quantile_cont(score, 0.25)', 6)} AS c1,
+         {duck_rnd('quantile_cont(score, 0.5)', 6)} AS c2,
+         {duck_rnd('quantile_cont(score, 0.75)', 6)} AS c3
+  FROM scored
+)
+SELECT CASE WHEN score <= c1 THEN 0 WHEN score <= c2 THEN 1
+            WHEN score <= c3 THEN 2 ELSE 3 END AS stage,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {duck_rnd('min(score)', 6)} AS min_score,
+       {duck_rnd('max(score)', 6)} AS max_score
+FROM scored, cuts
+GROUP BY 1
+ORDER BY stage
+"""
+
+QUERIES["txt_curriculum_stages"] = txt_curriculum_stages
+ORACLES["txt_curriculum_stages"] = ORACLE_CURRICULUM_STAGES

@@ -299,3 +299,40 @@ def test_streaming_cms_equals_batch_probe_cells(spark, sf_dir, qs, tables):
     rows = qs["st_cms_cells"](spark, sf_dir).collect()
     total = sum(r["cell_cnt"] for r in rows)
     assert total == CMS_DEPTH * tables["events"].count()
+
+
+def test_pack_sequences_efficiency_bounds(spark, sf_dir, qs):
+    """Packing efficiency ∈ (0, 1]; waste < one context per shard;
+    straddling docs can't exceed sequence boundaries crossed."""
+    from pypers_spark.operators.training import PACK_CTX
+
+    rows = qs["txt_pack_sequences"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["packing_efficiency"] <= 1
+        waste = r["n_sequences"] * PACK_CTX - r["total_tokens"]
+        assert 0 <= waste < PACK_CTX
+        assert 0 <= r["n_straddling"] <= r["n_docs"]
+
+
+def test_curriculum_stages_tile_corpus(spark, sf_dir, qs, tables):
+    """Stages partition the corpus; score bands are ordered."""
+    rows = qs["txt_curriculum_stages"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["max_score"] <= cur["min_score"] + 1e-9
+        assert prev["stage"] < cur["stage"]
+
+
+def test_interval_overlap_days_positive(spark, sf_dir, qs):
+    """Every reported overlap is ≥1 day and bounded by the shorter
+    interval's length."""
+    from pypers_spark.operators.incremental import IVL_A_DAYS, IVL_B_DAYS
+
+    rows = qs["op_interval_overlap"](spark, sf_dir).collect()
+    assert rows
+    cap = min(IVL_A_DAYS, IVL_B_DAYS) + 1
+    for r in rows:
+        assert r["n_overlaps"] >= 1
+        assert r["max_overlap_days"] <= cap
+        assert r["total_overlap_days"] >= r["n_overlaps"]  # ≥1 day each
