@@ -120,6 +120,11 @@ HEADLINE = (
     "gs_grid_cells",
     "gs_radius_join",
     "op_market_basket",
+    "sk_kmv_set_ops",
+    "ev_cooccurrence",
+    "txt_pack_sequences",
+    "txt_curriculum_stages",
+    "op_interval_overlap",
 )
 
 

@@ -68,6 +68,8 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "sk_ks_stat",
+    "ann_batch_topk",
     "txt_pack_sequences",
     "txt_curriculum_stages",
     "op_interval_overlap",

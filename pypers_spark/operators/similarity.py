@@ -1181,3 +1181,68 @@ FROM tagged GROUP BY method ORDER BY method
 
 QUERIES["ann_recall_report"] = ann_recall_report
 ORACLES["ann_recall_report"] = _duck_recall_report_sql()
+
+
+# --- ann_batch_topk ----------------------------------------------------------
+
+BATCH_Q_MOD = 97  # query set: vec_id ≡ 0 (mod 97)
+BATCH_TOP_K = 3
+
+
+def ann_batch_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """BATCH ANN serving: every query vector (the mod-97 sample) gets
+    its top-3 cosine neighbors within its label block in ONE plan —
+    the nightly batch-scoring shape, vs the single-query ops above.
+    Queries broadcast (query set ≪ corpus); candidates are bounded to
+    the block (label → IVF cell in production); per-query top-k is a
+    rank window partitioned by the query id, so k·|queries| rows
+    survive, never the full candidate product.
+    """
+    emb = t["embeddings"]
+    qset = emb.filter(F.col("vec_id") % BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cands = emb.join(
+        F.broadcast(qset),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_BATCH_TOPK = f"""
+WITH qset AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {BATCH_Q_MOD} = 0
+),
+cands AS (
+  SELECT query_id, vec_id,
+         {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+  FROM embeddings JOIN qset
+    ON label = q_label AND vec_id != query_id
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM cands
+)
+WHERE rank <= {BATCH_TOP_K}
+ORDER BY query_id, rank
+"""
+
+QUERIES["ann_batch_topk"] = ann_batch_topk
+ORACLES["ann_batch_topk"] = ORACLE_ANN_BATCH_TOPK

@@ -885,3 +885,96 @@ FROM union_est, theta_ab, n_common, exact
 
 QUERIES["sk_kmv_set_ops"] = sk_kmv_set_ops
 ORACLES["sk_kmv_set_ops"] = ORACLE_KMV_SET_OPS
+
+
+# --- sk_ks_stat --------------------------------------------------------------
+
+KS_BINS = 64
+
+
+def sk_ks_stat(t: dict[str, DataFrame]) -> DataFrame:
+    """Histogram-approximate two-sample Kolmogorov–Smirnov statistic
+    between the 'click' and 'purchase' value distributions:
+    D = max_bins |F̂_A − F̂_B| over {KS_BINS} shared equi-width bins.
+
+    The exact KS needs a global sort of the pooled sample — at 100 TB
+    you compute it from the mergeable histogram instead (error ≤ one
+    bin's mass), exactly as sk_hist_quantile approximates percentiles.
+    Complements ev_psi_drift: KS is the max-gap statistic, PSI the
+    mass-weighted divergence. Cumulative sums run over the 64-row bin
+    table; everything corpus-sized is the two binned aggregations.
+    """
+    ev = t["events"].filter(F.col("event_type").isin("click", "purchase"))
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(KS_BINS))
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+                F.lit(KS_BINS - 1),
+            ).alias("bin"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin",
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+    )
+    totals = binned.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(gap.alias("gap"), "ta", "tb")
+        .agg(
+            F.first("ta").alias("n_a"),
+            F.first("tb").alias("n_b"),
+            rnd(F.max("gap"), 6).alias("ks_d"),
+        )
+    )
+
+
+ORACLE_KS_STAT = f"""
+WITH ev AS (
+  SELECT value, event_type = 'click' AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {float(KS_BINS)}))
+                    AS BIGINT), {KS_BINS - 1}) AS bin,
+         count(CASE WHEN is_a THEN 1 END) AS n_a,
+         count(CASE WHEN NOT is_a THEN 1 END) AS n_b
+  FROM ev, bounds GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         sum(n_a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ca,
+         sum(n_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cb
+  FROM binned
+),
+totals AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM binned)
+SELECT CAST(first(ta) AS BIGINT) AS n_a, CAST(first(tb) AS BIGINT) AS n_b,
+       {duck_rnd('max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb))', 6)}
+         AS ks_d
+FROM cum, totals
+"""
+
+QUERIES["sk_ks_stat"] = sk_ks_stat
+ORACLES["sk_ks_stat"] = ORACLE_KS_STAT

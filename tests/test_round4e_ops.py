@@ -336,3 +336,28 @@ def test_interval_overlap_days_positive(spark, sf_dir, qs):
         assert r["n_overlaps"] >= 1
         assert r["max_overlap_days"] <= cap
         assert r["total_overlap_days"] >= r["n_overlaps"]  # ≥1 day each
+
+
+def test_ks_stat_in_unit_interval(spark, sf_dir, qs):
+    r = qs["sk_ks_stat"](spark, sf_dir).collect()[0]
+    assert 0 <= r["ks_d"] <= 1
+    assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_batch_topk_per_query_invariants(spark, sf_dir, qs):
+    """Each query yields ≤ k ranked neighbors, ranks dense from 1,
+    cosine non-increasing within a query, never the query itself."""
+    import collections
+
+    from pypers_spark.operators.similarity import BATCH_TOP_K
+
+    by_q = collections.defaultdict(list)
+    for r in qs["ann_batch_topk"](spark, sf_dir).collect():
+        by_q[r["query_id"]].append(r)
+    assert by_q
+    for q, rows in by_q.items():
+        assert len(rows) <= BATCH_TOP_K
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)
