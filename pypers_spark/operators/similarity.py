@@ -1246,3 +1246,91 @@ ORDER BY query_id, rank
 
 QUERIES["ann_batch_topk"] = ann_batch_topk
 ORACLES["ann_batch_topk"] = ORACLE_ANN_BATCH_TOPK
+
+
+# --- ann_filtered_topk -------------------------------------------------------
+
+FILT_K = 10
+
+
+def ann_filtered_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Filtered ANN, PRE vs POST: top-{FILT_K} neighbors of the query
+    vector under a metadata predicate (even label), computed both ways
+    — pre-filtering (restrict candidates, then rank: always returns k)
+    and post-filtering (global top-k, then filter: returns fewer when
+    the predicate thins the neighborhood). The one-readout comparison
+    behind every filtered-vector-search design debate; on this corpus
+    post-filtering keeps only the even-label survivors of the global
+    top-10, making the recall hole a measured number.
+    """
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            rnd(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    pred = F.col("label") % 2 == 0
+    pre = (
+        scored.filter(pred)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(FILT_K)
+        .agg(
+            F.count("*").alias("k_returned"),
+            rnd(F.min("cos_sim"), 4).alias("min_cos"),
+            rnd(F.max("cos_sim"), 4).alias("max_cos"),
+        )
+        .withColumn("strategy", F.lit("pre_filter"))
+    )
+    post = (
+        scored.orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(FILT_K)
+        .filter(pred)
+        .agg(
+            F.count("*").alias("k_returned"),
+            rnd(F.min("cos_sim"), 4).alias("min_cos"),
+            rnd(F.max("cos_sim"), 4).alias("max_cos"),
+        )
+        .withColumn("strategy", F.lit("post_filter"))
+    )
+    return (
+        pre.unionByName(post)
+        .select("strategy", "k_returned", "min_cos", "max_cos")
+        .orderBy("strategy")
+    )
+
+
+ORACLE_ANN_FILTERED = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, label,
+         {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+  FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID}
+),
+pre AS (
+  SELECT 'pre_filter' AS strategy, count(*) AS k_returned,
+         {duck_rnd('min(cos_sim)', 4)} AS min_cos,
+         {duck_rnd('max(cos_sim)', 4)} AS max_cos
+  FROM (SELECT * FROM scored WHERE label % 2 = 0
+        ORDER BY cos_sim DESC, vec_id LIMIT {FILT_K})
+),
+post AS (
+  SELECT 'post_filter' AS strategy, count(*) AS k_returned,
+         {duck_rnd('min(cos_sim)', 4)} AS min_cos,
+         {duck_rnd('max(cos_sim)', 4)} AS max_cos
+  FROM (SELECT * FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {FILT_K})
+  WHERE label % 2 = 0
+)
+SELECT * FROM pre UNION ALL SELECT * FROM post ORDER BY strategy
+"""
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+ORACLES["ann_filtered_topk"] = ORACLE_ANN_FILTERED

@@ -710,3 +710,92 @@ ORDER BY stage
 
 QUERIES["txt_curriculum_stages"] = txt_curriculum_stages
 ORACLES["txt_curriculum_stages"] = ORACLE_CURRICULUM_STAGES
+
+
+# --- dd_chunk_exact ----------------------------------------------------------
+
+CHD_CTX = 32  # chunk width (tokens) for chunk-level dedup
+CHD_STRIDE = 32  # non-overlapping
+
+
+def dd_chunk_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """CHUNK-level exact dedup: after context-window chunking, identical
+    {CHD_CTX}-token chunks are deduplicated corpus-wide — the pass a
+    training pipeline runs AFTER packing prep, catching boilerplate
+    that document-level dedup misses (shared headers/footers across
+    distinct documents). One md5 per chunk, one hash aggregation on
+    the fingerprint; the report is per source: chunks produced, unique
+    chunks, duplicated chunks, rows removable — the observability row
+    for the chunk-dedup sweep.
+    """
+    from pypers_spark.operators.dedup import corpus
+
+    toks = corpus(t).select(
+        "doc_id", "source", tokenize_ws(F.col("text")).alias("toks")
+    )
+    sized = toks.withColumn("n", F.size("toks")).filter(F.col("n") >= 1)
+    n_chunks = (F.floor((F.col("n") - 1) / CHD_STRIDE) + 1).cast("int")
+    chunks = sized.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        "toks",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("ci") * CHD_STRIDE + 1, CHD_CTX)
+            )
+        ).alias("fp"),
+    )
+    fp_counts = chunks.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    return (
+        chunks.join(fp_counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_in_dup_groups"),
+            F.count(F.when(F.col("n_copies") > 1, 1)).alias("removable_upper"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            "n_in_dup_groups",
+            (F.col("n_chunks") - F.col("n_unique")).alias("n_removable"),
+        )
+        .orderBy("source")
+    )
+
+
+from pypers_spark.operators.dedup import DUCK_CORPUS as _DUCK_DD_CORPUS  # noqa: E402
+
+ORACLE_CHUNK_EXACT = f"""
+WITH {_DUCK_DD_CORPUS},
+toks AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM corpus
+),
+sized AS (SELECT *, len(toks) AS n FROM toks WHERE len(toks) >= 1),
+chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           list_slice(toks, ci * {CHD_STRIDE} + 1,
+                      ci * {CHD_STRIDE} + {CHD_CTX}), ' ')) AS fp
+  FROM sized,
+       unnest(range(CAST(floor((n - 1) / {CHD_STRIDE}) AS BIGINT) + 1)) AS t(ci)
+),
+fp_counts AS (SELECT fp, count(*) AS n_copies FROM chunks GROUP BY 1)
+SELECT source,
+       count(*) AS n_chunks,
+       count(DISTINCT c.fp) AS n_unique,
+       count(CASE WHEN n_copies > 1 THEN 1 END) AS n_in_dup_groups,
+       count(*) - count(DISTINCT c.fp) AS n_removable
+FROM chunks c JOIN fp_counts USING (fp)
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["dd_chunk_exact"] = dd_chunk_exact
+ORACLES["dd_chunk_exact"] = ORACLE_CHUNK_EXACT

@@ -361,3 +361,27 @@ def test_batch_topk_per_query_invariants(spark, sf_dir, qs):
         sims = [r["cos_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r["vec_id"] != q for r in rows)
+
+
+def test_chunk_dedup_catches_perturbed_copies(spark, sf_dir, qs):
+    """On the dedup corpus fixture every source has removable chunks
+    (each perturbed doc's chunks collide with the original's), and the
+    accounting is internally consistent."""
+    rows = qs["dd_chunk_exact"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_removable"] == r["n_chunks"] - r["n_unique"]
+        assert r["n_removable"] > 0
+        assert r["n_in_dup_groups"] >= r["n_removable"]
+
+
+def test_filtered_ann_pre_beats_post(spark, sf_dir, qs):
+    """Pre-filtering always fills k; post-filtering returns at most k
+    and its worst survivor is no worse than pre's (it comes from the
+    unfiltered global top-k)."""
+    rows = {r["strategy"]: r for r in qs["ann_filtered_topk"](spark, sf_dir).collect()}
+    from pypers_spark.operators.similarity import FILT_K
+
+    assert rows["pre_filter"]["k_returned"] == FILT_K
+    assert rows["post_filter"]["k_returned"] <= FILT_K
+    assert rows["post_filter"]["min_cos"] >= rows["pre_filter"]["min_cos"] - 1e-9
