@@ -68,6 +68,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "ev_bot_detect",
     "dd_chunk_exact",
     "ann_filtered_topk",
     "sk_ks_stat",

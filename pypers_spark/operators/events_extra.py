@@ -1901,3 +1901,116 @@ ORDER BY type_a, type_b
 
 QUERIES["ev_cooccurrence"] = ev_cooccurrence
 ORACLES["ev_cooccurrence"] = ORACLE_COOCCURRENCE
+
+
+# --- ev_bot_detect -----------------------------------------------------------
+
+BOT_N_USERS = 5  # injected synthetic bots
+BOT_TICKS = 200  # events per bot
+BOT_PERIOD_S = 60  # metronome period
+BOT_MIN_EVENTS = 50  # detection: volume floor
+BOT_MAX_GAP_VAR = 900.0  # detection: gap variance ceiling (s²)
+
+
+def ev_bot_detect(t: dict[str, DataFrame]) -> DataFrame:
+    """Bot/automation detection by inter-event-gap regularity: per user,
+    gap variance from EXACT integer moment sums (Σg, Σg²) — metronome
+    traffic has near-zero variance where human traffic is bursty. The
+    trust-and-safety sweep every event pipeline runs.
+
+    Five synthetic metronome users (60 s ticks, generated from a
+    sequence explode — identical in both engines) are unioned into the
+    stream, so detection finds EXACTLY the injected bots: the flag
+    path is non-vacuous and self-validating, while every organic user
+    exercises the not-bot path. One lag window + one aggregation per
+    user; moments are int64-exact, so the variance is bit-identical
+    cross-engine.
+    """
+    ev = t["events"].select("user_id", F.unix_timestamp("ts").alias("ts_s"))
+    base_ts = ev.agg(F.min("ts_s").alias("t0"))
+    bots = (
+        base_ts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(BOT_N_USERS - 1))).alias("b"),
+            "t0",
+        )
+        .select(
+            (F.lit(1_000_000) + F.col("b")).alias("user_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(BOT_TICKS - 1))
+            ).alias("k"),
+            "t0",
+        )
+        .select("user_id", (F.col("t0") + F.col("k") * BOT_PERIOD_S).alias("ts_s"))
+    )
+    allev = ev.unionByName(bots)
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    gaps = (
+        allev.withColumn("prev", F.lag("ts_s").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.col("ts_s") - F.col("prev")).alias("g"))
+    )
+    stats = gaps.groupBy("user_id").agg(
+        (F.count("*") + 1).alias("n_events"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    )
+    n = F.col("n_events") - 1  # gap count
+    var = (
+        F.col("sg2").cast("double")
+        - F.col("sg").cast("double") * F.col("sg") / n
+    ) / n
+    flagged = stats.withColumn(
+        "is_bot",
+        (F.col("n_events") >= BOT_MIN_EVENTS) & (var <= BOT_MAX_GAP_VAR),
+    ).withColumn("gap_var", var)
+    return (
+        flagged.groupBy("is_bot")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("n_events_total"),
+            rnd(dsum(F.col("gap_var")) / F.count("*"), 4).alias("avg_gap_var"),
+        )
+        .orderBy("is_bot")
+    )
+
+
+ORACLE_BOT_DETECT = f"""
+WITH ev AS (
+  SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS ts_s FROM events
+),
+base_ts AS (SELECT min(ts_s) AS t0 FROM ev),
+bots AS (
+  SELECT 1000000 + b AS user_id, t0 + k * {BOT_PERIOD_S} AS ts_s
+  FROM base_ts,
+       unnest(range({BOT_N_USERS})) AS tb(b),
+       unnest(range({BOT_TICKS})) AS tk(k)
+),
+allev AS (SELECT * FROM ev UNION ALL SELECT * FROM bots),
+gaps AS (
+  SELECT user_id, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS g
+  FROM allev
+),
+stats AS (
+  SELECT user_id, count(*) + 1 AS n_events,
+         sum(g) AS sg, sum(g * g) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+),
+flagged AS (
+  SELECT *,
+         (CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * sg / (n_events - 1))
+           / (n_events - 1) AS gap_var,
+         n_events >= {BOT_MIN_EVENTS}
+           AND ((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * sg / (n_events - 1))
+                / (n_events - 1)) <= {BOT_MAX_GAP_VAR} AS is_bot
+  FROM stats
+)
+SELECT is_bot, count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+       {duck_rnd(f"{duck_dsum('gap_var')} / count(*)", 4)} AS avg_gap_var
+FROM flagged
+GROUP BY is_bot
+ORDER BY is_bot
+"""
+
+QUERIES["ev_bot_detect"] = ev_bot_detect
+ORACLES["ev_bot_detect"] = ORACLE_BOT_DETECT

@@ -385,3 +385,13 @@ def test_filtered_ann_pre_beats_post(spark, sf_dir, qs):
     assert rows["pre_filter"]["k_returned"] == FILT_K
     assert rows["post_filter"]["k_returned"] <= FILT_K
     assert rows["post_filter"]["min_cos"] >= rows["pre_filter"]["min_cos"] - 1e-9
+
+
+def test_bot_detect_finds_exactly_injected(spark, sf_dir, qs):
+    from pypers_spark.operators.events_extra import BOT_N_USERS, BOT_TICKS
+
+    rows = {r["is_bot"]: r for r in qs["ev_bot_detect"](spark, sf_dir).collect()}
+    assert rows[True]["n_users"] == BOT_N_USERS
+    assert rows[True]["n_events_total"] == BOT_N_USERS * BOT_TICKS
+    assert rows[True]["avg_gap_var"] == 0.0  # perfect metronomes
+    assert rows[False]["avg_gap_var"] > 0
