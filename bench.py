@@ -125,6 +125,11 @@ HEADLINE = (
     "txt_pack_sequences",
     "txt_curriculum_stages",
     "op_interval_overlap",
+    "sk_ks_stat",
+    "ann_batch_topk",
+    "dd_chunk_exact",
+    "ann_filtered_topk",
+    "ev_bot_detect",
 )
 
 

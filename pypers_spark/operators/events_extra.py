@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.rounding import dsum, dsum_wide, duck_dsum, duck_rnd, rnd
 
 # DuckDB twin of Spark's unix_timestamp() (second precision).
 _DUCK_EPOCH = "epoch(date_trunc('second', {col}))"
@@ -1968,7 +1968,12 @@ def ev_bot_detect(t: dict[str, DataFrame]) -> DataFrame:
         .agg(
             F.count("*").alias("n_users"),
             F.sum("n_events").alias("n_events_total"),
-            rnd(dsum(F.col("gap_var")) / F.count("*"), 4).alias("avg_gap_var"),
+            # gap_var reaches ~(month)² ≈ 7e12 per user and the user
+            # cardinality is unbounded — the 1e-6-quantized int64 dsum
+            # envelope (~9.2e12 value units TOTAL) overflows at ~10x
+            # this corpus (caught by the replica scale check), so this
+            # total goes through the decimal-accumulating dsum_wide.
+            rnd(dsum_wide(F.col("gap_var")) / F.count("*"), 4).alias("avg_gap_var"),
         )
         .orderBy("is_bot")
     )
