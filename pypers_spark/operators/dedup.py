@@ -1886,3 +1886,92 @@ ORDER BY kind
 
 QUERIES["dd_fuzzy_names"] = dd_fuzzy_names
 ORACLES["dd_fuzzy_names"] = ORACLE_FUZZY_NAMES
+
+
+# --- dd_source_overlap -------------------------------------------------------
+
+SRC_OVL_TOP_K = 15
+
+
+def dd_source_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Dataset-level overlap matrix: Jaccard similarity of word-3-gram
+    vocabularies between SOURCE pairs — the corpus-vs-corpus
+    contamination/redundancy readout that decides whether two acquired
+    datasets are worth keeping separately (doc-level dedup answers a
+    different question). Top-{SRC_OVL_TOP_K} most-overlapping pairs.
+
+    Shape: one distinct (source, gram) postings table; the pair
+    intersection is a postings SELF-JOIN keyed on the gram (the
+    inverted-index idiom — never |sources|² vocabulary scans), per-pair
+    union by inclusion-exclusion from broadcast per-source sizes.
+    """
+    posts = (
+        corpus(t)
+        .select("source", F.explode(_spread_grams(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    sizes = posts.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = posts.select(F.col("source").alias("src_a"), "g")
+    b = posts.select(F.col("source").alias("src_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select("src_a", "src_b", "n_inter", "na", "nb", rnd(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(SRC_OVL_TOP_K)
+    )
+
+
+def _spread_grams(text_col):
+    """Distinct word-3-gram STRINGS of a text column (not hashed — the
+    vocabulary table is source-cardinality-bounded)."""
+    tk = F.split(normalize_text(text_col), " ")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+    )
+    return F.when(
+        F.size(tk) >= 3,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(tk) - 2), lambda i: gram(i))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH {DUCK_CORPUS},
+toks AS (
+  SELECT source, string_split({duck_normalize_text('text')}, ' ') AS tk FROM corpus
+),
+posts AS (
+  SELECT DISTINCT source, unnest({_duck_word_ngrams('tk', 3)}) AS g
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT source, count(*) AS n_grams FROM posts GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter, sa.n_grams AS na, sb.n_grams AS nb,
+       {duck_rnd('CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE)', 6)}
+         AS jaccard
+FROM inter
+JOIN sizes sa ON inter.src_a = sa.source
+JOIN sizes sb ON inter.src_b = sb.source
+ORDER BY jaccard DESC, src_a, src_b
+LIMIT {SRC_OVL_TOP_K}
+"""
+
+QUERIES["dd_source_overlap"] = dd_source_overlap
+ORACLES["dd_source_overlap"] = ORACLE_SOURCE_OVERLAP

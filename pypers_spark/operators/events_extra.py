@@ -2019,3 +2019,47 @@ ORDER BY is_bot
 
 QUERIES["ev_bot_detect"] = ev_bot_detect
 ORACLES["ev_bot_detect"] = ORACLE_BOT_DETECT
+
+
+# --- ev_slo_report -----------------------------------------------------------
+
+SLO_P95_MAX = 145.0  # per-type p95 ceiling — sits between this corpus's
+# per-type p95s (142.5-151.7), so both the breach and pass paths are
+# non-vacuous in the gate
+
+
+def ev_slo_report(t: dict[str, DataFrame]) -> DataFrame:
+    """SLO/latency-band report: exact interpolated p50/p95/p99 of the
+    value metric per event type, with the SLO-breach flag — the
+    on-call dashboard row. One sort-based percentile aggregation per
+    type; at 100 TB the same report runs from the mergeable histogram
+    sketch (sk_hist_quantile), this is the exact form SLAs are settled
+    with.
+    """
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+            rnd(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95"),
+            rnd(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
+        )
+        .withColumn("slo_breach", F.col("p95") > SLO_P95_MAX)
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SLO_REPORT = f"""
+SELECT event_type, count(*) AS n,
+       {duck_rnd('quantile_cont(value, 0.5)', 4)} AS p50,
+       {duck_rnd('quantile_cont(value, 0.95)', 4)} AS p95,
+       {duck_rnd('quantile_cont(value, 0.99)', 4)} AS p99,
+       ({duck_rnd('quantile_cont(value, 0.95)', 4)}) > {SLO_P95_MAX} AS slo_breach
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["ev_slo_report"] = ev_slo_report
+ORACLES["ev_slo_report"] = ORACLE_SLO_REPORT

@@ -395,3 +395,25 @@ def test_bot_detect_finds_exactly_injected(spark, sf_dir, qs):
     assert rows[True]["n_events_total"] == BOT_N_USERS * BOT_TICKS
     assert rows[True]["avg_gap_var"] == 0.0  # perfect metronomes
     assert rows[False]["avg_gap_var"] > 0
+
+
+def test_source_overlap_jaccard_valid(spark, sf_dir, qs):
+    """Jaccard ∈ (0,1]; intersection ≤ both vocabulary sizes; ordering
+    is by descending similarity."""
+    rows = qs["dd_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    sims = [r["jaccard"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1
+        assert r["n_inter"] <= min(r["na"], r["nb"])
+
+
+def test_slo_report_percentiles_ordered(spark, sf_dir, qs):
+    rows = qs["ev_slo_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p95"] <= r["p99"]
+        from pypers_spark.operators.events_extra import SLO_P95_MAX
+
+        assert r["slo_breach"] == (r["p95"] > SLO_P95_MAX)
