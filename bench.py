@@ -130,6 +130,8 @@ HEADLINE = (
     "dd_chunk_exact",
     "ann_filtered_topk",
     "ev_bot_detect",
+    "dd_source_overlap",
+    "ev_slo_report",
 )
 
 
