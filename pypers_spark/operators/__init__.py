@@ -68,6 +68,8 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "op_dsr_export",
+    "ev_error_budget",
     "dd_source_overlap",
     "ev_slo_report",
     "ev_bot_detect",

@@ -2063,3 +2063,82 @@ ORDER BY event_type
 
 QUERIES["ev_slo_report"] = ev_slo_report
 ORACLES["ev_slo_report"] = ORACLE_SLO_REPORT
+
+
+# --- ev_error_budget ---------------------------------------------------------
+
+EB_BUDGET_RATE = 0.201  # monthly error budget — just above the stream's
+# ~20.1% error share, so daily variation flips burning_fast both ways
+# (14/30 fast days at sf0.01): both alert paths gate non-vacuously
+
+
+def ev_error_budget(t: dict[str, DataFrame]) -> DataFrame:
+    """SRE error-budget burn-down: daily error rate vs the monthly
+    budget, with the CUMULATIVE burn fraction and the days where the
+    running burn exceeds the elapsed-time share (burning too fast) —
+    the on-call burn-rate alert as one windowed query. Day-cardinality
+    table after one aggregation; the cumulative window runs over ~30
+    rows.
+    """
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    totals = daily.agg(
+        F.sum("n_events").alias("tot_events")
+    )
+    burn = (
+        daily.withColumn("cum_errors", F.sum("n_errors").over(w))
+        .withColumn("cum_events", F.sum("n_events").over(w))
+        .crossJoin(F.broadcast(totals))
+    )
+    budget_total = F.col("tot_events").cast("double") * EB_BUDGET_RATE
+    burn_frac = F.col("cum_errors").cast("double") / budget_total
+    elapsed_frac = F.col("cum_events").cast("double") / F.col("tot_events")
+    return burn.select(
+        "day",
+        "n_events",
+        "n_errors",
+        rnd(F.col("n_errors").cast("double") / F.col("n_events"), 6).alias(
+            "day_error_rate"
+        ),
+        rnd(burn_frac, 6).alias("budget_burned"),
+        (rnd(burn_frac, 6) > rnd(elapsed_frac, 6)).alias("burning_fast"),
+    ).orderBy("day")
+
+
+ORACLE_ERROR_BUDGET = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n_events) AS tot_events FROM daily),
+burn AS (
+  SELECT *,
+         sum(n_errors) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_errors,
+         sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_events
+  FROM daily, tot
+)
+SELECT day, n_events, n_errors,
+       {duck_rnd('CAST(n_errors AS DOUBLE) / n_events', 6)} AS day_error_rate,
+       {duck_rnd(f'CAST(cum_errors AS DOUBLE) / (CAST(tot_events AS DOUBLE) * {EB_BUDGET_RATE})', 6)}
+         AS budget_burned,
+       ({duck_rnd(f'CAST(cum_errors AS DOUBLE) / (CAST(tot_events AS DOUBLE) * {EB_BUDGET_RATE})', 6)})
+         > ({duck_rnd('CAST(cum_events AS DOUBLE) / tot_events', 6)}) AS burning_fast
+FROM burn
+ORDER BY day
+"""
+
+QUERIES["ev_error_budget"] = ev_error_budget
+ORACLES["ev_error_budget"] = ORACLE_ERROR_BUDGET

@@ -880,3 +880,65 @@ ORDER BY month
 
 QUERIES["op_interval_overlap"] = op_interval_overlap
 ORACLES["op_interval_overlap"] = ORACLE_INTERVAL_OVERLAP
+
+
+# --- op_dsr_export -----------------------------------------------------------
+
+DSR_MOD = 37  # the subject keyset: user/customer ids ≡ 3 (mod 37)
+
+
+def op_dsr_export(t: dict[str, DataFrame]) -> DataFrame:
+    """Subject-access-request (DSR export) manifest: for the deletion/
+    export keyset, count every row held about those subjects across
+    the event stream and the order system — the per-table inventory a
+    privacy officer attaches to a GDPR Art. 15 response
+    (op_forget_user is the Art. 17 companion). Each leg is one
+    broadcast-filterable scan aggregated to (table, metric) rows; the
+    union is metadata-sized.
+    """
+    doomed_u = F.col("user_id") % DSR_MOD == 3
+    doomed_c = F.col("o_custkey") % DSR_MOD == 3
+    ev = t["events"].filter(doomed_u).agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("user_id")).alias("n_subjects"),
+        F.min("ts").cast("date").cast("string").alias("earliest"),
+        F.max("ts").cast("date").cast("string").alias("latest"),
+    )
+    orders = t["orders"].filter(doomed_c).agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("o_custkey")).alias("n_subjects"),
+        F.min("o_orderdate").cast("date").cast("string").alias("earliest"),
+        F.max("o_orderdate").cast("date").cast("string").alias("latest"),
+    )
+    cust = t["customer"].filter(F.col("c_custkey") % DSR_MOD == 3).agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("c_custkey")).alias("n_subjects"),
+        F.lit(None).cast("string").alias("earliest"),
+        F.lit(None).cast("string").alias("latest"),
+    )
+    return ev.unionByName(orders).unionByName(cust).orderBy("table_name")
+
+
+ORACLE_DSR_EXPORT = f"""
+SELECT 'customer' AS table_name, count(*) AS n_rows,
+       count(DISTINCT c_custkey) AS n_subjects,
+       NULL AS earliest, NULL AS latest
+FROM customer WHERE c_custkey % {DSR_MOD} = 3
+UNION ALL
+SELECT 'events', count(*), count(DISTINCT user_id),
+       CAST(CAST(min(ts) AS DATE) AS VARCHAR),
+       CAST(CAST(max(ts) AS DATE) AS VARCHAR)
+FROM events WHERE user_id % {DSR_MOD} = 3
+UNION ALL
+SELECT 'orders', count(*), count(DISTINCT o_custkey),
+       CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+FROM orders WHERE o_custkey % {DSR_MOD} = 3
+ORDER BY table_name
+"""
+
+QUERIES["op_dsr_export"] = op_dsr_export
+ORACLES["op_dsr_export"] = ORACLE_DSR_EXPORT

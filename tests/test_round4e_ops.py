@@ -417,3 +417,21 @@ def test_slo_report_percentiles_ordered(spark, sf_dir, qs):
         from pypers_spark.operators.events_extra import SLO_P95_MAX
 
         assert r["slo_breach"] == (r["p95"] > SLO_P95_MAX)
+
+
+def test_dsr_export_covers_subject_tables(spark, sf_dir, qs, tables):
+    from pypers_spark.operators.incremental import DSR_MOD
+
+    rows = {r["table_name"]: r for r in qs["op_dsr_export"](spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "events", "orders"}
+    n_cust = tables["customer"].filter(F.col("c_custkey") % DSR_MOD == 3).count()
+    assert rows["customer"]["n_rows"] == n_cust == rows["customer"]["n_subjects"]
+    assert rows["events"]["earliest"] <= rows["events"]["latest"]
+
+
+def test_error_budget_monotone_burn(spark, sf_dir, qs):
+    rows = qs["ev_error_budget"](spark, sf_dir).collect()
+    assert rows
+    burns = [r["budget_burned"] for r in rows]
+    assert burns == sorted(burns)  # cumulative burn is monotone
+    assert all(0 <= r["day_error_rate"] <= 1 for r in rows)
