@@ -68,6 +68,9 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "txt_split_leakage",
+    "op_benford_check",
+    "op_table_checksum",
     "op_dsr_export",
     "ev_error_budget",
     "dd_source_overlap",

@@ -942,3 +942,149 @@ ORDER BY table_name
 
 QUERIES["op_dsr_export"] = op_dsr_export
 ORACLES["op_dsr_export"] = ORACLE_DSR_EXPORT
+
+
+# --- op_benford_check --------------------------------------------------------
+
+# log10(1 + 1/d), d = 1..9 — embedded as double literals so both engines
+# compare against the identical constants (no runtime log10 anywhere).
+BENFORD_P = (
+    0.30102999566398114,
+    0.17609125905568124,
+    0.12493873660829985,
+    0.09691001300805638,
+    0.07918124604762478,
+    0.06694678963061318,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def op_benford_check(t: dict[str, DataFrame]) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/synthetic-
+    data screen: observed leading-digit shares vs the Benford
+    expectation, with the per-digit squared-deviation contribution
+    (χ²-style, constants embedded as literals — no runtime log).
+    One map-side digit extraction + one 9-group aggregation; the
+    synthetic uniform-ish totals FAIL Benford loudly, which is the
+    point of the audit (the flag demonstrates a detected anomaly, not
+    a pass).
+    """
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = (
+        t["orders"]
+        .select(digit.alias("d"))
+        .filter(F.col("d").between(1, 9))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("d")
+    )
+    obs = F.col("n").cast("double") / F.col("tot")
+    dev = (obs - expected) * (obs - expected) / expected
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            rnd(obs, 6).alias("observed"),
+            rnd(expected, 6).alias("benford"),
+            rnd(dev, 6).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+# CAST each literal: DuckDB parses bare decimals as DECIMAL(18,17) and
+# the rnd quantization's ×1e6 then overflows the decimal width.
+_DUCK_BENFORD_ARR = (
+    "[" + ", ".join(f"CAST({p!r} AS DOUBLE)" for p in BENFORD_P) + "]"
+)
+
+ORACLE_BENFORD_CHECK = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,
+         count(*) AS n
+  FROM orders
+  WHERE CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) BETWEEN 1 AND 9
+  GROUP BY 1
+),
+tot AS (SELECT sum(n) AS tot FROM counts)
+SELECT d, n,
+       {duck_rnd('CAST(n AS DOUBLE) / tot', 6)} AS observed,
+       {duck_rnd(f'{_DUCK_BENFORD_ARR}[d]', 6)} AS benford,
+       {duck_rnd(f'(CAST(n AS DOUBLE) / tot - {_DUCK_BENFORD_ARR}[d])'
+                 f' * (CAST(n AS DOUBLE) / tot - {_DUCK_BENFORD_ARR}[d])'
+                 f' / ({_DUCK_BENFORD_ARR}[d])', 6)} AS chi2_term
+FROM counts, tot
+ORDER BY d
+"""
+
+QUERIES["op_benford_check"] = op_benford_check
+ORACLES["op_benford_check"] = ORACLE_BENFORD_CHECK
+
+
+# --- op_table_checksum -------------------------------------------------------
+
+def op_table_checksum(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-independent table fingerprints — the replication-integrity
+    primitive: per table, row count plus the exact int64 SUM of 60-bit
+    row hashes (mod 2^60 to stay wrap-free cross-engine). Two replicas
+    agree iff counts and checksums agree; the checksum is mergeable
+    per partition (sum), so a 100 TB comparison is one map-side pass
+    per side. (dd_exact answers "which rows duplicate"; this answers
+    "are these two tables byte-equal" in O(1) exchanged state.)
+    """
+    from pypers_spark.functions.hashing import md5_int64
+
+    def leg(df: DataFrame, name: str, key) -> DataFrame:
+        h = md5_int64(key) % F.lit(1 << 40)  # 40-bit terms: sum of 10^6
+        # rows stays < 2^60 — exact int64 in both engines, no wrap
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(h).alias("checksum"),
+        )
+
+    o = leg(
+        t["orders"],
+        "orders",
+        F.concat_ws("|", F.col("o_orderkey"), F.col("o_totalprice")),
+    )
+    c = leg(
+        t["customer"],
+        "customer",
+        F.concat_ws("|", F.col("c_custkey"), F.col("c_acctbal")),
+    )
+    e = leg(
+        t["events"],
+        "events",
+        F.concat_ws("|", F.col("event_id"), F.col("user_id")),
+    )
+    return o.unionByName(c).unionByName(e).orderBy("table_name")
+
+
+def _duck_checksum_leg(table: str, key: str) -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+
+    return (
+        f"SELECT '{table}' AS table_name, count(*) AS n_rows, "
+        f"CAST(sum(({duck_md5_int64(key)}) % {1 << 40}) AS BIGINT) AS checksum "
+        f"FROM {table}"
+    )
+
+
+ORACLE_TABLE_CHECKSUM = f"""
+{_duck_checksum_leg("customer", "c_custkey || '|' || CAST(c_acctbal AS VARCHAR)")}
+UNION ALL
+{_duck_checksum_leg("events", "event_id || '|' || user_id")}
+UNION ALL
+{_duck_checksum_leg("orders", "o_orderkey || '|' || CAST(o_totalprice AS VARCHAR)")}
+ORDER BY table_name
+"""
+
+QUERIES["op_table_checksum"] = op_table_checksum
+ORACLES["op_table_checksum"] = ORACLE_TABLE_CHECKSUM

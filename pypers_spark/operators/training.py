@@ -799,3 +799,83 @@ ORDER BY source
 
 QUERIES["dd_chunk_exact"] = dd_chunk_exact
 ORACLES["dd_chunk_exact"] = ORACLE_CHUNK_EXACT
+
+
+# --- txt_split_leakage -------------------------------------------------------
+
+
+def txt_split_leakage(t: dict[str, DataFrame]) -> DataFrame:
+    """Train/test LEAKAGE audit: exact-duplicate groups (normalized-text
+    fingerprint, over the dedup corpus fixture so duplicates exist)
+    whose members land in DIFFERENT holdout splits — the contamination
+    that silently inflates eval scores when dedup runs after splitting.
+    Per split-combination signature ("train", "train+val", …): group
+    and document counts; any multi-split signature is leakage the
+    pipeline must fix by splitting on the FINGERPRINT, not the doc id.
+
+    One fingerprint aggregation with a sorted-set split signature —
+    collect_set order is nondeterministic under a shuffle, array_sort
+    makes it exact (the op_string_agg discipline).
+    """
+    from pypers_spark.operators.dedup import corpus
+
+    h = (
+        md5_int64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    split = (
+        F.when(h < SPLIT_PCTS[0], F.lit("train"))
+        .when(h < SPLIT_PCTS[0] + SPLIT_PCTS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    from pypers_spark.functions.text import normalize_text
+
+    tagged = corpus(t).select(
+        F.md5(normalize_text(F.col("text"))).alias("fp"), split.alias("split")
+    )
+    groups = tagged.groupBy("fp").agg(
+        F.array_join(F.array_sort(F.collect_set("split")), "+").alias("splits"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        groups.groupBy("splits")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .withColumn("leaked", F.col("splits").contains("+"))
+        .orderBy("splits")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH {{_DC}},
+tagged AS (
+  SELECT md5({duck_normalize_text('text')}) AS fp,
+         CASE WHEN {_DUCK_SPLIT_H} < {SPLIT_PCTS[0]} THEN 'train'
+              WHEN {_DUCK_SPLIT_H} < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+),
+groups AS (
+  SELECT fp,
+         array_to_string(list_sort(list_distinct(list(split))), '+') AS splits,
+         count(*) AS n_docs
+  FROM tagged GROUP BY fp
+)
+SELECT splits, count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       contains(splits, '+') AS leaked
+FROM groups
+GROUP BY splits
+ORDER BY splits
+"""
+
+
+def _finalize_split_leakage_oracle() -> str:
+    from pypers_spark.operators.dedup import DUCK_CORPUS
+
+    return ORACLE_SPLIT_LEAKAGE.replace("{_DC}", DUCK_CORPUS)
+
+
+QUERIES["txt_split_leakage"] = txt_split_leakage
+ORACLES["txt_split_leakage"] = _finalize_split_leakage_oracle()

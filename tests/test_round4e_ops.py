@@ -435,3 +435,42 @@ def test_error_budget_monotone_burn(spark, sf_dir, qs):
     burns = [r["budget_burned"] for r in rows]
     assert burns == sorted(burns)  # cumulative burn is monotone
     assert all(0 <= r["day_error_rate"] <= 1 for r in rows)
+
+
+def test_benford_chi2_terms_consistent(spark, sf_dir, qs):
+    """Digits 1-9 all present; shares sum to 1; chi2 terms nonnegative;
+    the synthetic corpus deviates from Benford (that's the detection)."""
+    rows = qs["op_benford_check"](spark, sf_dir).collect()
+    assert [r["d"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-3
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    assert sum(r["chi2_term"] for r in rows) > 0.05  # loudly non-Benford
+
+
+def test_table_checksum_detects_mutation(spark, sf_dir, qs, tables):
+    """The checksum must CHANGE when a row changes: recompute orders'
+    checksum with one value perturbed and compare."""
+    from pypers_spark.functions.hashing import md5_int64
+
+    rows = {r["table_name"]: r for r in qs["op_table_checksum"](spark, sf_dir).collect()}
+    assert rows["orders"]["n_rows"] == tables["orders"].count()
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    mutated = tables["orders"].agg(
+        F.sum(md5_int64(key) % F.lit(1 << 40)).alias("checksum")
+    ).collect()[0]["checksum"]
+    assert mutated != rows["orders"]["checksum"]
+
+
+def test_split_leakage_detects_cross_split_dups(spark, sf_dir, qs):
+    rows = qs["txt_split_leakage"](spark, sf_dir).collect()
+    assert any(r["leaked"] for r in rows), "corpus fixture must leak"
+    assert any(not r["leaked"] for r in rows)
+    for r in rows:
+        assert r["leaked"] == ("+" in r["splits"])
+        assert r["n_docs"] >= r["n_groups"]
