@@ -132,6 +132,11 @@ HEADLINE = (
     "ev_bot_detect",
     "dd_source_overlap",
     "ev_slo_report",
+    "op_dsr_export",
+    "ev_error_budget",
+    "op_benford_check",
+    "op_table_checksum",
+    "txt_split_leakage",
 )
 
 
