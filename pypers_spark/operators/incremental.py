@@ -1031,8 +1031,9 @@ ORACLES["op_benford_check"] = ORACLE_BENFORD_CHECK
 
 def op_table_checksum(t: dict[str, DataFrame]) -> DataFrame:
     """Order-independent table fingerprints — the replication-integrity
-    primitive: per table, row count plus the exact int64 SUM of 60-bit
-    row hashes (mod 2^60 to stay wrap-free cross-engine). Two replicas
+    primitive: per table, row count plus the modular sum of 60-bit row
+    hashes (decimal accumulation, residue mod 2^61−1 — wrap-free at
+    any row count, and the residue itself is a BIGINT). Two replicas
     agree iff counts and checksums agree; the checksum is mergeable
     per partition (sum), so a 100 TB comparison is one map-side pass
     per side. (dd_exact answers "which rows duplicate"; this answers
@@ -1040,13 +1041,21 @@ def op_table_checksum(t: dict[str, DataFrame]) -> DataFrame:
     """
     from pypers_spark.functions.hashing import md5_int64
 
+    MOD = (1 << 61) - 1  # Mersenne modulus: the final residue fits int64
+
     def leg(df: DataFrame, name: str, key) -> DataFrame:
-        h = md5_int64(key) % F.lit(1 << 40)  # 40-bit terms: sum of 10^6
-        # rows stays < 2^60 — exact int64 in both engines, no wrap
+        # Accumulate the 60-bit hash sum in decimal(38,0) — a 100 TB
+        # table has ~1e12 rows and an int64 sum would wrap at ~1e6 —
+        # then reduce mod 2^61−1 so the published checksum is a BIGINT.
+        # DuckDB's BIGINT sum promotes to HUGEINT, so the identical
+        # modular residue comes out of both engines at any row count.
+        h = md5_int64(key)
         return df.agg(
             F.lit(name).alias("table_name"),
             F.count("*").alias("n_rows"),
-            F.sum(h).alias("checksum"),
+            (F.sum(h.cast("decimal(38,0)")) % F.lit(MOD))
+            .cast("bigint")
+            .alias("checksum"),
         )
 
     o = leg(
@@ -1072,8 +1081,8 @@ def _duck_checksum_leg(table: str, key: str) -> str:
 
     return (
         f"SELECT '{table}' AS table_name, count(*) AS n_rows, "
-        f"CAST(sum(({duck_md5_int64(key)}) % {1 << 40}) AS BIGINT) AS checksum "
-        f"FROM {table}"
+        f"CAST(sum({duck_md5_int64(key)}) % {(1 << 61) - 1} AS BIGINT) "
+        f"AS checksum FROM {table}"
     )
 
 

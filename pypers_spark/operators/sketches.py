@@ -548,6 +548,10 @@ def sk_join_cardinality(t: dict[str, DataFrame]) -> DataFrame:
         )
     cms_a = cms_of(t["events"], "user_id")
     cms_b = cms_of(t["orders"], "o_custkey")
+    # Decimal accumulation: at 100 TB cell counts reach ~1e10 and the
+    # per-cell product ~1e20 — past int64. decimal(38,0) keeps the
+    # inner product exact at any scale (DuckDB's BIGINT sum already
+    # promotes to HUGEINT; the CAST AS BIGINT there matches this).
     est = (
         cms_a.alias("a")
         .join(
@@ -555,7 +559,13 @@ def sk_join_cardinality(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("a.d") == F.col("b.d")) & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .groupBy(F.col("a.d").alias("d"))
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("est_card"))
+        .agg(
+            F.sum(
+                F.col("a.cnt").cast("decimal(19,0)") * F.col("b.cnt")
+            )
+            .cast("bigint")
+            .alias("est_card")
+        )
     )
     ca = t["events"].groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("na"))
     cb = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
