@@ -39,7 +39,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.functions.rounding import (
+    dsum,
+    dsum_wide,
+    duck_dsum,
+    duck_rnd,
+    rnd,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -76,9 +82,15 @@ def op_incremental_join(t: dict[str, DataFrame]) -> DataFrame:
                 .groupBy("c_nationkey")
                 .agg(
                     F.count("*").alias("pn"),
-                    F.sum(F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))).alias(
-                        "psum"
-                    ),
+                    # decimal accumulation: per-nation order counts are
+                    # unbounded, so the quantized partial must not ride
+                    # a wrappable int64 (dsum_wide discipline inline —
+                    # the quadrant partials then merge as decimals)
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5)).cast(
+                            "decimal(27,0)"
+                        )
+                    ).alias("psum"),
                 )
                 .withColumn("quadrant", F.lit(2 * int(o_new) + int(c_new)))
             )
@@ -90,7 +102,7 @@ def op_incremental_join(t: dict[str, DataFrame]) -> DataFrame:
         merged.groupBy("c_nationkey")
         .agg(
             F.sum("pn").alias("n_orders"),
-            (F.sum("psum") / F.lit(1e6)).cast("double").alias("rev"),
+            (F.sum("psum").cast("double") / F.lit(1e6)).alias("rev"),
             F.count_distinct("quadrant").alias("n_quadrants"),
         )
         .select(
@@ -210,10 +222,17 @@ def op_target_encode(t: dict[str, DataFrame]) -> DataFrame:
     ev = t["events"].withColumn(
         "sv", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
     )
+    # category/global sums are unbounded-cardinality — accumulate the
+    # quantized terms in decimal (int64 wraps at ~1e12 rows × 1e8-scale
+    # terms); the per-row LOO subtraction stays exact in decimal
     cat = ev.groupBy("event_type").agg(
-        F.count("*").alias("n_c"), F.sum("sv").alias("s_c")
+        F.count("*").alias("n_c"),
+        F.sum(F.col("sv").cast("decimal(27,0)")).alias("s_c"),
     )
-    glob = ev.agg(F.count("*").alias("n_g"), F.sum("sv").alias("s_g"))
+    glob = ev.agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("sv").cast("decimal(27,0)")).alias("s_g"),
+    )
     prior = (F.col("s_g") / F.lit(1e6)).cast("double") / F.col("n_g")
     enc = (
         (F.col("s_c") - F.col("sv")).cast("double") / F.lit(1e6)
@@ -321,7 +340,10 @@ def op_snapshot_diff(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("change_type")
         .agg(
             F.count("*").alias("n_rows"),
-            rnd(dsum(F.col("p2v") - F.col("p1v")), 2).alias("value_drift"),
+            # per-class drift totals are unbounded-cardinality sums of
+            # price-scale terms — decimal accumulation (dsum_wide), not
+            # the int64 fast path
+            rnd(dsum_wide(F.col("p2v") - F.col("p1v")), 2).alias("value_drift"),
         )
         .orderBy("change_type")
     )
