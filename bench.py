@@ -137,6 +137,7 @@ HEADLINE = (
     "op_benford_check",
     "op_table_checksum",
     "txt_split_leakage",
+    "ev_concurrency",
 )
 
 

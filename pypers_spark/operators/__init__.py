@@ -68,6 +68,7 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    "ev_concurrency",
     "txt_split_leakage",
     "op_benford_check",
     "op_table_checksum",

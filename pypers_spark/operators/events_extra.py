@@ -2142,3 +2142,85 @@ ORDER BY day
 
 QUERIES["ev_error_budget"] = ev_error_budget
 ORACLES["ev_error_budget"] = ORACLE_ERROR_BUDGET
+
+
+# --- ev_concurrency ----------------------------------------------------------
+
+
+def ev_concurrency(t: dict[str, DataFrame]) -> DataFrame:
+    """Concurrency-over-time (capacity planning): per hour, how many
+    gap-based sessions were active — each session (same lag→flag→
+    running-sum assignment as ev_sessionize) registers in every hour
+    cell its [start, end] interval touches, then one count per hour.
+    The hour grid bounds the fan-out exactly like op_interval_overlap's
+    month cells: never an inequality join of sessions × timeline.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = 30 * 60
+    sess = (
+        t["events"]
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    hours = F.sequence(
+        F.date_trunc("hour", F.col("s_start")),
+        F.date_trunc("hour", F.col("s_end")),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    return (
+        sess.select("user_id", F.explode(hours).alias("hour"))
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("n_active_sessions"),
+            F.count_distinct("user_id").alias("n_active_users"),
+        )
+        .orderBy("hour")
+    )
+
+
+ORACLE_CONCURRENCY = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {30 * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end FROM (
+    SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+    FROM flagged
+  ) GROUP BY 1, 2
+),
+cells AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', s_start),
+                                date_trunc('hour', s_end),
+                                INTERVAL 1 HOUR)) AS hour
+  FROM sess
+)
+SELECT hour, count(*) AS n_active_sessions,
+       count(DISTINCT user_id) AS n_active_users
+FROM cells
+GROUP BY hour
+ORDER BY hour
+"""
+
+QUERIES["ev_concurrency"] = ev_concurrency
+ORACLES["ev_concurrency"] = ORACLE_CONCURRENCY

@@ -474,3 +474,12 @@ def test_split_leakage_detects_cross_split_dups(spark, sf_dir, qs):
     for r in rows:
         assert r["leaked"] == ("+" in r["splits"])
         assert r["n_docs"] >= r["n_groups"]
+
+
+def test_concurrency_bounded_by_population(spark, sf_dir, qs, tables):
+    rows = qs["ev_concurrency"](spark, sf_dir).collect()
+    assert rows
+    n_users = tables["events"].select("user_id").distinct().count()
+    for r in rows:
+        assert 1 <= r["n_active_users"] <= n_users
+        assert r["n_active_sessions"] >= r["n_active_users"]  # sessions ≥ users active
