@@ -176,7 +176,13 @@ def main() -> None:
     times = {name: min(rs) for name, rs in runs.items()}
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
-    out = {
+    # Full per-query detail goes to BENCH_DETAILS.json; stdout gets a
+    # SHORT summary line.  Round 4 taught us why: the 103-query dict made
+    # the printed line ~6 KB and the driver's tail capture truncated it,
+    # so BENCH_r04.json recorded "parsed": null and the round's perf
+    # number was only human-readable.  The compact line below stays well
+    # under any tail-capture window.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -203,15 +209,39 @@ def main() -> None:
             # prints its JSON line.
             common = [n for n in times if base_q.get(n)]
             if common:
-                out["baseline_engine"] = baseline.get("engine")
-                out["baseline_total_sec"] = round(sum(base_q[n] for n in common), 3)
-                out["ratios"] = {
+                detail["baseline_engine"] = baseline.get("engine")
+                detail["baseline_total_sec"] = round(
+                    sum(base_q[n] for n in common), 3
+                )
+                detail["ratios"] = {
                     n: round(times[n] / base_q[n], 3) for n in common
                 }
-                out["vs_baseline"] = round(
+                detail["vs_baseline"] = round(
                     sum(times[n] for n in common) / sum(base_q[n] for n in common), 4
                 )
 
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(details_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": slowest,  # slowest 5 only — full dict in BENCH_DETAILS.json
+        "details": "BENCH_DETAILS.json",
+        "sf": sf,
+    }
+    for k in ("baseline_total_sec", "vs_baseline"):
+        if k in detail:
+            out[k] = detail[k]
     print(json.dumps(out))
 
 

@@ -1677,8 +1677,13 @@ def ev_psi_drift(t: dict[str, DataFrame]) -> DataFrame:
     the two period aggregations is bin-cardinality metadata.
     """
     ev = t["events"].withColumn("ts_s", F.unix_timestamp("ts"))
+    # Integer-exact midpoint: floor BEFORE the cast.  A bare
+    # ``(x/2).cast('bigint')`` truncates toward zero in Spark while
+    # DuckDB's CAST rounds half-up, so on an odd min+max the two engines
+    # would disagree on the ref/current boundary second (latent — no
+    # fixture event lands on it today, but any regeneration could).
     split = ev.agg(
-        ((F.min("ts_s") + F.max("ts_s")) / 2).cast("bigint").alias("mid")
+        F.floor((F.min("ts_s") + F.max("ts_s")) / 2).cast("bigint").alias("mid")
     )
     tagged = ev.crossJoin(F.broadcast(split)).select(
         "event_type",
@@ -1744,7 +1749,7 @@ WITH ev AS (
   SELECT event_type, epoch(date_trunc('second', ts))::BIGINT AS ts_s, value
   FROM events
 ),
-split AS (SELECT CAST((min(ts_s) + max(ts_s)) / 2 AS BIGINT) AS mid FROM ev),
+split AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid FROM ev),
 tagged AS (
   SELECT event_type, ts_s <= mid AS is_ref,
          CASE WHEN ts_s > mid AND event_type = '{PSI_DRIFT_TYPE}'
@@ -1925,6 +1930,13 @@ def ev_bot_detect(t: dict[str, DataFrame]) -> DataFrame:
     exercises the not-bot path. One lag window + one aggregation per
     user; moments are int64-exact, so the variance is bit-identical
     cross-engine.
+
+    SCOPE: the sweep covers users with >= 2 events only. A single-event
+    user has no inter-event gap — the lag filter drops their only row
+    and the aggregation excludes them — so ``n_users`` /
+    ``n_events_total`` count the gap-bearing population, not the whole
+    user base (identical in both engines; a one-event user cannot be a
+    metronome, so the exclusion is semantic, not an artifact).
     """
     ev = t["events"].select("user_id", F.unix_timestamp("ts").alias("ts_s"))
     base_ts = ev.agg(F.min("ts_s").alias("t0"))

@@ -993,7 +993,14 @@ def op_benford_check(t: dict[str, DataFrame]) -> DataFrame:
     point of the audit (the flag demonstrates a detected anomaly, not
     a pass).
     """
-    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    # Quantize to exact integer cents BEFORE stringifying: Java's
+    # Double.toString flips to scientific notation at >=1e7 while
+    # DuckDB's VARCHAR cast does not, so a raw double→string leading
+    # digit would silently diverge outside the TPC-H price range.  The
+    # leading digit of the cents integer equals the leading digit of
+    # the price for any value >= 0.01 printed positionally.
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
         t["orders"]
         .select(digit.alias("d"))
@@ -1028,10 +1035,10 @@ _DUCK_BENFORD_ARR = (
 
 ORACLE_BENFORD_CHECK = f"""
 WITH counts AS (
-  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
          count(*) AS n
   FROM orders
-  WHERE CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) BETWEEN 1 AND 9
+  WHERE CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) BETWEEN 1 AND 9
   GROUP BY 1
 ),
 tot AS (SELECT sum(n) AS tot FROM counts)
@@ -1080,15 +1087,25 @@ def op_table_checksum(t: dict[str, DataFrame]) -> DataFrame:
             .alias("checksum"),
         )
 
+    # Doubles are quantized to fixed-point integer cents BEFORE the
+    # string concat: Java's Double.toString switches to scientific
+    # notation at >=1e7 / <1e-3 where DuckDB's VARCHAR cast does not,
+    # so stringifying the raw double would silently break cross-engine
+    # byte-equality outside the TPC-H value range — fatal for a
+    # replication-integrity primitive.  Integer stringification is
+    # positional in every engine.
+    def cents(col: str):
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
     o = leg(
         t["orders"],
         "orders",
-        F.concat_ws("|", F.col("o_orderkey"), F.col("o_totalprice")),
+        F.concat_ws("|", F.col("o_orderkey"), cents("o_totalprice")),
     )
     c = leg(
         t["customer"],
         "customer",
-        F.concat_ws("|", F.col("c_custkey"), F.col("c_acctbal")),
+        F.concat_ws("|", F.col("c_custkey"), cents("c_acctbal")),
     )
     e = leg(
         t["events"],
@@ -1109,11 +1126,17 @@ def _duck_checksum_leg(table: str, key: str) -> str:
 
 
 ORACLE_TABLE_CHECKSUM = f"""
-{_duck_checksum_leg("customer", "c_custkey || '|' || CAST(c_acctbal AS VARCHAR)")}
+{_duck_checksum_leg(
+    "customer",
+    "c_custkey || '|' || CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+)}
 UNION ALL
 {_duck_checksum_leg("events", "event_id || '|' || user_id")}
 UNION ALL
-{_duck_checksum_leg("orders", "o_orderkey || '|' || CAST(o_totalprice AS VARCHAR)")}
+{_duck_checksum_leg(
+    "orders",
+    "o_orderkey || '|' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+)}
 ORDER BY table_name
 """
 

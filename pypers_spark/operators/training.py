@@ -757,7 +757,6 @@ def dd_chunk_exact(t: dict[str, DataFrame]) -> DataFrame:
             F.count("*").alias("n_chunks"),
             F.count_distinct("fp").alias("n_unique"),
             F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_in_dup_groups"),
-            F.count(F.when(F.col("n_copies") > 1, 1)).alias("removable_upper"),
         )
         .select(
             "source",
