@@ -390,9 +390,13 @@ FROM j GROUP BY 1 ORDER BY j_bucket
 
 def _minhash_component_labels(t: dict[str, DataFrame]) -> DataFrame:
     """(node, lbl) for every member of the MinHash pair graph after
-    min-label propagation converges — the component assignment shared
-    by the drop list (keep = min id) and the SoftDeDup weights."""
+    min-label propagation with pointer jumping converges — the
+    component assignment shared by the drop list (keep = min id) and
+    the SoftDeDup weights. O(log diameter) rounds, no diameter cap
+    (see functions/components.py — long boilerplate-drift chains in
+    web-scale near-dup graphs are handled, not failed)."""
     from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.components import min_label_components
 
     pairs = dd_minhash_lsh(t).select("id_a", "id_b")
     edges = tracked_persist(
@@ -401,39 +405,10 @@ def _minhash_component_labels(t: dict[str, DataFrame]) -> DataFrame:
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         "dedup.droplist_edges",
     )
-    labels = tracked_persist(
-        edges.select(F.col("src").alias("node")).distinct().withColumn(
-            "lbl", F.col("node")
-        ),
-        "dedup.droplist_labels",
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        labels = tracked_persist(
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            ),
-            "dedup.droplist_labels",
-        )
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
-        raise RuntimeError(
-            "dd_minhash_drop_list: label propagation did not converge in 20 "
-            "rounds (pathological chain components); pre-collapse exact dups"
-        )
-    return labels
+    return min_label_components(edges, labels, "dedup.droplist_labels")
 
 
 def dd_minhash_drop_list(t: dict[str, DataFrame]) -> DataFrame:

@@ -489,7 +489,6 @@ LIMIT {TOP_K}
 """
 
 
-MAX_CC_ITERS = 20
 
 
 def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
@@ -497,17 +496,17 @@ def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     near-dup pair graph (cos ≥ ``tau`` within label blocks).
 
     Pair lists under-serve dedup pipelines — the keep/drop decision
-    needs the transitive closure (A~B, B~C ⟹ {A,B,C} one group). This
-    is iterative min-label propagation: each round every node takes the
-    min label among itself and its neighbors; converges in O(component
-    diameter) rounds. Convergence is detected via the label SUM — a
-    monotonically decreasing scalar, so one cheap aggregate per round
-    instead of a change-count join. Near-dup components are tiny
-    (diameter ≤ a few hops), so rounds stay in single digits at any
-    corpus size; at 100 TB each round is one shuffle keyed on the edge
-    endpoint, with periodic checkpointing to truncate lineage.
+    needs the transitive closure (A~B, B~C ⟹ {A,B,C} one group).
+    Min-label propagation with pointer jumping (functions/
+    components.py): each round every node takes the min label over its
+    closed neighborhood, then shortcuts ``lbl ← lbl(lbl)`` — O(log
+    diameter) rounds, so long boilerplate-drift chains converge instead
+    of tripping a diameter cap. Convergence is detected via the label
+    SUM — a monotonically decreasing scalar, so one cheap aggregate per
+    round instead of a change-count join. At 100 TB each round is two
+    node-keyed shuffles over (node, lbl) int64 pairs.
     """
-    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.components import min_label_components
 
     emb = t["embeddings"]
     pairs = _embedding_cos_pairs(t, tau).select("id_a", "id_b")
@@ -515,44 +514,12 @@ def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.persist()
-    labels = tracked_persist(
+    labels = min_label_components(
+        edges,
         emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")),
         "similarity.cc_labels",
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    converged = False
-    for _ in range(MAX_CC_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # tracked_persist releases the previous round's labels under the
-        # same key — at most one live cache entry per invocation chain.
-        labels = tracked_persist(
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
-            ),
-            "similarity.cc_labels",
-        )
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if new_sum == prev_sum:  # labels only ever decrease
-            converged = True
-            break
-        prev_sum = new_sum
     edges.unpersist()
-    if not converged:
-        # A silent cap exit would return labels that disagree with the
-        # transitive closure (and the oracle). Near-dup graphs converge
-        # in single-digit rounds; hitting the cap means pathological
-        # chain components — fail loudly rather than emit wrong groups.
-        raise RuntimeError(
-            f"dd_cluster: min-label propagation did not converge within "
-            f"{MAX_CC_ITERS} rounds (component diameter exceeds cap); "
-            f"raise MAX_CC_ITERS or pre-collapse exact dups first"
-        )
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("node").alias("vec_id"), F.col("lbl").alias("cluster_id"))
