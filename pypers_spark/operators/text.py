@@ -231,57 +231,107 @@ ORDER BY media_id, dim
 
 
 def mm_decode_meta(t: dict[str, DataFrame]) -> DataFrame:
-    """Multimodal decode (oracled): the REAL Arrow-batched ``mapInPandas``
-    decode path through the pluggable codec layer
-    (:func:`pypers_spark.multimodal.decode_media`).
+    """Multimodal decode over REAL image bytes: the corpus is turned
+    into binary P6 PPM payloads IN-PLAN (header + pixel bytes cycled
+    from the ASCII text — :func:`pypers_spark.multimodal.
+    ppm_media_table`), and the Arrow-batched ``mapInPandas`` decode
+    runs the real netpbm header parser
+    (:func:`pypers_spark.multimodal.ppm_decoder` — magic, comments,
+    whitespace, maxval), not the md5 stub.
 
-    Whatever decoder is registered via ``set_decoder`` is captured at
-    plan-build time; the default stub derives (width, height, channels)
-    from the payload md5, which DuckDB reproduces byte-for-byte with hex
-    arithmetic — so this is a value-level oracle over a Pandas-UDF
-    decode, not just a row count.
+    The oracle re-derives width/height from the same doc_id arithmetic
+    and md5s the reconstructed payload string — so a parse bug (off-by-
+    one in the header scan, wrong pixel count) breaks the value match.
+    The pluggable ``set_decoder`` contract is unchanged; this entry
+    passes the real codec explicitly.
     """
-    from pypers_spark.multimodal import decode_media, media_table
+    from pypers_spark.multimodal import decode_media, ppm_decoder, ppm_media_table
 
-    decoded = decode_media(media_table(t["documents"]))
+    decoded = decode_media(ppm_media_table(t["documents"]), decoder=ppm_decoder)
     return decoded.select(
         "media_id", "width", "height", "n_channels", "content_sha"
     ).orderBy("media_id")
 
 
-ORACLE_MM_DECODE = """
-SELECT doc_id AS media_id,
-       (16 + (('0x' || substr(md5(text), 1, 2))::INT % 240))::INT AS width,
-       (16 + (('0x' || substr(md5(text), 3, 2))::INT % 240))::INT AS height,
-       (1 + (('0x' || substr(md5(text), 5, 2))::INT % 3))::INT AS n_channels,
-       md5(text) AS content_sha
-FROM documents ORDER BY media_id
+# Rebuilds the exact P6 payload with string arithmetic (corpus is ASCII,
+# so chars == bytes): header 'P6\n{w} {h}\n255\n' + text cycled to
+# w*h*3 bytes. chr(10) because DuckDB string literals keep backslashes.
+_DUCK_PPM = """
+m AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h, text
+  FROM documents WHERE length(text) >= 1
+),
+ppm AS (
+  SELECT doc_id, w, h,
+         substr(repeat(text, CAST(ceil((w*h*3) * 1.0 / length(text)) AS INT)),
+                1, w*h*3) AS pix,
+         'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS hdr
+  FROM m
+)
+"""
+
+ORACLE_MM_DECODE = f"""
+WITH {_DUCK_PPM}
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+       3::INT AS n_channels, md5(hdr || pix) AS content_sha
+FROM ppm ORDER BY media_id
 """
 
 
 def mm_resize_meta(t: dict[str, DataFrame]) -> DataFrame:
-    """Multimodal resize (oracled): the ``mapInPandas`` payload-resize
-    path (:func:`pypers_spark.multimodal.resize_media` — the stub
-    truncates bytes; a real build re-encodes through a codec). The
-    oracle md5s the truncated payload, so the distributed batch
-    transform is value-proven byte-for-byte, and the output keeps the
-    full media schema so resize composes with decode / feature stages.
-    """
-    from pypers_spark.multimodal import media_table, resize_media
+    """Multimodal resize over REAL pixels: decode the in-plan P6 PPM
+    payloads, 2x2 box-filter downsample (floor-mean per channel, floor
+    output dims — :func:`pypers_spark.multimodal.box_resize_ppm`),
+    re-encode P6, and report the round-tripped output dims plus the
+    md5 of the RESIZED payload.
 
-    resized = resize_media(media_table(t["documents"]), max_bytes=64)
+    The oracle reconstructs every output byte with per-pixel integer
+    arithmetic ((b00+b01+b10+b11)//4 via substr/unicode), reassembles
+    the resized payload with string_agg, and md5s it — the distributed
+    numpy box filter is value-proven byte-for-byte, not just by shape.
+    """
+    from pypers_spark.multimodal import ppm_media_table, resize_media_boxfilter
+
+    resized = resize_media_boxfilter(ppm_media_table(t["documents"]), factor=2)
     return resized.select(
         "media_id",
+        "width",
+        "height",
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     ).orderBy("media_id")
 
 
-ORACLE_MM_RESIZE = """
-SELECT doc_id AS media_id,
-       least(length(text), 64)::BIGINT AS n_bytes,
-       md5(substr(text, 1, 64)) AS payload_md5
-FROM documents ORDER BY media_id
+# Output index k (0-based, row-major rows x cols x 3 channels):
+# i = k // (ow*3), j = (k % (ow*3)) // 3, c = k % 3; each output byte
+# floor-averages the 4 source bytes of its 2x2 block. Source substr
+# position for (r, q, c) is (r*w + q)*3 + c + 1 (1-based).
+ORACLE_MM_RESIZE = f"""
+WITH {_DUCK_PPM},
+dims AS (
+  SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh, pix FROM ppm
+),
+k AS (
+  SELECT doc_id, w, ow, oh, pix, unnest(range(0, ow*oh*3)) AS k FROM dims
+),
+v AS (
+  SELECT doc_id, ow, oh, k,
+    (  unicode(substr(pix, ((2*(k//(ow*3)))*w   + 2*((k%(ow*3))//3))*3   + (k%3) + 1, 1))
+     + unicode(substr(pix, ((2*(k//(ow*3)))*w   + 2*((k%(ow*3))//3) + 1)*3 + (k%3) + 1, 1))
+     + unicode(substr(pix, ((2*(k//(ow*3)) + 1)*w + 2*((k%(ow*3))//3))*3   + (k%3) + 1, 1))
+     + unicode(substr(pix, ((2*(k//(ow*3)) + 1)*w + 2*((k%(ow*3))//3) + 1)*3 + (k%3) + 1, 1))
+    ) // 4 AS b
+  FROM k
+),
+outp AS (
+  SELECT doc_id, ow, oh,
+         'P6' || chr(10) || ow || ' ' || oh || chr(10) || '255' || chr(10)
+           || string_agg(chr(b), '' ORDER BY k) AS payload
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id, ow::INT AS width, oh::INT AS height,
+       length(payload)::BIGINT AS n_bytes, md5(payload) AS payload_md5
+FROM outp ORDER BY media_id
 """
 
 

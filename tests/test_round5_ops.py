@@ -56,6 +56,72 @@ def test_multiple_components_and_isolated_nodes(spark):
     }
 
 
+def test_ppm_roundtrip_and_header_quirks():
+    from pypers_spark.multimodal import decode_ppm, encode_ppm
+
+    pixels = bytes(range(2 * 3 * 3))  # 3x2 RGB
+    payload = encode_ppm(3, 2, pixels)
+    assert decode_ppm(payload) == (3, 2, pixels)
+    # netpbm allows comments and arbitrary whitespace between tokens
+    quirky = b"P6 # comment\n# another\n 3\t2 \n255\n" + pixels
+    assert decode_ppm(quirky) == (3, 2, pixels)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + pixels)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(payload[:-1])  # truncated pixels
+
+
+def test_bmp_header_parse():
+    from pypers_spark.multimodal import bmp_decoder, decode_bmp
+
+    # Minimal BITMAPINFOHEADER: 14-byte file header + 40-byte info header
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[18:22] = (640).to_bytes(4, "little")
+    hdr[22:26] = (-480).to_bytes(4, "little", signed=True)  # top-down
+    hdr[28:30] = (24).to_bytes(2, "little")
+    assert decode_bmp(bytes(hdr)) == (640, 480, 24)
+    d = bmp_decoder(bytes(hdr))
+    assert (d["width"], d["height"], d["n_channels"]) == (640, 480, 3)
+
+
+def test_box_resize_matches_naive_reference():
+    from pypers_spark.multimodal import box_resize_ppm, decode_ppm, encode_ppm
+
+    # 5x4 RGB with a deterministic non-uniform pattern; factor 2 drops
+    # the trailing odd column (floor dims) and floor-averages each block.
+    w, h = 5, 4
+    pixels = bytes((r * 31 + q * 7 + c * 3) % 256 for r in range(h)
+                   for q in range(w) for c in range(3))
+    out = box_resize_ppm(encode_ppm(w, h, pixels), factor=2)
+    ow, oh, opix = decode_ppm(out)
+    assert (ow, oh) == (2, 2)
+
+    def src(r, q, c):
+        return pixels[(r * w + q) * 3 + c]
+
+    for i in range(oh):
+        for j in range(ow):
+            for c in range(3):
+                want = (src(2 * i, 2 * j, c) + src(2 * i, 2 * j + 1, c)
+                        + src(2 * i + 1, 2 * j, c)
+                        + src(2 * i + 1, 2 * j + 1, c)) // 4
+                assert opix[(i * ow + j) * 3 + c] == want
+
+
+def test_ppm_media_table_payloads_are_real_ppm(spark, tables):
+    from pypers_spark.multimodal import decode_ppm, ppm_media_table
+
+    rows = ppm_media_table(tables["documents"]).orderBy("media_id").limit(5).collect()
+    for r in rows:
+        w, h, pix = decode_ppm(bytes(r["payload"]))
+        assert w == 4 + r["media_id"] % 13
+        assert h == 3 + r["media_id"] % 11
+        assert len(pix) == w * h * 3
+
+
 def test_drop_list_unchanged_by_rewrite(spark, duck, sf_dir):
     # The rewrite must not move the gate: the drop list still matches
     # its recursive-CTE oracle value-for-value.
