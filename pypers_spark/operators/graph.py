@@ -105,16 +105,17 @@ def _pagerank_on_pairs(t: dict[str, DataFrame], tau: float, cache_tag: str) -> D
 
 
 def gr_pagerank(t: dict[str, DataFrame]) -> DataFrame:
-    """PageRank on the production-threshold (τ=0.9) near-dup graph."""
+    """PageRank on the production-threshold (τ=0.9) near-dup graph —
+    non-vacuous via the planted clone pairs (similarity.PLANT_N), so
+    the iterative rank plan runs over real edges at this threshold."""
     from pypers_spark.operators.similarity import COS_THRESHOLD
 
     return _pagerank_on_pairs(t, COS_THRESHOLD, "")
 
 
 def gr_pagerank_t03(t: dict[str, DataFrame]) -> DataFrame:
-    """τ=0.3 variant: the synthetic corpus yields no τ=0.9 pairs, so the
-    production entry's gate run is 0-row (vacuously green). This entry
-    runs the identical iterative plan on a graph that exists."""
+    """τ=0.3 variant over the RAW table: the organic pair graph is much
+    larger (multi-edge nodes), exercising mass-splitting across degrees."""
     from pypers_spark.operators.similarity import COS_T03
 
     return _pagerank_on_pairs(t, COS_T03, "_t03")

@@ -111,6 +111,50 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
 
+# Planted near-duplicates: the synthetic embeddings max out at
+# cos≈0.475 organically, so at the production threshold τ=0.9 every
+# pair query would be 0-row — correct, but a vacuous gate. The first
+# PLANT_N vectors get a deterministic clone (same label, element 1
+# zeroed — cosine 0.984–0.9999 against the origin at every shipped SF,
+# measured, never near the 1e-4 rounding boundary) under offset ids.
+# Zeroing is exact in both engines (no float arithmetic to disagree
+# on), so the planted pairs are bit-reproducible cross-engine.
+PLANT_N = 4
+PLANT_OFFSET = 1_000_000
+
+
+def emb_with_planted(t: dict[str, DataFrame]) -> DataFrame:
+    """embeddings ∪ PLANT_N deterministic near-dup clones (see above)."""
+    base = t["embeddings"].select("vec_id", "label", "embedding")
+    clones = base.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.lit(0.0).cast("float")),
+            F.slice(F.col("embedding"), 2, EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(clones)
+
+
+# The matching DuckDB view — every τ=0.9 oracle selects FROM this CTE.
+DUCK_EMB_PLANTED = f"""emb AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, label,
+         list_concat([0.0::FLOAT], embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id < {PLANT_N}
+)"""
+
+
+def _emb_source(t: dict[str, DataFrame], tau: float) -> DataFrame:
+    """The embedding view a τ-thresholded pair query runs over: the
+    production threshold (τ = COS_THRESHOLD) gets the planted fixture
+    so its gate is non-vacuous; every other τ uses the raw table
+    (organic pairs exist there)."""
+    return emb_with_planted(t) if tau == COS_THRESHOLD else t["embeddings"]
+
+
 def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ ``tau``) within label blocks.
 
@@ -123,12 +167,13 @@ def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     from pypers_spark.functions.caching import tracked_persist
     from pypers_spark.functions.vectors import dot, l2_norm
 
+    src = _emb_source(t, tau)
     n = int(t["embeddings"].sparkSession.conf.get("spark.sql.shuffle.partitions"))
     emb = tracked_persist(
-        t["embeddings"]
+        src
         .repartition(n, F.col("vec_id"))
         .select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")),
-        "similarity.embedding_norms",
+        f"similarity.embedding_norms_tau{tau}",
     )
     a = emb.select(
         F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("e_a"),
@@ -151,23 +196,26 @@ def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
 
 
 def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
-    """Production threshold (τ=0.9) embedding near-dup pairs."""
+    """Production threshold (τ=0.9) embedding near-dup pairs, over the
+    planted fixture (PLANT_N deterministic clones) so the production
+    threshold itself returns rows and gates non-vacuously."""
     return _embedding_cos_pairs(t, COS_THRESHOLD)
 
 
 def dd_embedding_cos_t03(t: dict[str, DataFrame]) -> DataFrame:
-    """τ=0.3 variant: the synthetic corpus's max within-block cosine is
-    ~0.475, so τ=0.9 legitimately yields zero pairs — correct, but a
-    0-row correctness gate certifies nothing. This entry runs the same
-    plan where rows exist, keeping the non-trivial path inside the gate."""
+    """τ=0.3 variant over the RAW table: the organic corpus maxes out
+    at cos≈0.475 within blocks, so this entry exercises the
+    organic-pair path (many pairs, no planting) through the same plan."""
     return _embedding_cos_pairs(t, COS_T03)
 
 
 def _oracle_dd_emb(tau: float) -> str:
+    pre = f"WITH {DUCK_EMB_PLANTED}\n" if tau == COS_THRESHOLD else ""
+    src = "emb" if tau == COS_THRESHOLD else "embeddings"
     return f"""
-SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+{pre}SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
        {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM {src} a JOIN {src} b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {tau}
 ORDER BY label, id_a, id_b
 """
@@ -508,7 +556,7 @@ def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     """
     from pypers_spark.functions.components import min_label_components
 
-    emb = t["embeddings"]
+    emb = _emb_source(t, tau)
     pairs = _embedding_cos_pairs(t, tau).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -630,22 +678,26 @@ ORDER BY cell, id_a, id_b
 
 
 def dd_cluster(t: dict[str, DataFrame]) -> DataFrame:
-    """Production threshold (τ=0.9) near-dup clusters."""
+    """Production threshold (τ=0.9) near-dup clusters over the planted
+    fixture: the PLANT_N clone pairs form real (origin, clone)
+    components, so the propagation loop and the keep/drop decision are
+    exercised at the production threshold, not just at τ=0.3."""
     return _cluster_on_pairs(t, COS_THRESHOLD)
 
 
 def dd_cluster_t03(t: dict[str, DataFrame]) -> DataFrame:
-    """τ=0.3 variant: at τ=0.9 this corpus has no pairs, so the gate run
-    of dd_cluster converges instantly on singletons. This entry drives
-    the min-label propagation loop over a graph with real components."""
+    """τ=0.3 variant over the RAW table: drives the propagation loop
+    over the organic pair graph (larger, multi-hop components)."""
     return _cluster_on_pairs(t, COS_T03)
 
 
 def _oracle_dd_cluster(tau: float) -> str:
+    pre = f"{DUCK_EMB_PLANTED},\n" if tau == COS_THRESHOLD else ""
+    src = "emb" if tau == COS_THRESHOLD else "embeddings"
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE {pre}pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM {src} a JOIN {src} b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {duck_rnd(duck_cosine('a.embedding', 'b.embedding'), 4)} >= {tau}
 ),
 edges AS (
@@ -654,7 +706,7 @@ edges AS (
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
 reach(node, lbl) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM {src}
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),

@@ -122,6 +122,26 @@ def test_ppm_media_table_payloads_are_real_ppm(spark, tables):
         assert len(pix) == w * h * 3
 
 
+def test_production_tau_paths_non_vacuous(spark, tables):
+    # The τ=0.9 entries must return rows (planted clone pairs) — a
+    # 0-row gate at the production threshold certifies nothing.
+    from pypers_spark.operators.graph import gr_pagerank
+    from pypers_spark.operators.similarity import (
+        PLANT_N,
+        dd_cluster,
+        dd_embedding_cos,
+    )
+
+    pairs = dd_embedding_cos(tables).collect()
+    assert len(pairs) == PLANT_N  # exactly the (origin, clone) pairs
+    for r in pairs:
+        assert r["id_b"] == r["id_a"] + 1_000_000
+        assert r["cos_sim"] >= 0.9
+    assert gr_pagerank(tables).count() == 2 * PLANT_N  # both endpoints ranked
+    clusters = dd_cluster(tables).filter("cluster_size > 1").collect()
+    assert len(clusters) == 2 * PLANT_N  # each clone pair forms a 2-cluster
+
+
 def test_drop_list_unchanged_by_rewrite(spark, duck, sf_dir):
     # The rewrite must not move the gate: the drop list still matches
     # its recursive-CTE oracle value-for-value.
