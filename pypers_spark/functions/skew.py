@@ -76,3 +76,54 @@ def salted_join(
 def min_merge(names: Iterable[str]) -> list[Column]:
     """Merge columns for min-partials in :func:`salted_agg` phase 2."""
     return [F.min(n).alias(n) for n in names]
+
+
+# Routing threshold for :func:`adaptive_join`: skew_ratio is
+# max-key-count × n_keys / total-rows (1.0 = perfectly uniform). Below
+# ~4 the hottest reducer holds ≤ 4 partitions' fair share — AQE's
+# runtime split absorbs that; above it, pre-planned salting wins
+# because the hot key's rows never pile onto one reducer at all.
+SKEW_RATIO_THRESHOLD = 4.0
+
+
+def key_skew_ratio(df: DataFrame, key: str) -> float:
+    """The op_skew_report statistic as one scalar: max key count ×
+    n_keys / total rows. Two-level hash aggregation collapsing to a
+    single row — the only thing collected is that scalar. At 100 TB
+    run it over a sample or a cached key-count table; the statistic is
+    scale-free (it measures SHAPE, not size)."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("ratio")
+        )
+        .collect()[0]
+    )
+    return float(row["ratio"]) if row["ratio"] is not None else 1.0
+
+
+def adaptive_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    threshold: float = SKEW_RATIO_THRESHOLD,
+    ratio: float | None = None,
+) -> tuple[DataFrame, str, float]:
+    """Threshold-driven join routing: diagnose big-side key skew with
+    :func:`key_skew_ratio`, then build either a plain equi-join or a
+    :func:`salted_join`.
+
+    Returns ``(joined, strategy, ratio)`` with strategy ``"plain"`` or
+    ``"salted"`` — callers log the decision (op_adaptive_join emits it
+    as a column so the routing itself sits inside the correctness
+    gate). Pass ``ratio`` explicitly to reuse an already-computed
+    diagnosis (e.g. from a persisted skew report) and skip the
+    measurement pass.
+    """
+    if ratio is None:
+        ratio = key_skew_ratio(big, key)
+    if ratio > threshold:
+        return salted_join(big, small, key, n_salts), "salted", ratio
+    return big.join(small, key), "plain", ratio

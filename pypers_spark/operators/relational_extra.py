@@ -808,3 +808,91 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["op_forget_user"] = op_forget_user
 ORACLES["op_forget_user"] = ORACLE_FORGET_USER
+
+
+# --- op_adaptive_join --------------------------------------------------------
+
+# Injected-skew leg: collapse every 5th user into one hot key. At
+# sf0.01 this pushes the skew ratio to ~24 (vs ~1.3 organic), so the
+# router visibly switches strategy inside the gate; at sf0.001 the
+# corpus is too small for the collapse to matter (~2.5 < 4) and BOTH
+# legs legitimately route plain — the oracle reproduces the decision
+# arithmetic, so the gate is engine-agnostic about which branch fires.
+ADAPTIVE_SKEW_MOD = 5
+
+
+def op_adaptive_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Threshold-driven skew routing IN the gate: op_skew_report's
+    statistic decides per leg between a plain equi-join and the salted
+    join (functions/skew.py:adaptive_join), and the decision itself is
+    emitted as a column.
+
+    Two legs share one plan shape: 'organic' joins events to per-user
+    stats on the raw key (uniform → plain); 'injected' first collapses
+    every ADAPTIVE_SKEW_MOD-th user into one hot key (→ salted once the
+    corpus is big enough). The oracle recomputes the identical ratio
+    and threshold CASE in SQL, plus the join checksums (row count,
+    dsum(value), Σ user_n) that a mis-keyed or row-duplicating salted
+    path would break. The only driver-side values are the two scalar
+    ratios (one aggregated row each — the same collect discipline as
+    the components loop).
+    """
+    from pypers_spark.functions.skew import adaptive_join
+
+    ev = t["events"]
+    hot_key = F.when(
+        F.col("user_id") % ADAPTIVE_SKEW_MOD == 0, F.lit(0)
+    ).otherwise(F.col("user_id"))
+    legs = []
+    for leg_name, df in (
+        ("injected", ev.select(hot_key.alias("user_id"), "value")),
+        ("organic", ev.select("user_id", "value")),
+    ):
+        user_stats = df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("user_n")
+        )
+        joined, strategy, ratio = adaptive_join(df, user_stats, "user_id")
+        legs.append(
+            joined.agg(
+                F.lit(leg_name).alias("leg"),
+                F.lit(strategy).alias("strategy"),
+                rnd(F.lit(float(ratio)), 4).alias("skew_ratio"),
+                F.count(F.lit(1)).alias("n_rows"),
+                rnd(dsum(F.col("value")), 2).alias("total_value"),
+                F.sum("user_n").alias("sum_user_n"),
+            )
+        )
+    return legs[0].unionByName(legs[1]).orderBy("leg")
+
+
+def _duck_adaptive_leg(leg: str, key_expr: str) -> str:
+    return f"""
+SELECT '{leg}' AS leg,
+       CASE WHEN r.ratio > 4.0 THEN 'salted' ELSE 'plain' END AS strategy,
+       {duck_rnd('r.ratio', 4)} AS skew_ratio,
+       count(*) AS n_rows,
+       {duck_rnd(duck_dsum('d.value'), 2)} AS total_value,
+       CAST(sum(u.user_n) AS BIGINT) AS sum_user_n
+FROM (SELECT {key_expr} AS user_id, value FROM events) d
+JOIN (SELECT {key_expr} AS user_id, count(*) AS user_n
+      FROM events GROUP BY 1) u USING (user_id)
+CROSS JOIN (
+  SELECT max(n) * count(*) * 1.0 / sum(n) AS ratio
+  FROM (SELECT {key_expr} AS user_id, count(*) AS n
+        FROM events GROUP BY 1) c
+) r
+GROUP BY r.ratio
+"""
+
+
+_HOT = f"CASE WHEN user_id % {ADAPTIVE_SKEW_MOD} = 0 THEN 0 ELSE user_id END"
+
+ORACLE_ADAPTIVE_JOIN = f"""
+{_duck_adaptive_leg("injected", _HOT)}
+UNION ALL
+{_duck_adaptive_leg("organic", "user_id")}
+ORDER BY leg
+"""
+
+QUERIES["op_adaptive_join"] = op_adaptive_join
+ORACLES["op_adaptive_join"] = ORACLE_ADAPTIVE_JOIN

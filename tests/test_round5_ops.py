@@ -142,6 +142,47 @@ def test_production_tau_paths_non_vacuous(spark, tables):
     assert len(clusters) == 2 * PLANT_N  # each clone pair forms a 2-cluster
 
 
+def test_adaptive_join_routes_by_measured_skew(spark):
+    # Hot fixture: one key holding 500 of 510 rows (ratio >> 4) must
+    # route salted; a uniform fixture must route plain — and the salted
+    # plan must actually contain the salt machinery (not just claim to).
+    from pyspark.sql import functions as F
+
+    from pypers_spark.functions.skew import adaptive_join
+
+    hot = spark.range(500).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(10).select((F.col("id") + 1).alias("k"), F.col("id").alias("v"))
+    skewed = hot.unionByName(cold)
+    small = skewed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    joined, strategy, ratio = adaptive_join(skewed, small, "k", n_salts=4)
+    assert strategy == "salted" and ratio > 4
+    assert "_salt" in joined._jdf.queryExecution().analyzed().toString()
+    assert joined.count() == 510  # salting must not duplicate or drop rows
+
+    uniform = spark.range(512).select((F.col("id") % 64).alias("k"), F.col("id").alias("v"))
+    u_small = uniform.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    joined2, strategy2, ratio2 = adaptive_join(uniform, u_small, "k", n_salts=4)
+    assert strategy2 == "plain" and ratio2 <= 4
+    assert "_salt" not in joined2._jdf.queryExecution().analyzed().toString()
+
+
+def test_op_adaptive_join_switches_on_injected_leg(spark):
+    # At sf0.01 the injected hot-key collapse crosses the threshold
+    # (ratio ~24) while the organic leg stays uniform (~1.3): the gate
+    # query itself must show both strategies.
+    from pypers_spark.sources import load_tables
+
+    from pypers_spark.operators.relational_extra import op_adaptive_join
+
+    tables = load_tables(spark, "/root/testdata/sf0.01")
+    rows = {r["leg"]: r for r in op_adaptive_join(tables).collect()}
+    assert rows["organic"]["strategy"] == "plain"
+    assert rows["injected"]["strategy"] == "salted"
+    assert rows["injected"]["skew_ratio"] > 4 > rows["organic"]["skew_ratio"]
+    assert rows["organic"]["n_rows"] == rows["injected"]["n_rows"]
+
+
 def test_drop_list_unchanged_by_rewrite(spark, duck, sf_dir):
     # The rewrite must not move the gate: the drop list still matches
     # its recursive-CTE oracle value-for-value.

@@ -1,0 +1,103 @@
+"""Full-registry Spark-vs-DuckDB correctness sweep.
+
+The per-round driver samples ~50 of the registry's queries; this tool
+runs the SAME comparator (tests/oracle_check.py — row count, schema,
+order-insensitive value comparison) over EVERY ``queries()`` key and
+writes a driver-schema artifact so each round leaves a machine-readable
+all-keys correctness record in-repo.
+
+Usage:  python tools/full_correctness.py [round_tag] [sf_dir]
+Writes: CORRECTNESS_FULL_<round_tag>.json  (default tag: r05)
+
+Row schema matches the driver's CORRECTNESS_r{N}.json:
+  {key: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+         err}}
+Keys without an oracle_sql entry (non-SQL-expressible ops) get the
+driver's weaker rows-only record: hash_match null, err "no-oracle".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as e
+    from pypers_spark.session import get_session
+    from tests.oracle_check import compare, duck_connection
+
+    spark = get_session("pypers_spark-full-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    qs, osql = e.queries(), e.oracle_sql()
+
+    out: dict[str, dict] = {}
+    t0 = time.perf_counter()
+    for k in sorted(qs):
+        row = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = qs[k](spark, sf_dir)
+            if k not in osql:
+                n = sdf.count()
+                row.update(
+                    rows_match=n >= 0, schema_match=True, hash_match=None,
+                    spark_rows=n, err="no-oracle",
+                )
+            else:
+                ddf = con.sql(osql[k]).df()
+                probs = compare(sdf, ddf)
+                sp_n = qs[k](spark, sf_dir).count()
+                row.update(
+                    spark_rows=sp_n,
+                    oracle_rows=len(ddf),
+                    rows_match=not any(p.startswith("row count") for p in probs),
+                    schema_match=not any(p.startswith("columns") for p in probs),
+                    hash_match=not probs,
+                    err="; ".join(probs)[:500] or None,
+                )
+        except Exception as exc:  # a crash is a red row, not a crash of the sweep
+            row["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        out[k] = row
+        status = "ok" if row["hash_match"] in (True, None) and row["rows_match"] else "FAIL"
+        print(f"{k}: {status}", flush=True)
+
+    n_ok = sum(1 for r in out.values() if r["hash_match"] is True)
+    n_rows_only = sum(1 for r in out.values() if r["hash_match"] is None)
+    n_fail = len(out) - n_ok - n_rows_only
+    summary = {
+        "n_queries": len(out),
+        "n_value_match": n_ok,
+        "n_rows_only": n_rows_only,
+        "n_fail": n_fail,
+        "sf_dir": sf_dir,
+        "wall_sec": round(time.perf_counter() - t0, 1),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"CORRECTNESS_FULL_{tag}.json",
+    )
+    with open(path, "w") as fh:
+        json.dump({"summary": summary, "rows": out}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(summary))
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Per-round scale-evidence artifact: SCALE_r{N}.json.
+
+Replicates the sf0.1 tables 10x and 20x with per-copy KEY REMAPPING
+(block/source/label/user keys shift per copy so block WIDTH stays
+constant while block COUNT grows — the production blocking discipline;
+naive concatenation would instead widen every block and measure a
+quadratic blowup no real corpus has), then times the HEAVIEST bench
+queries at 1x / 10x / 20x, steady-state best-of-2, and writes a
+machine-readable sublinearity table.
+
+The query set is the top-N by Spark wall from BENCH_DETAILS.json (run
+bench.py first), so each round's scale evidence automatically tracks
+whatever is currently most expensive.
+
+Usage: python tools/scale_check.py [round_tag] [n_queries]
+Writes replicas to /tmp/scale_replicas/{10x,20x}/ (off-repo) and the
+artifact to SCALE_<round_tag>.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST_ROOT = "/tmp/scale_replicas"
+
+# Queries whose wall is dominated by fixed-size state (broadcast dims,
+# literal spines) rather than the replicated tables are still included —
+# a flat wall at 10x/20x is itself the evidence.
+
+
+def gen(copies: int, dst: str) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    cs = ", ".join(str(c) for c in range(copies))
+    # documents: per-copy source suffix (block width constant) + a
+    # per-copy token so distinct-gram counts grow realistically.
+    con.sql(
+        f"""
+        COPY (
+          SELECT doc_id + c * 100000000 AS doc_id,
+                 text || ' copyc' || c AS text,
+                 lang, source || '_c' || c AS source, n_chars
+          FROM read_parquet('{SRC}/documents.parquet'),
+               unnest([{cs}]) AS t(c)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # embeddings: label remapped per copy (cells constant width).
+    con.sql(
+        f"""
+        COPY (
+          SELECT vec_id + c * 1000000 AS vec_id, embedding,
+                 label + c * 1000 AS label
+          FROM read_parquet('{SRC}/embeddings.parquet'),
+               unnest([{cs}]) AS t(c)
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    # orders / lineitem: orderkey remap so join cardinality scales
+    # honestly (every copy joins only within itself).
+    con.sql(
+        f"""
+        COPY (
+          SELECT o_orderkey + c * 100000000 AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM read_parquet('{SRC}/orders.parquet'),
+               unnest([{cs}]) AS t(c)
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT l_orderkey + c * 100000000 AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus,
+                 l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct,
+                 l_shipmode
+          FROM read_parquet('{SRC}/lineitem.parquet'),
+               unnest([{cs}]) AS t(c)
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    # events: user remap (user count grows, per-user volume flat).
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id + c * 100000000 AS event_id, ts,
+                 user_id + c * 10000 AS user_id, event_type, value, props
+          FROM read_parquet('{SRC}/events.parquet'),
+               unnest([{cs}]) AS t(c)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
+        target = f"{dst}/{tbl}.parquet"
+        if not os.path.exists(target):
+            shutil.copyfile(f"{SRC}/{tbl}.parquet", target)
+
+
+def pick_heaviest(n: int) -> list[str]:
+    with open(os.path.join(REPO, "BENCH_DETAILS.json")) as fh:
+        times = json.load(fh)["queries"]
+    return [k for k, _ in sorted(times.items(), key=lambda kv: -kv[1])[:n]]
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    import __spark_entry__ as e
+    from pypers_spark.session import get_session
+
+    ops = pick_heaviest(n_q)
+    print("heaviest:", ops, file=sys.stderr)
+
+    dirs = {"1x": SRC, "10x": f"{DST_ROOT}/10x", "20x": f"{DST_ROOT}/20x"}
+    for factor, copies in (("10x", 10), ("20x", 20)):
+        if not os.path.exists(f"{dirs[factor]}/events.parquet"):
+            print(f"generating {factor} replicas...", file=sys.stderr)
+            gen(copies, dirs[factor])
+
+    spark = get_session("pypers_spark-scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+
+    walls: dict[str, dict[str, float]] = {k: {} for k in ops}
+    for factor, sf_dir in dirs.items():
+        for name in ops:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            walls[name][factor] = round(best, 2)
+            print(f"{factor} {name}: {best:.2f}s", flush=True)
+
+    out = {
+        "src": SRC,
+        "replica_design": "per-copy key remap: block width constant, block count grows",
+        "queries": {
+            k: {
+                **w,
+                "ratio_10x": round(w["10x"] / w["1x"], 2) if w["1x"] else None,
+                "ratio_20x": round(w["20x"] / w["1x"], 2) if w["1x"] else None,
+            }
+            for k, w in walls.items()
+        },
+        "n_superlinear_20x": sum(
+            1 for w in walls.values() if w["1x"] and w["20x"] / w["1x"] > 20
+        ),
+    }
+    path = os.path.join(REPO, f"SCALE_{tag}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"written": path, "n_superlinear_20x": out["n_superlinear_20x"]}))
+
+
+if __name__ == "__main__":
+    main()
