@@ -138,6 +138,11 @@ HEADLINE = (
     "op_table_checksum",
     "txt_split_leakage",
     "ev_concurrency",
+    # round-5 wave: threshold-driven skew routing, and the multimodal
+    # decode/resize gates now running the REAL PPM codec + box filter
+    "op_adaptive_join",
+    "mm_decode_meta",
+    "mm_resize_meta",
 )
 
 

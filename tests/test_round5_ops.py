@@ -183,6 +183,38 @@ def test_op_adaptive_join_switches_on_injected_leg(spark):
     assert rows["organic"]["n_rows"] == rows["injected"]["n_rows"]
 
 
+def test_package_zip_contains_sources_only():
+    import zipfile
+
+    from pypers_spark.submit import build_package_zip
+
+    path = build_package_zip()
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+    assert "pypers_spark/session.py" in names
+    assert "pypers_spark/operators/dedup.py" in names
+    assert not [n for n in names if not n.endswith(".py")]
+    assert not [n for n in names if n.startswith("tests/")]
+
+
+def test_submit_smoke_multi_executor():
+    # Runs in a SUBPROCESS: an in-process SparkSession.builder would
+    # silently reuse the suite's local[4] context instead of starting
+    # local-cluster executors, and the smoke would prove nothing.
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "pypers_spark", "--submit-smoke"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "submit-smoke: PASS" in proc.stdout
+
+
 def test_drop_list_unchanged_by_rewrite(spark, duck, sf_dir):
     # The rewrite must not move the gate: the drop list still matches
     # its recursive-CTE oracle value-for-value.
