@@ -295,6 +295,56 @@ def bmp_decoder(payload: bytes, mime_type: str = "") -> dict:
     }
 
 
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE header: channels, sample rate, bit depth, and
+    the data-chunk byte length (duration = data_bytes / byte_rate).
+
+    Walks the chunk list properly (fmt may be followed by LIST/fact
+    chunks before data; chunks are word-aligned) instead of assuming
+    the canonical 44-byte layout.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _tag, channels, rate, byte_rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            fmt = (channels, rate, byte_rate, bits)
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("truncated WAVE: missing fmt or data chunk")
+    channels, rate, byte_rate, bits = fmt
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "data_bytes": data_len,
+        "duration_s": data_len / byte_rate if byte_rate else 0.0,
+    }
+
+
+def wav_decoder(payload: bytes, mime_type: str = "") -> dict:
+    """Real :data:`Decoder` for WAV payloads — audio mapped onto the
+    decode contract (width = samples per channel, height = 1)."""
+    meta = decode_wav(payload)
+    frame_bytes = meta["n_channels"] * max(1, meta["bits_per_sample"] // 8)
+    return {
+        "width": meta["data_bytes"] // frame_bytes if frame_bytes else 0,
+        "height": 1,
+        "n_channels": meta["n_channels"],
+        "content_sha": hashlib.md5(payload).hexdigest(),
+    }
+
+
 def box_resize_ppm(payload: bytes, factor: int = 2) -> bytes:
     """Real box-filter downsample of a P6 PPM by integer ``factor``.
 

@@ -111,6 +111,37 @@ def test_box_resize_matches_naive_reference():
                 assert opix[(i * ow + j) * 3 + c] == want
 
 
+def test_wav_header_parse():
+    import struct
+
+    from pypers_spark.multimodal import decode_wav, wav_decoder
+
+    # Stereo 16-bit 8 kHz, 0.5 s of silence, with a LIST chunk between
+    # fmt and data to exercise the chunk walk (non-canonical layout).
+    channels, rate, bits, n_frames = 2, 8000, 16, 4000
+    byte_rate = rate * channels * bits // 8
+    data = b"\x00" * (n_frames * channels * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * bits // 8, bits)
+    list_chunk = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + list_chunk + b"data" + len(data).to_bytes(4, "little") + data
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    meta = decode_wav(payload)
+    assert meta["n_channels"] == 2
+    assert meta["sample_rate"] == 8000
+    assert meta["bits_per_sample"] == 16
+    assert meta["duration_s"] == 0.5
+    d = wav_decoder(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (n_frames, 1, 2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + body)
+
+
 def test_ppm_media_table_payloads_are_real_ppm(spark, tables):
     from pypers_spark.multimodal import decode_ppm, ppm_media_table
 
