@@ -83,9 +83,7 @@ def gen(copies: int, dst: str) -> None:
         COPY (
           SELECT l_orderkey + c * 100000000 AS l_orderkey, l_partkey,
                  l_suppkey, l_linenumber, l_quantity, l_extendedprice,
-                 l_discount, l_tax, l_returnflag, l_linestatus,
-                 l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct,
-                 l_shipmode
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
           FROM read_parquet('{SRC}/lineitem.parquet'),
                unnest([{cs}]) AS t(c)
         ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
