@@ -138,11 +138,13 @@ HEADLINE = (
     "op_table_checksum",
     "txt_split_leakage",
     "ev_concurrency",
-    # round-5 wave: threshold-driven skew routing, and the multimodal
-    # decode/resize gates now running the REAL PPM codec + box filter
+    # round-5 wave: threshold-driven skew routing, the multimodal
+    # decode/resize gates now running the REAL PPM codec + box filter,
+    # and the composed IVFADC serving plan
     "op_adaptive_join",
     "mm_decode_meta",
     "mm_resize_meta",
+    "ann_ivf_pq",
 )
 
 

@@ -154,6 +154,13 @@ def get_decoder() -> Decoder:
     return _DECODER if _DECODER is not None else default_decoder
 
 
+def registered_decoder() -> Optional[Decoder]:
+    """The explicitly registered decoder, or None — for call sites that
+    want a DIFFERENT fallback than the stub (mm_decode_meta falls back
+    to the real PPM parser while still honoring ``set_decoder``)."""
+    return _DECODER
+
+
 def set_feature_extractor(extractor: Optional[FeatureExtractor]) -> None:
     """Register a process-wide feature extractor; ``None`` restores the stub."""
     global _FEATURE_EXTRACTOR

@@ -758,11 +758,17 @@ def _pq_best(t: dict[str, DataFrame]) -> DataFrame:
     the 20x corpus). The d2 association order (sv2 − 2·dot) + cv2 is
     mirrored exactly in the oracle, so IEEE equality holds.
     """
-    emb = t["embeddings"]
-    sub = emb.select("vec_id", F.posexplode(_pq_slices()).alias("m", "sv")).withColumn(
-        "sv2", dot(F.col("sv"), F.col("sv"))
-    )
-    cb = _pq_codebook(emb).withColumn("cv2", dot(F.col("cv"), F.col("cv")))
+    return _pq_best_df(t["embeddings"], t["embeddings"])
+
+
+def _pq_best_df(vectors: DataFrame, codebook_src: DataFrame) -> DataFrame:
+    """PQ-encode ``vectors`` against the codebook seeded from
+    ``codebook_src`` (the FULL table — a cell-restricted encode must
+    still use the corpus-wide codebook, as a real IVFADC index does)."""
+    sub = vectors.select(
+        "vec_id", F.posexplode(_pq_slices()).alias("m", "sv")
+    ).withColumn("sv2", dot(F.col("sv"), F.col("sv")))
+    cb = _pq_codebook(codebook_src).withColumn("cv2", dot(F.col("cv"), F.col("cv")))
     pairs = sub.join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
@@ -1353,3 +1359,138 @@ SELECT * FROM pre UNION ALL SELECT * FROM post ORDER BY strategy
 
 QUERIES["ann_filtered_topk"] = ann_filtered_topk
 ORACLES["ann_filtered_topk"] = ORACLE_ANN_FILTERED
+
+
+# --- ann_ivf_pq (IVFADC) -----------------------------------------------------
+
+
+def ann_ivf_pq(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF+PQ composed search (IVFADC — Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): coarse-probe
+    the query's {N_PROBE} nearest cells, then rank ONLY those cells'
+    vectors by asymmetric PQ distance over their 16-bit codes.
+
+    This is the production billion-vector serving shape the separate
+    ann_ivf_nprobe (cell restriction, raw vectors) and ann_pq_adc
+    (codes, full corpus) entries each show half of: at 100 TB the code
+    table is stored partitioned BY CELL, so the scan touches
+    nprobe/n_cells of a table that is itself 128:1 smaller than the
+    vectors — cell pruning multiplied by code compression. Plan: 3-row
+    cell broadcast → cell-pruned code scan → broadcast K×M ADC table →
+    partial-agg distance sum → TakeOrderedAndProject. The codebook is
+    corpus-wide (a cell-restricted encode against it matches the
+    precomputed index codes exactly).
+    """
+    emb = t["embeddings"]
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        dims.groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast(DECIMAL_T)).cast("double") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    q_row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cells = (
+        centroids.crossJoin(F.broadcast(q_row))
+        .select(
+            "label",
+            cosine_similarity(F.col("centroid"), F.col("q_emb")).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), "label")
+        .limit(N_PROBE)
+        .select(F.col("label").alias("cell"), rnd(F.col("c_cos"), 4).alias("cell_cos"))
+    )
+    member = emb.join(F.broadcast(cells), emb["label"] == F.col("cell")).select(
+        "vec_id", "label", "embedding", "cell_cos"
+    )
+    codes = _pq_best_df(member, emb).select("vec_id", "m", "cid")
+    q_sub = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.posexplode(_pq_slices()).alias("m", "qv")
+    )
+    table = q_sub.join(F.broadcast(_pq_codebook(emb)), "m").select(
+        "m", "cid", _pq_d2(F.col("qv"), F.col("cv")).alias("qd2")
+    )
+    return (
+        codes.join(F.broadcast(table), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(rnd(dsum(F.col("qd2")), 4).alias("approx_d2"))
+        .join(member.select("vec_id", "label", "cell_cos"), "vec_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "cell_cos", "approx_d2")
+        .orderBy("approx_d2", "vec_id")
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_IVF_PQ = f"""
+WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+dims AS (
+  SELECT label, pos, embedding[pos]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos)
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos,
+           CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+    FROM dims GROUP BY label, pos
+  )
+  GROUP BY label
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cells AS (
+  SELECT label AS cell, {duck_rnd(duck_cosine('centroid', 'q_emb'), 4)} AS cell_cos
+  FROM centroids, q
+  ORDER BY {duck_cosine('centroid', 'q_emb')} DESC, label
+  LIMIT {N_PROBE}
+),
+member AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cell_cos
+  FROM embeddings e JOIN cells c ON e.label = c.cell
+),
+sub AS (
+  SELECT mm.vec_id, ms.m,
+         (mm.embedding::DOUBLE[])[(ms.m * {PQ_SUB} + 1):((ms.m + 1) * {PQ_SUB})] AS sv
+  FROM member mm, ms
+),
+cb AS (
+  SELECT e.vec_id AS cid, m, {_PQ_SV} AS cv FROM embeddings e, ms
+  WHERE e.vec_id < {PQ_K}
+),
+best AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m ORDER BY {_PQ_D2}, c.cid
+           ) AS rn
+    FROM sub s JOIN cb c USING (m)
+  ) WHERE rn = 1
+),
+tbl AS (
+  SELECT c.m, c.cid,
+         (list_dot_product(qs.qv, qs.qv) - 2 * list_dot_product(qs.qv, c.cv)
+          + list_dot_product(c.cv, c.cv)) AS qd2
+  FROM cb c JOIN (
+    SELECT m, {_PQ_QSV} AS qv FROM embeddings q, ms WHERE q.vec_id = {QUERY_VEC_ID}
+  ) qs USING (m)
+)
+SELECT b.vec_id, mm.label, mm.cell_cos,
+       {duck_rnd(duck_dsum('t.qd2'), 4)} AS approx_d2
+FROM best b
+JOIN tbl t USING (m, cid)
+JOIN (SELECT DISTINCT vec_id, label, cell_cos FROM member) mm
+  ON mm.vec_id = b.vec_id
+WHERE b.vec_id != {QUERY_VEC_ID}
+GROUP BY b.vec_id, mm.label, mm.cell_cos
+ORDER BY approx_d2, b.vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["ann_ivf_pq"] = ann_ivf_pq
+ORACLES["ann_ivf_pq"] = ORACLE_ANN_IVF_PQ

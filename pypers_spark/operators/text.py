@@ -242,12 +242,21 @@ def mm_decode_meta(t: dict[str, DataFrame]) -> DataFrame:
     The oracle re-derives width/height from the same doc_id arithmetic
     and md5s the reconstructed payload string — so a parse bug (off-by-
     one in the header scan, wrong pixel count) breaks the value match.
-    The pluggable ``set_decoder`` contract is unchanged; this entry
-    passes the real codec explicitly.
+    The ``set_decoder`` injection contract still holds (a registered
+    codec wins — pinned by tests/test_multimodal_sources.py); the
+    FALLBACK is the real PPM parser rather than the md5 stub.
     """
-    from pypers_spark.multimodal import decode_media, ppm_decoder, ppm_media_table
+    from pypers_spark.multimodal import (
+        decode_media,
+        ppm_decoder,
+        ppm_media_table,
+        registered_decoder,
+    )
 
-    decoded = decode_media(ppm_media_table(t["documents"]), decoder=ppm_decoder)
+    decoded = decode_media(
+        ppm_media_table(t["documents"]),
+        decoder=registered_decoder() or ppm_decoder,
+    )
     return decoded.select(
         "media_id", "width", "height", "n_channels", "content_sha"
     ).orderBy("media_id")
