@@ -56,6 +56,49 @@ def test_multiple_components_and_isolated_nodes(spark):
     }
 
 
+def test_components_match_union_find_on_random_graphs(spark):
+    # Property check against an independent reference implementation:
+    # pointer-doubling labels must equal union-find's min-id components
+    # on arbitrary graph shapes (chains, stars, cliques, isolated pairs,
+    # cross-links) — deterministic seeds, 6 random graphs.
+    import random
+
+    def union_find_labels(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for n in list(parent):
+            groups.setdefault(find(n), []).append(n)
+        return {
+            n: min(members) for members in groups.values() for n in members
+        }
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        n_nodes = rng.randint(4, 40)
+        n_edges = rng.randint(1, 60)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        got, _ = _components(spark, pairs)
+        assert got == union_find_labels(pairs), f"trial {trial}: {pairs}"
+
+
 def test_ppm_roundtrip_and_header_quirks():
     from pypers_spark.multimodal import decode_ppm, encode_ppm
 
