@@ -145,6 +145,9 @@ HEADLINE = (
     "mm_decode_meta",
     "mm_resize_meta",
     "ann_ivf_pq",
+    # scale-path twins for the two worst SCALE_r05 ratios
+    "dd_source_overlap_kmv",
+    "ann_knn_graph_cells",
 )
 
 

@@ -1950,3 +1950,165 @@ LIMIT {SRC_OVL_TOP_K}
 
 QUERIES["dd_source_overlap"] = dd_source_overlap
 ORACLES["dd_source_overlap"] = ORACLE_SOURCE_OVERLAP
+
+
+# --- dd_source_overlap_kmv ---------------------------------------------------
+
+SRC_KMV_K = 128  # min-K sketch width per source
+
+
+def dd_source_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
+    """Sketch-based source-overlap matrix — the 100 TB path for
+    dd_source_overlap: per-source KMV (min-K) sketches of the gram
+    vocabulary replace the postings self-join entirely.
+
+    Why: the exact version's inverted-index join fans out C(k,2) pairs
+    per gram shared by k sources — fine per-gram, but the TOTAL join
+    output grows with vocabulary x source-overlap, and SCALE_r05
+    measured it 13.9x at 20x rows. Here every source collapses to
+    {SRC_KMV_K} int64 hashes (one window top-K per source), and ALL
+    pairwise estimates are computed on the S·K-row sketch table:
+    θ_pair = min(θ_a, θ_b); hashes below θ are a uniform sample of the
+    pair's union at rate θ/2^60, so |A∩B| ≈ c·2^60/θ, |A∪B| ≈ u·2^60/θ
+    and Jaccard ≈ c/u — the theta-sketch estimator (same algebra as
+    sk_kmv_set_ops), all exact integer/double arithmetic, so the
+    DuckDB oracle reproduces every estimate bit-for-bit. At 100 TB the
+    sketches are mergeable per partition and the pairwise stage is
+    S²·K rows of int64 — independent of corpus size.
+    """
+    posts = (
+        corpus(t)
+        .select("source", F.explode(_spread_grams(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    hs = posts.select("source", md5_int64(F.col("g")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = hs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= SRC_KMV_K
+    ).select("source", "h")
+    from pypers_spark.functions.caching import tracked_persist
+
+    sk = tracked_persist(sk, "dedup.src_kmv_sketches")
+    th = sk.groupBy("source").agg(F.max("h").alias("theta"))
+    pth = (
+        th.select(F.col("source").alias("src_a"), F.col("theta").alias("ta"))
+        .join(
+            th.select(F.col("source").alias("src_b"), F.col("theta").alias("tb")),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .select("src_a", "src_b", F.least("ta", "tb").alias("theta"))
+    )
+    ka = sk.select(F.col("source").alias("src_a"), "h")
+    kb = sk.select(F.col("source").alias("src_b"), "h")
+    c = (
+        ka.join(kb, "h")
+        .join(F.broadcast(pth), ["src_a", "src_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    below_a = (
+        F.broadcast(pth)
+        .join(ka, "src_a")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.when(F.col("h") < F.col("theta"), 1)).alias("below_a"))
+    )
+    below_b = (
+        F.broadcast(pth)
+        .join(kb, "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.when(F.col("h") < F.col("theta"), 1)).alias("below_b"))
+    )
+    u = F.col("below_a") + F.col("below_b") - F.col("n_common")
+    jac = F.when(
+        u > 0, F.col("n_common").cast("double") / u.cast("double")
+    ).otherwise(F.lit(0.0))
+    est_inter = F.col("n_common").cast("double") * F.lit(float(1 << 60)) / F.col(
+        "theta"
+    ).cast("double")
+    est_union = u.cast("double") * F.lit(float(1 << 60)) / F.col("theta").cast(
+        "double"
+    )
+    return (
+        pth.join(c, ["src_a", "src_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(below_a, ["src_a", "src_b"])
+        .join(below_b, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            rnd(est_inter, 2).alias("est_inter"),
+            rnd(est_union, 2).alias("est_union"),
+            rnd(jac, 6).alias("jaccard_est"),
+        )
+        .orderBy(F.desc("jaccard_est"), "src_a", "src_b")
+        .limit(SRC_OVL_TOP_K)
+    )
+
+
+ORACLE_SOURCE_OVERLAP_KMV = f"""
+WITH {DUCK_CORPUS},
+toks AS (
+  SELECT source, string_split({duck_normalize_text('text')}, ' ') AS tk FROM corpus
+),
+posts AS (
+  SELECT DISTINCT source, unnest({_duck_word_ngrams('tk', 3)}) AS g
+  FROM toks WHERE len(tk) >= 3
+),
+hs AS (SELECT DISTINCT source, {duck_md5_int64('g')} AS h FROM posts),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM hs
+  ) WHERE rk <= {SRC_KMV_K}
+),
+th AS (SELECT source, max(h) AS theta FROM sk GROUP BY 1),
+pth AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.source < b.source
+),
+c AS (
+  SELECT ka.source AS src_a, kb.source AS src_b, count(*) AS n_common
+  FROM sk ka
+  JOIN sk kb ON ka.h = kb.h AND ka.source < kb.source
+  JOIN pth p ON p.src_a = ka.source AND p.src_b = kb.source
+  WHERE ka.h < p.theta
+  GROUP BY 1, 2
+),
+ba AS (
+  SELECT p.src_a, p.src_b,
+         count(CASE WHEN s.h < p.theta THEN 1 END) AS below_a
+  FROM pth p JOIN sk s ON s.source = p.src_a
+  GROUP BY 1, 2
+),
+bb AS (
+  SELECT p.src_a, p.src_b,
+         count(CASE WHEN s.h < p.theta THEN 1 END) AS below_b
+  FROM pth p JOIN sk s ON s.source = p.src_b
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       coalesce(c.n_common, 0) AS n_common,
+       {duck_rnd(
+           'CAST(coalesce(c.n_common, 0) AS DOUBLE) * ' + str(float(1 << 60))
+           + ' / CAST(p.theta AS DOUBLE)', 2)} AS est_inter,
+       {duck_rnd(
+           'CAST(ba.below_a + bb.below_b - coalesce(c.n_common, 0) AS DOUBLE) * '
+           + str(float(1 << 60)) + ' / CAST(p.theta AS DOUBLE)', 2)} AS est_union,
+       {duck_rnd(
+           'CASE WHEN ba.below_a + bb.below_b - coalesce(c.n_common, 0) > 0 '
+           'THEN CAST(coalesce(c.n_common, 0) AS DOUBLE) '
+           '/ CAST(ba.below_a + bb.below_b - coalesce(c.n_common, 0) AS DOUBLE) '
+           'ELSE 0.0 END', 6)} AS jaccard_est
+FROM pth p
+LEFT JOIN c ON c.src_a = p.src_a AND c.src_b = p.src_b
+JOIN ba ON ba.src_a = p.src_a AND ba.src_b = p.src_b
+JOIN bb ON bb.src_a = p.src_a AND bb.src_b = p.src_b
+ORDER BY jaccard_est DESC, p.src_a, p.src_b
+LIMIT {SRC_OVL_TOP_K}
+"""
+
+QUERIES["dd_source_overlap_kmv"] = dd_source_overlap_kmv
+ORACLES["dd_source_overlap_kmv"] = ORACLE_SOURCE_OVERLAP_KMV

@@ -1494,3 +1494,118 @@ LIMIT {TOP_K}
 
 QUERIES["ann_ivf_pq"] = ann_ivf_pq
 ORACLES["ann_ivf_pq"] = ORACLE_ANN_IVF_PQ
+
+
+# --- ann_knn_graph_cells -----------------------------------------------------
+
+
+def ann_knn_graph_cells(t: dict[str, DataFrame]) -> DataFrame:
+    """k-NN graph over ADAPTIVE sqrt-n k-means cells — the 100 TB path
+    for ann_knn_graph: the label blocks it ranks within hold n/|labels|
+    vectors each, so block² pair work grows quadratically in corpus
+    size at fixed label cardinality (SCALE_r05 measured 16.2x wall at
+    20x rows — sublinear only because Spark parallelizes the bigger
+    blocks). Here the blocking key is the dd_semantic_dedup cell
+    assignment: K = ceil(sqrt(n)) seeded centroids keeps within-cell
+    pair work at O(n^1.5) BY CONSTRUCTION at any corpus size, and the
+    cell id is the storage partition key in production, so the
+    self-join is co-located. Approximation semantics are the standard
+    graph-ANN trade: neighbors are cell-local (recall recovered at
+    query time by nprobe-style multi-assignment); the oracle mirrors
+    the same cells, so the gate is exact over the approximate
+    definition.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.vectors import dot, l2_norm
+
+    emb = t["embeddings"]
+    k_row = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
+    cent = (
+        emb.crossJoin(F.broadcast(k_row))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    av, cv = F.col("embedding"), F.col("cvec")
+    d2 = (dot(av, av) - 2 * dot(av, cv) + dot(cv, cv)).alias("d2")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cell"))
+    )
+    v = tracked_persist(
+        emb.join(assigned, "vec_id").select(
+            "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        ),
+        "similarity.knn_cells",
+    )
+    a = v.select(
+        "vec_id", "cell", F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("nbr_id"), "cell",
+        F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"),
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > 0, dot(F.col("e_a"), F.col("e_b")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("cell", "vec_id", "nbr_id", rnd(cos, 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "rank", "nbr_id", "cos_sim", "cell")
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _oracle_knn_cells() -> str:
+    from pypers_spark.functions.vectors import duck_dot
+
+    d2 = (
+        f"({duck_dot('e.embedding', 'e.embedding')} "
+        f"- 2 * {duck_dot('e.embedding', 'c.cvec')} "
+        f"+ {duck_dot('c.cvec', 'c.cvec')})"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+),
+dist AS (
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT e.vec_id, a.cell, e.embedding
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+),
+pairs AS (
+  SELECT v1.cell AS cell, v1.vec_id AS vec_id, v2.vec_id AS nbr_id,
+         {duck_rnd(duck_cosine('v1.embedding', 'v2.embedding'), 4)} AS cos_sim
+  FROM v v1 JOIN v v2 ON v1.cell = v2.cell AND v1.vec_id != v2.vec_id
+)
+SELECT vec_id, CAST(rank AS INT) AS rank, nbr_id, cos_sim, cell FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id
+  ) AS rank
+  FROM pairs
+) WHERE rank <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
+QUERIES["ann_knn_graph_cells"] = ann_knn_graph_cells
+ORACLES["ann_knn_graph_cells"] = _oracle_knn_cells()
