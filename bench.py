@@ -148,6 +148,8 @@ HEADLINE = (
     # scale-path twins for the two worst SCALE_r05 ratios
     "dd_source_overlap_kmv",
     "ann_knn_graph_cells",
+    # fourth composed pipeline: entity resolution end-to-end
+    "pipe_entity_resolution",
 )
 
 

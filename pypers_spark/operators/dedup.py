@@ -2112,3 +2112,163 @@ LIMIT {SRC_OVL_TOP_K}
 
 QUERIES["dd_source_overlap_kmv"] = dd_source_overlap_kmv
 ORACLES["dd_source_overlap_kmv"] = ORACLE_SOURCE_OVERLAP_KMV
+
+
+# --- pipe_entity_resolution --------------------------------------------------
+
+ER_TYPO_MOD = 4    # every 4th customer gets a last-digit-typo clone
+ER_SPACED_MOD = 8  # every 8th ALSO gets a trailing-space clone (3-chains)
+ER_MAX_DIST = 2    # name edit-distance threshold
+
+
+def pipe_entity_resolution(t: dict[str, DataFrame]) -> DataFrame:
+    """Composed entity-resolution pipeline — the record-linkage job a
+    master-data/CRM consolidation runs, end-to-end in ONE Catalyst
+    plan: dirty registry → blocking → pairwise scoring → transitive
+    clustering → survivorship report.
+
+    Fixture (in-plan, both engines identical): each customer is a
+    'clean' record; every {ER_TYPO_MOD}th key adds a last-digit-typo
+    clone, every {ER_SPACED_MOD}th also a trailing-space clone — so the
+    truth is a mix of singletons, 2-chains, and 3-chains (typo↔spaced
+    are distance 2 apart: transitivity is exercised, not just direct
+    matches). Stages:
+    1. BLOCK on the name's digit prefix (excludes the perturbed last
+       digit) — pairwise work bounded to ~30-record blocks, the same
+       discipline as every LSH/IVF operator here.
+    2. SCORE within block: levenshtein ≤ {ER_MAX_DIST} AND exact
+       acctbal agreement. The attribute test is what disambiguates the
+       sibling-at-distance-1 ambiguity dd_fuzzy_names *reports*; this
+       pipeline *resolves* it.
+    3. CLUSTER with pointer-doubling min-label components
+       (functions/components.py — third consumer, O(log diameter)).
+    4. SURVIVE: canonical = min rec_id per cluster (the clean record
+       by construction); report cluster-size × member-kind signature
+       counts — the shape a data steward signs off on.
+    The oracle replays all four stages in SQL (recursive CTE for the
+    closure), so the composed pipeline is value-gated, not just its
+    pieces.
+    """
+    from pypers_spark.functions.components import min_label_components
+
+    c = t["customer"]
+    clean = c.select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("clean").alias("kind"),
+    )
+    typo = c.filter(F.col("c_custkey") % ER_TYPO_MOD == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+        F.concat(F.substring(F.col("c_name"), 1, 17), F.lit("X")).alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("typo").alias("kind"),
+    )
+    spaced = c.filter(F.col("c_custkey") % ER_SPACED_MOD == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rec_id"),
+        F.concat(F.col("c_name"), F.lit(" ")).alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("spaced").alias("kind"),
+    )
+    reg = clean.unionByName(typo).unionByName(spaced)
+    blk = F.substring(F.col("name"), 10, FZ_BLOCK_LEN)
+    a = reg.select(
+        F.col("rec_id").alias("id_a"), F.col("name").alias("na"),
+        F.col("bal").alias("ba"), blk.alias("blk"),
+    )
+    b = reg.select(
+        F.col("rec_id").alias("id_b"), F.col("name").alias("nb"),
+        F.col("bal").alias("bb"), blk.alias("blk"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= ER_MAX_DIST)
+        .filter(F.col("ba") == F.col("bb"))
+        .select("id_a", "id_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = reg.select(F.col("rec_id").alias("node"), F.col("rec_id").alias("lbl"))
+    comp = min_label_components(edges, labels, "dedup.er_labels")
+    members = reg.join(
+        comp, reg["rec_id"] == comp["node"]
+    ).select("rec_id", "kind", F.col("lbl").alias("cluster_id"))
+    per_cluster = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.concat(
+            F.when(F.max(F.when(F.col("kind") == "clean", 1)) == 1, F.lit("c")).otherwise(F.lit("")),
+            F.when(F.max(F.when(F.col("kind") == "spaced", 1)) == 1, F.lit("s")).otherwise(F.lit("")),
+            F.when(F.max(F.when(F.col("kind") == "typo", 1)) == 1, F.lit("t")).otherwise(F.lit("")),
+        ).alias("member_kinds"),
+        F.min("rec_id").alias("canonical"),
+    )
+    return (
+        per_cluster.groupBy("cluster_size", "member_kinds")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_records"),
+            F.count(
+                F.when(F.col("canonical") % 10 == 0, 1)
+            ).alias("n_clean_canonical"),
+        )
+        .orderBy(F.desc("cluster_size"), "member_kinds")
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE reg AS (
+  SELECT c_custkey * 10 AS rec_id, c_name AS name, c_acctbal AS bal,
+         'clean' AS kind
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 1, substr(c_name, 1, 17) || 'X', c_acctbal, 'typo'
+  FROM customer WHERE c_custkey % {ER_TYPO_MOD} = 0
+  UNION ALL
+  SELECT c_custkey * 10 + 2, c_name || ' ', c_acctbal, 'spaced'
+  FROM customer WHERE c_custkey % {ER_SPACED_MOD} = 0
+),
+pairs AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+  FROM reg a JOIN reg b
+    ON substr(a.name, 10, {FZ_BLOCK_LEN}) = substr(b.name, 10, {FZ_BLOCK_LEN})
+   AND a.rec_id < b.rec_id
+  WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
+    AND a.bal = b.bal
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT rec_id, rec_id FROM reg
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+members AS (
+  SELECT r.rec_id, r.kind, c.cluster_id
+  FROM reg r JOIN comp c ON r.rec_id = c.node
+),
+per_cluster AS (
+  SELECT cluster_id, count(*) AS cluster_size,
+         (CASE WHEN max(CASE WHEN kind = 'clean' THEN 1 END) = 1 THEN 'c' ELSE '' END)
+         || (CASE WHEN max(CASE WHEN kind = 'spaced' THEN 1 END) = 1 THEN 's' ELSE '' END)
+         || (CASE WHEN max(CASE WHEN kind = 'typo' THEN 1 END) = 1 THEN 't' ELSE '' END)
+           AS member_kinds,
+         min(rec_id) AS canonical
+  FROM members GROUP BY cluster_id
+)
+SELECT cluster_size, member_kinds,
+       count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_records,
+       count(CASE WHEN canonical % 10 = 0 THEN 1 END) AS n_clean_canonical
+FROM per_cluster
+GROUP BY cluster_size, member_kinds
+ORDER BY cluster_size DESC, member_kinds
+"""
+
+QUERIES["pipe_entity_resolution"] = pipe_entity_resolution
+ORACLES["pipe_entity_resolution"] = ORACLE_ENTITY_RESOLUTION
