@@ -227,3 +227,101 @@ def test_cms_bucket_bit_identical(spark, hs):
     )
     want = {row[0]: tuple(row[1:]) for row in _duck(pdf, f"SELECT i, {sel} FROM t")}
     assert got == want
+
+
+# Three more cross-engine primitives underneath the dedup/ANN families:
+# normalize_text (every dedup canonical form), char_ngrams (every
+# shingle-based signature), and cosine_similarity (every embedding
+# operator). Alphabet is printable ASCII plus two Latin-1 letters —
+# the corpus contract for the text fixtures; lower() on exotic unicode
+# (e.g. U+0130) legitimately differs between ICU and the JVM and is out
+# of scope for the oracle discipline.
+
+CORPUS_TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126) | st.sampled_from("éß"),
+    max_size=40,
+)
+
+
+@given(texts=st.lists(CORPUS_TEXTS, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_normalize_text_bit_identical(spark, texts):
+    from pypers_spark.functions.text import duck_normalize_text, normalize_text
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "s": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r["n"]
+        for r in sdf.select("i", normalize_text(F.col("s")).alias("n")).collect()
+    }
+    want = {
+        i: n
+        for i, n in _duck(pdf, f"SELECT i, {duck_normalize_text('s')} AS n FROM t")
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(CORPUS_TEXTS, min_size=1, max_size=10),
+    n=st.sampled_from([2, 3, 5]),
+)
+@settings(**SETTINGS)
+def test_char_ngrams_bit_identical(spark, texts, n):
+    from pypers_spark.functions.text import char_ngrams, duck_char_ngrams
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "s": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: list(r["g"])
+        for r in sdf.select("i", char_ngrams(F.col("s"), n).alias("g")).collect()
+    }
+    want = {
+        i: list(g)
+        for i, g in _duck(pdf, f"SELECT i, {duck_char_ngrams('s', n)} AS g FROM t")
+    }
+    assert got == want
+
+
+VEC_COMPONENT = st.floats(
+    allow_nan=False, allow_infinity=False, width=32, min_value=-100, max_value=100
+)
+
+
+@given(
+    dim=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_cosine_bit_identical(spark, dim, data):
+    """Left-fold dot + sqrt norms produce the SAME IEEE double in both
+    engines — including the zero-norm guard — so rnd-ed cosine columns
+    and τ-threshold filters cannot flip cross-engine."""
+    from pypers_spark.functions.vectors import cosine_similarity, duck_cosine
+
+    n_rows = data.draw(st.integers(min_value=1, max_value=8))
+    vec = st.lists(VEC_COMPONENT, min_size=dim, max_size=dim)
+    zero = st.just([0.0] * dim)
+    rows = data.draw(
+        st.lists(st.tuples(vec | zero, vec | zero), min_size=n_rows, max_size=n_rows)
+    )
+    pdf = pd.DataFrame(
+        {
+            "i": range(len(rows)),
+            "a": [a for a, _ in rows],
+            "b": [b for _, b in rows],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf, schema="i bigint, a array<float>, b array<float>"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in sdf.select(
+            "i", cosine_similarity(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    want = {
+        i: c for i, c in _duck(pdf, f"SELECT i, {duck_cosine('a', 'b')} AS c FROM t")
+    }
+    for i in got:
+        assert got[i] == want[i], (i, got[i], want[i], rows[i])

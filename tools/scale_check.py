@@ -35,6 +35,16 @@ DST_ROOT = "/tmp/scale_replicas"
 # literal spines) rather than the replicated tables are still included —
 # a flat wall at 10x/20x is itself the evidence.
 
+# Always timed regardless of 1x wall: the designated scale-path twins
+# (sub-second at 1x, so they never make the top-N cut) and the composed
+# entity-resolution pipeline — their growth curve vs the exact
+# counterparts in the top-N is the headline sublinearity evidence.
+ALWAYS_INCLUDE = [
+    "dd_source_overlap_kmv",
+    "ann_knn_graph_cells",
+    "pipe_entity_resolution",
+]
+
 
 def gen(copies: int, dst: str) -> None:
     import duckdb
@@ -109,7 +119,8 @@ def gen(copies: int, dst: str) -> None:
 def pick_heaviest(n: int) -> list[str]:
     with open(os.path.join(REPO, "BENCH_DETAILS.json")) as fh:
         times = json.load(fh)["queries"]
-    return [k for k, _ in sorted(times.items(), key=lambda kv: -kv[1])[:n]]
+    top = [k for k, _ in sorted(times.items(), key=lambda kv: -kv[1])[:n]]
+    return top + [k for k in ALWAYS_INCLUDE if k not in top]
 
 
 def main() -> None:
@@ -135,8 +146,12 @@ def main() -> None:
     walls: dict[str, dict[str, float]] = {k: {} for k in ops}
     for factor, sf_dir in dirs.items():
         for name in ops:
+            # best-of-3: with best-of-2 the first (compile-heavy) run can
+            # leak into the minimum under memory pressure — observed
+            # pushing a genuinely linear query (ann_knn_graph, 16.7x
+            # re-measured) over the 20x flag line.
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
