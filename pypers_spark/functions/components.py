@@ -75,8 +75,15 @@ def min_label_components(
     """
     global last_rounds
     del persist_key  # lineage truncation subsumes keyed persistence
+    # Decimal accumulation for the convergence scalar: int64 label sums
+    # wrap for any graph beyond a couple of max-range ids, and a round
+    # whose exact decrease is a multiple of 2^64 would then read as a
+    # (false) fixed point. decimal(38,0) is exact past 10^25 total.
+    def _lbl_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    prev_sum = _lbl_sum(labels)
     for rounds in range(1, MAX_CC_ROUNDS + 1):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -102,7 +109,7 @@ def min_label_components(
             "node",
             F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"),
         ).localCheckpoint(eager=True)
-        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        new_sum = _lbl_sum(labels)
         if new_sum == prev_sum:  # labels only ever decrease
             last_rounds = rounds
             return labels
