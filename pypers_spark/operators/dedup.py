@@ -1964,8 +1964,10 @@ def dd_source_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
 
     Why: the exact version's inverted-index join fans out C(k,2) pairs
     per gram shared by k sources — fine per-gram, but the TOTAL join
-    output grows with vocabulary x source-overlap, and SCALE_r05
-    measured it 13.9x at 20x rows. Here every source collapses to
+    output grows with vocabulary x source-overlap (SCALE_r05 measures
+    it ~16x wall at 20x rows vs ~3x here, 15x faster absolute, and the
+    10x→20x step is 1.3 vs the exact join's 2.5). Here every source
+    collapses to
     {SRC_KMV_K} int64 hashes (one window top-K per source), and ALL
     pairwise estimates are computed on the S·K-row sketch table:
     θ_pair = min(θ_a, θ_b); hashes below θ are a uniform sample of the

@@ -1503,9 +1503,9 @@ def ann_knn_graph_cells(t: dict[str, DataFrame]) -> DataFrame:
     """k-NN graph over ADAPTIVE sqrt-n k-means cells — the 100 TB path
     for ann_knn_graph: the label blocks it ranks within hold n/|labels|
     vectors each, so block² pair work grows quadratically in corpus
-    size at fixed label cardinality (SCALE_r05 measured 16.2x wall at
-    20x rows — sublinear only because Spark parallelizes the bigger
-    blocks). Here the blocking key is the dd_semantic_dedup cell
+    size at fixed label cardinality (SCALE_r05 measures the label-block
+    build ~19x wall at 20x rows vs ~7x here, 7.7x faster absolute).
+    Here the blocking key is the dd_semantic_dedup cell
     assignment: K = ceil(sqrt(n)) seeded centroids keeps within-cell
     pair work at O(n^1.5) BY CONSTRUCTION at any corpus size, and the
     cell id is the storage partition key in production, so the

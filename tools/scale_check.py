@@ -169,11 +169,22 @@ def main() -> None:
                 **w,
                 "ratio_10x": round(w["10x"] / w["1x"], 2) if w["1x"] else None,
                 "ratio_20x": round(w["20x"] / w["1x"], 2) if w["1x"] else None,
+                # Strong-scaling step: rows double 10x→20x, so linear
+                # growth is 2.0. This isolates the algorithmic trend from
+                # the 1x denominator, which mixes ~0.5-1 s of fixed job
+                # dispatch (deflates ratios) with 20x-side rig saturation
+                # at fixed local cores (inflates them).
+                "ratio_step_2x": round(w["20x"] / w["10x"], 2)
+                if w["10x"]
+                else None,
             }
             for k, w in walls.items()
         },
         "n_superlinear_20x": sum(
             1 for w in walls.values() if w["1x"] and w["20x"] / w["1x"] > 20
+        ),
+        "n_superlinear_step": sum(
+            1 for w in walls.values() if w["10x"] and w["20x"] / w["10x"] > 2.5
         ),
     }
     path = os.path.join(REPO, f"SCALE_{tag}.json")
