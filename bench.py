@@ -144,6 +144,7 @@ HEADLINE = (
     "op_adaptive_join",
     "mm_decode_meta",
     "mm_resize_meta",
+    "mm_audio_meta",
     "ann_ivf_pq",
     # scale-path twins for the two worst SCALE_r05 ratios
     "dd_source_overlap_kmv",

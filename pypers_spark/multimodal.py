@@ -452,6 +452,143 @@ def ppm_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+# Audio fixture arithmetic (wav_media_table): every parameter derives
+# from doc_id so the DuckDB oracle recomputes expected metadata without
+# touching bytes, while the Spark side must round-trip REAL RIFF chunks.
+WAV_RATE_BASE = 8000  # rate = base * (1 + doc_id % RATE_MOD)
+WAV_RATE_MOD = 3
+WAV_DATA_BASE = 40  # data_len = base + doc_id % DATA_MOD (odd sizes occur)
+WAV_DATA_MOD = 101
+WAV_LIST_EVERY = 4  # every 4th doc gets a LIST chunk between fmt and data
+
+
+def _le_hex(v, n_bytes: int):
+    """Hex string of ``v`` encoded as an ``n_bytes`` little-endian
+    unsigned int — column expression, feeds :func:`F.unhex`."""
+    parts = [
+        F.format_string(
+            "%02x", (F.shiftright(v.cast("long"), 8 * i) % 256).cast("int")
+        )
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def wav_media_table(documents: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL binary RIFF/WAVE files.
+
+    The header's little-endian integers are assembled JVM-side
+    (per-byte hex → ``unhex``), data bytes are the document's ASCII
+    text cycled to the target length, and every 4th payload carries an
+    odd-sized LIST chunk between fmt and data — so
+    :func:`decode_wav`'s chunk walk (ordering, word alignment) is
+    exercised by the value gate, not just the canonical 44-byte
+    layout. All parameters are doc_id arithmetic, so an oracle can
+    recompute the expected metadata independently of the bytes.
+    """
+    did = F.col("doc_id")
+    channels = F.lit(1) + did % 2
+    rate = F.lit(WAV_RATE_BASE) * (F.lit(1) + did % WAV_RATE_MOD)
+    bits = F.lit(8) + F.lit(8) * ((did % 5) % 2)
+    block = (channels * bits / 8).cast("long")
+    byte_rate = rate * block
+    data_len = F.lit(WAV_DATA_BASE) + did % WAV_DATA_MOD
+    reps = F.ceil(data_len / F.length("text")).cast("int")
+    data_bytes = F.encode(
+        F.substring(F.repeat(F.col("text"), reps), F.lit(1), data_len), "utf-8"
+    )
+    has_list = did % WAV_LIST_EVERY == 0
+    empty = F.unhex(F.lit(""))
+    list_chunk = F.when(
+        has_list,
+        F.concat(
+            F.encode(F.lit("LIST"), "utf-8"),
+            F.unhex(_le_hex(F.lit(3), 4)),
+            F.encode(F.lit("abc"), "utf-8"),
+            F.unhex(F.lit("00")),  # word-alignment pad for the odd size
+        ),
+    ).otherwise(empty)
+    data_pad = F.when(data_len % 2 == 1, F.unhex(F.lit("00"))).otherwise(empty)
+    # RIFF size = bytes after the 8-byte RIFF header: 'WAVE' + fmt chunk
+    # + optional LIST (8 + 3 + 1) + data chunk incl. its pad.
+    riff_size = (
+        F.lit(4 + 8 + 16)
+        + F.when(has_list, F.lit(12)).otherwise(F.lit(0))
+        + F.lit(8)
+        + data_len
+        + (data_len % 2)
+    )
+    fmt_body = F.concat(
+        _le_hex(F.lit(1), 2),  # PCM tag
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block, 2),
+        _le_hex(bits, 2),
+    )
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"),
+        F.unhex(_le_hex(riff_size, 4)),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"),
+        F.unhex(_le_hex(F.lit(16), 4)),
+        F.unhex(fmt_body),
+        list_chunk,
+        F.encode(F.lit("data"), "utf-8"),
+        F.unhex(_le_hex(data_len, 4)),
+        data_bytes,
+        data_pad,
+    )
+    return documents.filter(F.length("text") >= 1).select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("mime_type"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.col("source"),
+    )
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("data_bytes", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio-metadata decode via Arrow-batched mapInPandas: runs the
+    real RIFF/WAVE chunk walker (:func:`decode_wav`) per payload.
+    Payload bytes stream through executors; nothing gathers on the
+    driver. n_frames = samples per channel (data / block align)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            frame_bytes = [
+                m["n_channels"] * max(1, m["bits_per_sample"] // 8) for m in metas
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_channels": [m["n_channels"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "bits_per_sample": [m["bits_per_sample"] for m in metas],
+                    "data_bytes": [m["data_bytes"] for m in metas],
+                    "n_frames": [
+                        m["data_bytes"] // fb if fb else 0
+                        for m, fb in zip(metas, frame_bytes)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=AUDIO_META_SCHEMA)
+
+
 def decode_media(media: DataFrame, decoder: Optional[Decoder] = None) -> DataFrame:
     """Decode payloads to typed metadata via Arrow-batched mapInPandas.
 

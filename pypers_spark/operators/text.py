@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pypers_spark.functions.rounding import duck_rnd, rnd
+from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
+from pypers_spark.multimodal import (
+    WAV_DATA_BASE,
+    WAV_DATA_MOD,
+    WAV_RATE_BASE,
+    WAV_RATE_MOD,
+)
 from pypers_spark.functions.text import (
     BPEISH_PATTERN,
     LANG_MARKERS,
@@ -405,12 +411,75 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 """
 
 
+def mm_audio_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """Audio-modality decode over REAL RIFF/WAVE bytes: the corpus is
+    turned into binary WAV payloads IN-PLAN — little-endian chunk
+    headers assembled JVM-side, every 4th payload carrying an odd-sized
+    LIST chunk so the chunk walk and word alignment are exercised —
+    and the Arrow-batched ``mapInPandas`` decode runs the real chunk
+    walker (:func:`pypers_spark.multimodal.decode_wav`), then rolls up
+    a per-format report: media counts, payload volume, frame totals,
+    and exact (dsum-quantized) audio seconds.
+
+    Every WAV parameter is doc_id arithmetic
+    (:func:`pypers_spark.multimodal.wav_media_table`), so the oracle
+    recomputes the expected metadata WITHOUT touching bytes — a bug in
+    either the writer or the parser (header field order, endianness,
+    chunk-size walk, block-align math) breaks the value match. Scale:
+    payloads stream through executors as Arrow batches, the rollup is
+    one partial-aggregated shuffle on a 12-group key.
+    """
+    from pypers_spark.multimodal import decode_audio, wav_media_table
+
+    meta = decode_audio(wav_media_table(t["documents"]))
+    block = F.col("n_channels") * (F.col("bits_per_sample") / 8).cast("long")
+    duration = F.col("data_bytes").cast("double") / (
+        F.col("sample_rate") * block
+    ).cast("double")
+    return (
+        meta.groupBy("sample_rate", "n_channels", "bits_per_sample")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("data_bytes").alias("total_data_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+            rnd(dsum(duration), 4).alias("total_seconds"),
+        )
+        .orderBy("sample_rate", "n_channels", "bits_per_sample")
+    )
+
+
+ORACLE_MM_AUDIO = f"""
+WITH m AS (
+  SELECT 1 + doc_id % 2 AS n_channels,
+         {WAV_RATE_BASE} * (1 + doc_id % {WAV_RATE_MOD}) AS sample_rate,
+         8 + 8 * ((doc_id % 5) % 2) AS bits_per_sample,
+         {WAV_DATA_BASE} + doc_id % {WAV_DATA_MOD} AS data_bytes
+  FROM documents WHERE length(text) >= 1
+),
+b AS (
+  SELECT *, n_channels * (bits_per_sample // 8) AS block FROM m
+)
+SELECT CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_channels AS INT) AS n_channels,
+       CAST(bits_per_sample AS INT) AS bits_per_sample,
+       count(*) AS n_media,
+       CAST(sum(data_bytes) AS BIGINT) AS total_data_bytes,
+       CAST(sum(data_bytes // block) AS BIGINT) AS total_frames,
+       {duck_rnd(duck_dsum('CAST(data_bytes AS DOUBLE) / (sample_rate * block)'), 4)}
+         AS total_seconds
+FROM b
+GROUP BY 1, 2, 3
+ORDER BY sample_rate, n_channels, bits_per_sample
+"""
+
+
 QUERIES = {
     "txt_token_count": txt_token_count,
     "txt_quality": txt_quality,
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
     "txt_source_stats": txt_source_stats,
+    "mm_audio_meta": mm_audio_meta,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_meta": mm_decode_meta,
     "mm_features_hist": mm_features_hist,
@@ -424,6 +493,7 @@ ORACLES = {
     "txt_langid": _duck_langid_sql(),
     "txt_fingerprint": ORACLE_FINGERPRINT,
     "txt_source_stats": ORACLE_SOURCE_STATS,
+    "mm_audio_meta": ORACLE_MM_AUDIO,
     "mm_binary_meta": ORACLE_MM_BINARY,
     "mm_decode_meta": ORACLE_MM_DECODE,
     "mm_features_hist": ORACLE_MM_FEATURES,

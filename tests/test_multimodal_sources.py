@@ -254,3 +254,39 @@ def test_load_table_microsecond_events_passthrough(spark, sf_dir, tmp_path):
     a = sorted((r.event_id, r.ts) for r in ev.select("event_id", "ts").collect())
     b = sorted((r.event_id, r.ts) for r in ev2.select("event_id", "ts").collect())
     assert a == b and len(a) > 0
+
+
+def test_wav_media_table_roundtrips_chunk_walker(spark, sf_dir):
+    """The JVM-assembled RIFF/WAVE payloads must parse back to the
+    doc_id-derived parameters through the real chunk walker — including
+    the every-4th-doc odd-sized LIST chunk (chunk ordering + word
+    alignment) and odd data sizes (trailing pad byte)."""
+    from pypers_spark.multimodal import (
+        WAV_DATA_BASE,
+        WAV_DATA_MOD,
+        WAV_RATE_BASE,
+        WAV_RATE_MOD,
+        decode_wav,
+        wav_media_table,
+    )
+    from pypers_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    rows = wav_media_table(docs).collect()
+    assert rows, "fixture produced no media rows"
+    saw_list = saw_odd = False
+    for r in rows:
+        did = r["media_id"]
+        payload = bytes(r["payload"])
+        meta = decode_wav(payload)
+        assert meta["n_channels"] == 1 + did % 2
+        assert meta["sample_rate"] == WAV_RATE_BASE * (1 + did % WAV_RATE_MOD)
+        assert meta["bits_per_sample"] == 8 + 8 * ((did % 5) % 2)
+        assert meta["data_bytes"] == WAV_DATA_BASE + did % WAV_DATA_MOD
+        if did % 4 == 0:
+            saw_list = True
+            assert b"LIST" in payload
+        if meta["data_bytes"] % 2 == 1:
+            saw_odd = True
+            assert len(payload) % 2 == 0  # pad byte present
+    assert saw_list and saw_odd
