@@ -19,6 +19,16 @@ Checkpoints live under ``$SPARK_GRAFT_CHECKPOINT_DIR`` (default: a
 ``pypers_spark_checkpoints`` directory under the system temp dir).
 Set ``SPARK_GRAFT_CHECKPOINT=0`` to fall back to session-level
 ``tracked_persist`` only (tests that measure cold plans do this).
+
+A second, orthogonal knob serves ITERATIVE loops
+(:func:`iter_checkpoint`): ``$SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR``
+switches the per-round lineage truncation inside
+``min_label_components`` (functions/components.py) from
+``localCheckpoint`` (executor-local blocks — fast, but a lost executor
+kills the loop) to reliable ``checkpoint()`` against that directory
+(HDFS/S3 on a cluster). Unset — the local[N] default — keeps
+``localCheckpoint``: on a single JVM there is no executor to lose and
+the reliable path's extra write/read round-trip buys nothing.
 """
 
 from __future__ import annotations
@@ -44,6 +54,38 @@ def checkpoint_dir() -> str:
 
 def checkpoint_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CHECKPOINT", "1") not in ("0", "false", "off")
+
+
+def reliable_checkpoint_dir() -> str | None:
+    """Directory for reliable iterative checkpoints, or None (the
+    local-rig default, meaning ``localCheckpoint``)."""
+    return os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR") or None
+
+
+def iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager lineage-truncating materialization for iterative loops.
+
+    With ``$SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR`` set: reliable
+    ``checkpoint()`` — blocks are written to that directory (HDFS/S3 on
+    a cluster), so a lost executor mid-convergence recovers from
+    durable storage instead of killing the whole job. Unset: eager
+    ``localCheckpoint()``, the single-JVM fast path. Plan shape is
+    identical either way — only the storage of the truncated lineage
+    differs — so loops converge to byte-identical results under both
+    (pinned in tests/test_round6_ops.py).
+
+    ``setCheckpointDir`` is applied once per SparkContext (Spark
+    creates a fresh UUID subdirectory per call; re-setting every round
+    would leak directories).
+    """
+    target = reliable_checkpoint_dir()
+    if target is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    current = sc.getCheckpointDir()
+    if not current or target.rstrip("/") not in current:
+        sc.setCheckpointDir(target)
+    return df.checkpoint(eager=True)
 
 
 def _digest(df: DataFrame) -> str:

@@ -35,18 +35,25 @@ jump) instead of the plain loop's one — paid back exponentially in
 round count. At 100 TB each round's shuffles are keyed on node id and
 the persisted label table is (node, lbl) int64 pairs only.
 
-Lineage is truncated with an eager ``localCheckpoint`` every round:
-the label table is referenced FOUR times per round (twice building the
-hop, twice in the jump self-join), so without truncation the logical
-plan tree quadruples per round and Catalyst analysis time goes
-exponential (caching alone does not shrink the tree the analyzer must
-walk). On a real cluster swap in reliable ``checkpoint()`` (HDFS/S3
-dir) for executor-loss tolerance — the plan shape is identical.
+Lineage is truncated every round via
+:func:`pypers_spark.functions.checkpoint.iter_checkpoint`: the label
+table is referenced FOUR times per round (twice building the hop,
+twice in the jump self-join), so without truncation the logical plan
+tree quadruples per round and Catalyst analysis time goes exponential
+(caching alone does not shrink the tree the analyzer must walk). On
+the local rig that is an eager ``localCheckpoint``; with
+``$SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR`` set (a real cluster's HDFS/S3
+dir) it becomes reliable ``checkpoint()``, so a lost executor
+mid-convergence recovers from durable storage instead of killing a
+100 TB dedup job. Plan shape — and therefore the converged labels —
+is identical under both (pinned in tests/test_round6_ops.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from pypers_spark.functions.checkpoint import iter_checkpoint
 
 # 2^63 node ids bound every component diameter below 63 pointer-doubling
 # rounds; 100 adds slack for the interleaving constant. Hitting this cap
@@ -70,8 +77,9 @@ def min_label_components(
     cover every edge endpoint (extra isolated nodes are fine — they
     keep their own label).
     ``persist_key``: kept for call-site symmetry/diagnostics; the loop
-    materializes via eager localCheckpoint (which both caches and
-    truncates lineage), so no cache-manager entry outlives the call.
+    materializes via :func:`iter_checkpoint` (eager localCheckpoint,
+    or reliable checkpoint when the env knob is set — both cache AND
+    truncate lineage), so no cache-manager entry outlives the call.
     """
     global last_rounds
     del persist_key  # lineage truncation subsumes keyed persistence
@@ -82,7 +90,7 @@ def min_label_components(
     def _lbl_sum(df: DataFrame):
         return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
 
-    labels = labels.localCheckpoint(eager=True)
+    labels = iter_checkpoint(labels)
     prev_sum = _lbl_sum(labels)
     for rounds in range(1, MAX_CC_ROUNDS + 1):
         neighbor_min = (
@@ -99,16 +107,16 @@ def min_label_components(
         # Pointer jump: lbl ← lbl(lbl). Every lbl value is a node id in
         # the table (see module invariants), so the left join always
         # matches; coalesce guards the isolated-node degenerate case.
-        hop = hop.localCheckpoint(eager=True)
+        hop = iter_checkpoint(hop)
         parent = hop.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )
-        labels = hop.join(
-            parent, hop["lbl"] == parent["p_node"], "left"
-        ).select(
-            "node",
-            F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"),
-        ).localCheckpoint(eager=True)
+        labels = iter_checkpoint(
+            hop.join(parent, hop["lbl"] == parent["p_node"], "left").select(
+                "node",
+                F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"),
+            )
+        )
         new_sum = _lbl_sum(labels)
         if new_sum == prev_sum:  # labels only ever decrease
             last_rounds = rounds

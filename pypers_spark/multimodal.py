@@ -432,6 +432,12 @@ def ppm_media_table(documents: DataFrame) -> DataFrame:
     arithmetic). Dimensions derive from doc_id; documents shorter than
     one pixel are dropped. Everything is column expressions — the
     payload is assembled JVM-side and only the decode UDF touches it.
+
+    The pixel-cycling arithmetic counts CHARACTERS (``F.length``) while
+    the codec counts BYTES, so the fixture is restricted to docs where
+    the two coincide (``octet_length == length`` → all-ASCII); a
+    non-ASCII doc would otherwise silently desynchronize the Spark
+    payload from the oracle's string rebuild.
     """
     w = F.lit(PPM_W_BASE) + F.col("doc_id") % PPM_W_MOD
     h = F.lit(PPM_H_BASE) + F.col("doc_id") % PPM_H_MOD
@@ -443,7 +449,10 @@ def ppm_media_table(documents: DataFrame) -> DataFrame:
         F.lit("\n255\n"), pix_str,
     )
     payload = F.encode(payload_str, "utf-8")
-    return documents.filter(F.length("text") >= 1).select(
+    return documents.filter(
+        (F.length("text") >= 1)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.lit("image/x-portable-pixmap").alias("mime_type"),
@@ -539,7 +548,10 @@ def wav_media_table(documents: DataFrame) -> DataFrame:
         data_bytes,
         data_pad,
     )
-    return documents.filter(F.length("text") >= 1).select(
+    return documents.filter(
+        (F.length("text") >= 1)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.lit("audio/wav").alias("mime_type"),

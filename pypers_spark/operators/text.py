@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
 from pypers_spark.multimodal import (
+    PPM_H_BASE,
+    PPM_H_MOD,
+    PPM_W_BASE,
+    PPM_W_MOD,
     WAV_DATA_BASE,
     WAV_DATA_MOD,
     WAV_RATE_BASE,
@@ -268,13 +272,20 @@ def mm_decode_meta(t: dict[str, DataFrame]) -> DataFrame:
     ).orderBy("media_id")
 
 
-# Rebuilds the exact P6 payload with string arithmetic (corpus is ASCII,
-# so chars == bytes): header 'P6\n{w} {h}\n255\n' + text cycled to
-# w*h*3 bytes. chr(10) because DuckDB string literals keep backslashes.
-_DUCK_PPM = """
+# Rebuilds the exact P6 payload with string arithmetic: header
+# 'P6\n{w} {h}\n255\n' + text cycled to w*h*3 bytes. chr(10) because
+# DuckDB string literals keep backslashes. The octet_length guard
+# mirrors ppm_media_table's byte-safety filter: the string arithmetic
+# here counts CODE POINTS while the codec counts BYTES, so both engines
+# restrict the fixture to docs where the two coincide (all-ASCII).
+# Dimension moduli interpolate the PPM_* constants from multimodal.py —
+# single source of truth, like ORACLE_MM_AUDIO's WAV_* constants.
+_DUCK_PPM = f"""
 m AS (
-  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h, text
-  FROM documents WHERE length(text) >= 1
+  SELECT doc_id, {PPM_W_BASE} + doc_id % {PPM_W_MOD} AS w,
+         {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h, text
+  FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
 ),
 ppm AS (
   SELECT doc_id, w, h,
@@ -454,7 +465,8 @@ WITH m AS (
          {WAV_RATE_BASE} * (1 + doc_id % {WAV_RATE_MOD}) AS sample_rate,
          8 + 8 * ((doc_id % 5) % 2) AS bits_per_sample,
          {WAV_DATA_BASE} + doc_id % {WAV_DATA_MOD} AS data_bytes
-  FROM documents WHERE length(text) >= 1
+  FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
 ),
 b AS (
   SELECT *, n_channels * (bits_per_sample // 8) AS block FROM m

@@ -85,6 +85,9 @@ def submit_smoke(verbose: bool = True) -> bool:
     executors) and one Arrow-UDF query (mm_features_hist — proves the
     shipped zip reaches executor-side PYTHON workers, the exact failure
     mode local[N] cannot catch). Returns True when both produce rows.
+
+    Data dir comes from ``$SPARK_GRAFT_SMOKE_DIR`` (default: the rig's
+    sf0.001 parquet) so the CI entry works on machines with other layouts.
     """
     from pyspark.sql import SparkSession
 
@@ -114,7 +117,9 @@ def submit_smoke(verbose: bool = True) -> bool:
         from pypers_spark.operators.text import mm_features_hist
         from pypers_spark.sources import load_tables
 
-        tables = load_tables(spark, "/root/testdata/sf0.001")
+        tables = load_tables(
+            spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+        )
         n_q1 = q1_pricing_summary(tables).count()
         n_mm = mm_features_hist(tables).count()
         if verbose:

@@ -23,12 +23,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from bench import HEADLINE, SF_DIR
+from bench import CALIBRATION, HEADLINE, SF_DIR
 
 
 def main() -> None:
     from pypers_spark.operators import ORACLES
     from pypers_spark.sources.registry import TABLES
+
+    # Same load gate as tools/pin_baseline_keys.py: baselines timed on a
+    # busy box poison every later ratio comparison.
+    max_load = float(os.environ.get("SPARK_GRAFT_PIN_MAX_LOAD", "8"))
+    load = os.getloadavg()[0]
+    if load > max_load:
+        raise SystemExit(
+            f"refusing to time baseline at load_avg {load:.1f} > {max_load} "
+            "(set SPARK_GRAFT_PIN_MAX_LOAD to override)"
+        )
 
     con = duckdb.connect()
     for name in TABLES:
@@ -39,7 +49,7 @@ def main() -> None:
     # Warm once (buffer-pool + parquet metadata), then time.
     times: dict[str, float] = {}
     skipped: list[str] = []
-    for name in HEADLINE:
+    for name in HEADLINE + tuple(CALIBRATION):
         sql = ORACLES.get(name)
         if sql is None:
             skipped.append(name)

@@ -32,6 +32,16 @@ def main() -> None:
     keys = sys.argv[1:]
     if not keys:
         raise SystemExit("pass the headline keys to pin")
+    # Load gate: a baseline pinned on a busy box under-reports DuckDB
+    # and flatters every later Spark/DuckDB ratio. Refuse rather than
+    # record a poisoned number (override: SPARK_GRAFT_PIN_MAX_LOAD).
+    max_load = float(os.environ.get("SPARK_GRAFT_PIN_MAX_LOAD", "8"))
+    load = os.getloadavg()[0]
+    if load > max_load:
+        raise SystemExit(
+            f"refusing to pin baseline at load_avg {load:.1f} > {max_load} "
+            "(set SPARK_GRAFT_PIN_MAX_LOAD to override)"
+        )
     con = duckdb.connect()
     for name in TABLES:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
