@@ -153,6 +153,8 @@ HEADLINE = (
     "ann_knn_graph_cells",
     # fourth composed pipeline: entity resolution end-to-end
     "pipe_entity_resolution",
+    # round-6: production-parameter LSH (64 perms x 16 bands via Config)
+    "dd_minhash_lsh_prod",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -204,41 +204,79 @@ def _duck_shingles(expr: str) -> str:
 N_BAND_KEYS = (ROWS_PER_BAND + 1) // 2
 BAND_KEY_COLS = [f"k{q}" for q in range(N_BAND_KEYS)]
 
+# Production-scale LSH parameters (r5 verdict "What's wrong #3"): the
+# module constants above are the GATE-scale defaults, chosen so every
+# DuckDB oracle stays tractable; a real near-dup pass runs 64+
+# permutations over 16+ bands. dd_minhash_lsh_prod runs the identical
+# pipeline at these parameters, resolved through the orchestration
+# Config so a deployment overrides them per-task without code changes.
+PROD_N_HASHES = 64
+PROD_N_BANDS = 16
 
-def _packed_band_keys(b: int, mh_at):
+
+def lsh_params(config=None) -> tuple[int, int]:
+    """Resolve ``(n_hashes, n_bands)`` from a pipeline ``Config``.
+
+    Keys ``dedup/n_hashes`` and ``dedup/n_bands`` (the same ``/``-path
+    convention every Stage uses); unset keys fall back to the gate-scale
+    module constants. n_hashes must divide evenly into bands.
+    """
+    from pypers_spark.config import Config
+
+    c = config if config is not None else Config()
+    n_hashes = int(c.get("dedup/n_hashes", N_HASHES))
+    n_bands = int(c.get("dedup/n_bands", N_BANDS))
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a multiple of n_bands ({n_bands})"
+        )
+    return n_hashes, n_bands
+
+
+def band_key_cols(rows_per_band: int = ROWS_PER_BAND) -> list[str]:
+    """Packed-key column names for a given band width."""
+    return [f"k{q}" for q in range((rows_per_band + 1) // 2)]
+
+
+def _packed_band_keys(b: int, mh_at, rows_per_band: int = ROWS_PER_BAND):
     """Packed key Columns for band ``b``; ``mh_at(i)`` = i-th minhash Column."""
     from pypers_spark.functions.hashing import MINHASH_P
 
     ks = []
-    for q in range(N_BAND_KEYS):
-        i = b * ROWS_PER_BAND + 2 * q
-        if 2 * q + 1 < ROWS_PER_BAND:
+    for q in range((rows_per_band + 1) // 2):
+        i = b * rows_per_band + 2 * q
+        if 2 * q + 1 < rows_per_band:
             ks.append((mh_at(i) * F.lit(MINHASH_P) + mh_at(i + 1)).alias(f"k{q}"))
         else:  # odd rows-per-band: last minhash rides alone
             ks.append(mh_at(i).alias(f"k{q}"))
     return ks
 
 
-def _duck_packed_band_keys(b: int, mh_at) -> list[str]:
+def _duck_packed_band_keys(
+    b: int, mh_at, rows_per_band: int = ROWS_PER_BAND
+) -> list[str]:
     """DuckDB fragments mirroring :func:`_packed_band_keys`."""
     from pypers_spark.functions.hashing import MINHASH_P
 
     ks = []
-    for q in range(N_BAND_KEYS):
-        i = b * ROWS_PER_BAND + 2 * q
-        if 2 * q + 1 < ROWS_PER_BAND:
+    for q in range((rows_per_band + 1) // 2):
+        i = b * rows_per_band + 2 * q
+        if 2 * q + 1 < rows_per_band:
             ks.append(f"{mh_at(i)} * {MINHASH_P} + {mh_at(i + 1)} AS k{q}")
         else:
             ks.append(f"{mh_at(i)} AS k{q}")
     return ks
 
 
-def _bands_of(docs: DataFrame) -> DataFrame:
+def _bands_of(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """(doc_id, band, k0..k{n}) rows from a signature table.
 
-    One row per band via explode — a 4-way union here would re-run the
-    whole scan→shingle→hash subtree once per band.
+    One row per band via explode — a per-band union here would re-run
+    the whole scan→shingle→hash subtree once per band.
     """
+    rows_per_band = n_hashes // n_bands
 
     def _min_affine(j: int):
         # NB: a plain unary lambda — a two-parameter lambda would make
@@ -247,19 +285,19 @@ def _bands_of(docs: DataFrame) -> DataFrame:
 
     mh = docs.select(
         "doc_id",
-        *[_min_affine(j).alias(f"mh{j}") for j in range(N_HASHES)],
+        *[_min_affine(j).alias(f"mh{j}") for j in range(n_hashes)],
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                *_packed_band_keys(b, lambda i: F.col(f"mh{i}")),
+                *_packed_band_keys(b, lambda i: F.col(f"mh{i}"), rows_per_band),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", *[f"bk.{k}" for k in BAND_KEY_COLS]
+        "doc_id", "bk.band", *[f"bk.{k}" for k in band_key_cols(rows_per_band)]
     )
 
 
@@ -277,8 +315,9 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
     once and caps state by construction. Pair count per bucket is
     ≤ C(cap, 2) = 2016, bounded at any corpus size.
     """
+    key_cols = [c for c in bands.columns if c not in ("doc_id",)]
     buckets = (
-        bands.groupBy("band", *BAND_KEY_COLS)
+        bands.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(LSH_MAX_BUCKET_WIDTH)))
     )
@@ -317,8 +356,17 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     keyed on doc id otherwise — no driver-side materialization either
     way (tests/test_skew_stages.py asserts the shuffle fallback).
     """
+    return _minhash_lsh_pairs(t, N_HASHES, N_BANDS)
+
+
+def _minhash_lsh_pairs(
+    t: dict[str, DataFrame], n_hashes: int, n_bands: int
+) -> DataFrame:
+    """The dd_minhash_lsh pipeline at explicit LSH parameters; the
+    signature table (base shingle hashes) is parameter-independent and
+    shared across all configurations via its checkpoint key."""
     docs = _signature_table(t)
-    cand = _band_candidates(_bands_of(docs))
+    cand = _band_candidates(_bands_of(docs, n_hashes, n_bands))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
@@ -331,6 +379,28 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+def dd_minhash_lsh_prod(t: dict[str, DataFrame]) -> DataFrame:
+    """dd_minhash_lsh at PRODUCTION LSH parameters (64 permutations ×
+    16 bands), resolved through the orchestration ``Config`` — the
+    knob a deployment turns per-task (``dedup/n_hashes``,
+    ``dedup/n_bands``) without code changes.
+
+    Same plan family as the gate-scale entry: one md5 base hash per
+    shingle, 64 affine min-hashes (integer-only, codegen), 16 packed
+    band keys per doc, capped aggregate-and-expand candidates, exact
+    Jaccard verify on candidates only. At 4 rows per band the S-curve
+    catch probability at J = 0.8 rises from 0.87 (4 bands) to 0.9998
+    (16 bands) — the recall-vs-cost trade dd_lsh_curve quantifies, and
+    tests/test_round6_ops.py asserts empirically against planted
+    overlap pairs. Cost scales linearly in both parameters: 4× the
+    minhash arithmetic, 4× the band-shuffle rows, same verify stage.
+    """
+    from pypers_spark.config import Config
+
+    cfg = Config({"dedup": {"n_hashes": PROD_N_HASHES, "n_bands": PROD_N_BANDS}})
+    return _minhash_lsh_pairs(t, *lsh_params(cfg))
 
 
 CURVE_MIN_J = 0.5
@@ -525,25 +595,30 @@ ORDER BY source
 """
 
 
-def _duck_band_ctes() -> str:
+def _duck_band_ctes(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
     """Shared CTE chain: docs → mh → bands → capped → cand (skew-capped).
 
     The QUALIFY mirrors _band_candidates' width cap exactly so both engines agree on
-    which buckets were dropped.
+    which buckets were dropped. Parameterized like the Spark side — the
+    prod-scale gate entry interpolates 64/16 here.
     """
+    rows_per_band = n_hashes // n_bands
+    key_cols = band_key_cols(rows_per_band)
     mh_cols = ",\n       ".join(
         f"list_min(list_transform(hs, h -> {duck_affine_hash('h', j)})) AS mh{j}"
-        for j in range(N_HASHES)
+        for j in range(n_hashes)
     )
-    key_list = ", ".join(BAND_KEY_COLS)
+    key_list = ", ".join(key_cols)
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, {keys} FROM mh".format(
             b=b,
-            keys=", ".join(_duck_packed_band_keys(b, lambda i: f"mh{i}")),
+            keys=", ".join(
+                _duck_packed_band_keys(b, lambda i: f"mh{i}", rows_per_band)
+            ),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
-    on_keys = " AND ".join(f"l.{k} = r.{k}" for k in ["band", *BAND_KEY_COLS])
+    on_keys = " AND ".join(f"l.{k} = r.{k}" for k in ["band", *key_cols])
     return f"""docs AS (
   SELECT doc_id, list_transform({_duck_shingles('text')}, s -> {duck_md5_int64('s')}) AS hs
   FROM corpus
@@ -568,10 +643,10 @@ cand AS (
 )"""
 
 
-def _duck_minhash_sql() -> str:
+def _duck_minhash_sql(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
     return f"""
 WITH {DUCK_CORPUS},
-{_duck_band_ctes()}
+{_duck_band_ctes(n_hashes, n_bands)}
 SELECT id_a, id_b,
        {duck_rnd('len(list_intersect(a.hs, b.hs)) * 1.0 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))', 4)} AS jaccard
 FROM cand
@@ -1057,6 +1132,7 @@ FROM widths GROUP BY band ORDER BY band
 
 QUERIES = {
     "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_minhash_lsh_prod": dd_minhash_lsh_prod,
     "dd_minhash_est": dd_minhash_est,
     "dd_ngram_jaccard_lsh": dd_ngram_jaccard_lsh,
     "dd_lsh_bucket_stats": dd_lsh_bucket_stats,
@@ -1074,6 +1150,7 @@ ORACLES = {
     "dd_exact": ORACLE_DD_EXACT,
     "dd_exact_keep": ORACLE_DD_EXACT_KEEP,
     "dd_minhash_lsh": _duck_minhash_sql(),
+    "dd_minhash_lsh_prod": _duck_minhash_sql(PROD_N_HASHES, PROD_N_BANDS),
     "dd_minhash_est": _duck_minhash_est_sql(),
     "dd_ngram_jaccard_lsh": _duck_ngram_lsh_sql(),
     "dd_lsh_bucket_stats": _duck_bucket_stats_sql(),

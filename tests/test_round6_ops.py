@@ -1,8 +1,10 @@
-"""Round-6 hardening tests: reliable-checkpoint knob for iterative loops."""
+"""Round-6 hardening tests: reliable-checkpoint knob for iterative
+loops, production-scale LSH parameters vs the S-curve prediction."""
 
 from __future__ import annotations
 
 import os
+import random
 
 from pyspark.sql import functions as F
 
@@ -82,3 +84,79 @@ def test_iter_checkpoint_reliable_df_not_local(spark, tmp_path, monkeypatch):
         for f in files
     ]
     assert written, "reliable checkpoint wrote nothing"
+
+
+# --- production LSH parameters vs the S-curve --------------------------------
+
+
+def _lsh_recall(spark, n_hashes, n_bands, pairs):
+    """Empirical candidate recall of the band pipeline over planted
+    (hs_a, hs_b) pairs with known overlap; returns (recall, jaccard)."""
+    from pypers_spark.operators.dedup import _band_candidates, _bands_of
+
+    rows = []
+    for pid, (hs_a, hs_b) in enumerate(pairs):
+        rows.append((2 * pid, hs_a))
+        rows.append((2 * pid + 1, hs_b))
+    docs = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+    cand = _band_candidates(_bands_of(docs, n_hashes, n_bands))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cand.collect()
+        # only planted partners count — cross-pair collisions are noise
+        if r["id_b"] == r["id_a"] + 1 and r["id_a"] % 2 == 0
+    }
+    return len(got) / len(pairs)
+
+
+def _planted_pairs(n_pairs, set_size, shared, rng):
+    """Pairs of int64 hash sets: |each| = set_size, |intersection| =
+    shared → Jaccard = shared / (2*set_size - shared)."""
+    pairs = []
+    for _ in range(n_pairs):
+        common = [rng.getrandbits(59) for _ in range(shared)]
+        ua = [rng.getrandbits(59) for _ in range(set_size - shared)]
+        ub = [rng.getrandbits(59) for _ in range(set_size - shared)]
+        pairs.append((common + ua, common + ub))
+    return pairs
+
+
+def test_prod_lsh_recall_matches_s_curve(spark):
+    # 64-perm/16-band (the dd_minhash_lsh_prod parameters) vs the
+    # gate-scale 16/4 config, on 150 planted pairs of known Jaccard
+    # 54/(120-54) = 0.818. The S-curve p = 1-(1-J^r)^b predicts the
+    # candidate recall of each config; empirical recall must sit within
+    # ~3 binomial standard deviations — this is the r5-verdict request
+    # that the parameterization be validated against dd_lsh_curve's
+    # math, not just registered.
+    rng = random.Random(61)
+    n_pairs, set_size, shared = 150, 60, 54
+    jac = shared / (2 * set_size - shared)
+    pairs = _planted_pairs(n_pairs, set_size, shared, rng)
+
+    for n_hashes, n_bands in ((16, 4), (64, 16)):
+        r = n_hashes // n_bands
+        p = 1 - (1 - jac**r) ** n_bands
+        sd = (p * (1 - p) / n_pairs) ** 0.5
+        recall = _lsh_recall(spark, n_hashes, n_bands, pairs)
+        assert abs(recall - p) <= max(3 * sd, 0.02), (
+            f"{n_hashes}/{n_bands}: recall {recall:.3f} vs predicted {p:.3f}"
+        )
+
+
+def test_lsh_params_config_resolution():
+    from pypers_spark.config import Config
+    from pypers_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        lsh_params,
+    )
+    import pytest
+
+    assert lsh_params() == (N_HASHES, N_BANDS)
+    assert lsh_params(Config({"dedup": {"n_hashes": 128, "n_bands": 32}})) == (
+        128,
+        32,
+    )
+    with pytest.raises(ValueError):
+        lsh_params(Config({"dedup": {"n_hashes": 10, "n_bands": 4}}))
