@@ -358,6 +358,125 @@ QUERIES["st_upsert_drain"] = st_upsert_drain
 ORACLES["st_upsert_drain"] = ORACLE_ST_UPSERT
 
 
+def _restart_upsert_table(spark, sf_dir: str, crash: bool = True) -> tuple:
+    """Shared driver for st_restart_upsert and its pytest: split events
+    into 4 deterministic files, stream them one file per micro-batch
+    through the keyed-upsert parquet sink, CRASH the query after the
+    first applied batch (the sink raises before touching batch 1), then
+    restart the identical query from the same checkpoint dir and drain
+    to completion.
+
+    Returns (base_dir, out_path, n_batches_before_crash). Exactly-once
+    across the restart comes from two composable guarantees the test
+    pins separately: the checkpoint's batch tracking (committed batch 0
+    is not re-fed) and the sink's keyed idempotence (a replayed
+    uncommitted batch upserts to the same final rows).
+    """
+    import tempfile
+
+    from pypers_spark.sources import load_table
+    from pypers_spark.streaming.core import stream_events, streaming_upsert_parquet
+
+    base = tempfile.mkdtemp(prefix="st_restart_upsert_")
+    src = f"{base}/src"
+    # 4 hash-partitioned files -> 4 micro-batches at maxFilesPerTrigger=1.
+    load_table(spark, sf_dir, "events").repartition(4, "event_id").write.parquet(src)
+
+    def make_stream():
+        schema = spark.read.parquet(src).schema
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = f"{base}/table"
+    ckpt = f"{base}/ckpt"
+    sink = streaming_upsert_parquet(
+        make_stream(), out, key_cols=["event_id"], order_col="value", n_partitions=4
+    )
+
+    applied = {"n": 0}
+
+    def crashing_sink(batch_df, batch_id):
+        if applied["n"] >= 1:
+            # Fail BEFORE applying: the worst case for a restart —
+            # an uncommitted batch that must be replayed.
+            raise RuntimeError("injected mid-drain failure")
+        sink(batch_df, batch_id)
+        applied["n"] += 1
+
+    if crash:
+        q1 = (
+            make_stream()
+            .writeStream.foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q1.awaitTermination()
+        except Exception:
+            pass  # the injected failure — the restart below recovers
+
+    q2 = (
+        make_stream()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return base, out, applied["n"]
+
+
+def st_restart_upsert(t: dict[str, DataFrame]) -> DataFrame:
+    """Streaming RESTART semantics inside the value gate (r5 verdict
+    item 4): the keyed-upsert drain is killed mid-stream by an injected
+    sink failure after its first committed micro-batch, restarted from
+    the same checkpoint directory, and drained to completion — the
+    final table must equal a plain batch projection regardless of
+    where the crash landed.
+
+    This is the recovery path a 100 TB backfill depends on: the
+    checkpoint skips committed batches, and the sink's last-write-wins
+    keyed merge makes any replayed in-flight batch idempotent, so
+    crash + restart converges to the same rows as an uninterrupted
+    drain (the repype analogy is interrupted-batch resume,
+    reference tests/test_batch.py).
+    """
+    import os
+    import shutil
+
+    spark = t["events"].sparkSession
+    base, out, _ = _restart_upsert_table(spark, t._sf_dir, crash=True)
+    if not os.path.isdir(out):
+        shutil.rmtree(base, ignore_errors=True)
+        return (
+            t["events"]
+            .select("event_id", "user_id", rnd(F.col("value"), 2).alias("value"))
+            .limit(0)
+        )
+    result = (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", rnd(F.col("value"), 2).alias("value"))
+        .orderBy("event_id")
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLE_ST_RESTART = f"""
+SELECT event_id, user_id, {duck_rnd('value', 2)} AS value
+FROM events ORDER BY event_id
+"""
+
+QUERIES["st_restart_upsert"] = st_restart_upsert
+ORACLES["st_restart_upsert"] = ORACLE_ST_RESTART
+
+
 def st_hll_registers(t: dict[str, DataFrame]) -> DataFrame:
     """HyperLogLog registers maintained BY THE STREAMING ENGINE: the
     distinct-user sketch as streaming state. bucket/rho are computed

@@ -144,6 +144,97 @@ def test_prod_lsh_recall_matches_s_curve(spark):
         )
 
 
+# --- streaming restart semantics ---------------------------------------------
+
+
+def test_streaming_restart_exactly_once(spark, sf_dir):
+    # Drive the crash/restart cycle by hand so the INTERMEDIATE state is
+    # pinned, not just the converged result: after the injected failure
+    # exactly one micro-batch must have been applied (a strict subset of
+    # the rows), and the restart from the same checkpoint must converge
+    # to exactly the batch result with no duplicates.
+    import shutil
+
+    from pypers_spark.operators.streaming_batch import _restart_upsert_table
+    from pypers_spark.sources import load_table
+
+    expected = {
+        r["event_id"]: (r["user_id"], float(r["value"]))
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .collect()
+    }
+
+    base, out, n_applied = _restart_upsert_table(spark, sf_dir, crash=True)
+    try:
+        assert n_applied == 1, "crash was injected after exactly one batch"
+        got = {
+            r["event_id"]: (r["user_id"], float(r["value"]))
+            for r in spark.read.parquet(out)
+            .select("event_id", "user_id", "value")
+            .collect()
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    assert got == expected  # exactly-once: no lost rows, no duplicates
+
+
+def test_streaming_restart_partial_state_before_recovery(spark, sf_dir):
+    # The same cycle but inspected BETWEEN crash and restart: run only
+    # the crashing drain (no recovery query) and assert the sink holds a
+    # non-empty strict subset — proof the crash interrupts real work
+    # rather than racing a completed drain.
+    import shutil
+    import tempfile
+
+    from pypers_spark.sources import load_table
+    from pypers_spark.streaming.core import streaming_upsert_parquet
+
+    base = tempfile.mkdtemp(prefix="st_restart_partial_")
+    src = f"{base}/src"
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()
+    events.repartition(4, "event_id").write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = f"{base}/table"
+    sink = streaming_upsert_parquet(
+        stream, out, key_cols=["event_id"], order_col="value", n_partitions=4
+    )
+    applied = {"n": 0}
+
+    def crashing(batch_df, batch_id):
+        if applied["n"] >= 1:
+            raise RuntimeError("injected")
+        sink(batch_df, batch_id)
+        applied["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass
+        n_partial = spark.read.parquet(out).count()
+        assert 0 < n_partial < total, (
+            f"expected a strict subset after the crash, got {n_partial}/{total}"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_lsh_params_config_resolution():
     from pypers_spark.config import Config
     from pypers_spark.operators.dedup import (
