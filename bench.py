@@ -154,7 +154,9 @@ HEADLINE = (
     # fourth composed pipeline: entity resolution end-to-end
     "pipe_entity_resolution",
     # round-6: production-parameter LSH (64 perms x 16 bands via Config)
+    # and the compressed-format (GIF/LZW) decode gate
     "dd_minhash_lsh_prod",
+    "mm_gif_meta",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -276,6 +276,267 @@ def ppm_decoder(payload: bytes, mime_type: str = "") -> dict:
     }
 
 
+# --- GIF (LZW-compressed) codec ---------------------------------------------
+#
+# The round-5 codecs (P6/BMP/WAV) parse UNCOMPRESSED formats; a real
+# media pipeline decodes compressed payloads. GIF87a with its LZW pixel
+# stream is the most compact such format expressible in dependency-free
+# pure Python, so it is the proof that the set_decoder injection
+# contract carries a genuinely compressed codec: the encoder below
+# performs real variable-width LZW compression (dictionary growth,
+# code-width bumps, 4096-entry reset, sub-block framing) and the
+# decoder reverses it — the gate round-trips real compressed bytes.
+
+GIF_MAX_CODE = 4096  # 12-bit code limit fixed by the GIF spec
+
+
+def _lzw_compress(pixels: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width, LSB-first bit packing.
+
+    Width synchronization: BOTH sides advance one shared counter per
+    data code (starting at eoi+1 after every clear) and widen when the
+    counter reaches ``1 << width`` — so encoder and decoder agree on
+    every code's width by construction, including the final flush code
+    and the EOI after it.
+    """
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+    width = min_code_size + 1
+    counter = eoi + 1  # codes seen since clear; also the next insert id
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def emit_data(code: int) -> bool:
+        """Emit a data code, advance the shared counter; True on reset."""
+        nonlocal width, counter, table
+        emit(code)
+        counter += 1
+        if counter == (1 << width) and width < 12:
+            width += 1
+        if counter >= GIF_MAX_CODE:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            width = min_code_size + 1
+            counter = eoi + 1
+            return True
+        return False
+
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    emit(clear)
+    seq = b""
+    for px in pixels:
+        cand = seq + bytes([px])
+        if cand in table:
+            seq = cand
+            continue
+        insert_id = counter  # insert ids stay consecutive from eoi+1
+        if not emit_data(table[seq]):
+            table[cand] = insert_id
+        seq = bytes([px])
+    if seq:
+        emit_data(table[seq])
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_compress` — standard GIF LZW decode with
+    the shared-counter width rule (see the encoder docstring)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = n_bits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    out = bytearray()
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table: list[bytes] = list(base)
+    width = min_code_size + 1
+    counter = eoi + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            counter = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        out += entry
+        prev = entry
+        counter += 1
+        if counter == (1 << width) and width < 12:
+            width += 1
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Emit a real GIF87a payload for 2-bit palette ``pixels`` (LZW)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if pixels and max(pixels) > 3:
+        raise ValueError("palette indices must be < 4")
+    head = b"GIF87a"
+    # logical screen descriptor: 4-entry global color table (2^(1+1))
+    lsd = (
+        width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x80 | 0x10 | 0x01, 0, 0])
+    )
+    palette = b"".join(
+        bytes([k * 85, 255 - k * 85, (k * 40) % 256]) for k in range(4)
+    )
+    img_desc = (
+        b"\x2c\x00\x00\x00\x00"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+    )
+    lzw = _lzw_compress(pixels, 2)
+    blocks = bytearray([2])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"  # block terminator
+    return head + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a GIF87a/89a payload: (width, height, palette indices).
+
+    A real parser: logical screen descriptor, global color table skip,
+    extension-block skip (0x21), image descriptor with optional local
+    color table, sub-block reassembly, LZW decompression.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            width = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            height = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            local_flags = payload[pos + 9]
+            pos += 10
+            if local_flags & 0x80:
+                pos += 3 * (2 << (local_flags & 0x07))
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pixels = _lzw_decompress(bytes(data), min_code_size)
+            if len(pixels) != width * height:
+                raise ValueError("LZW pixel count does not match dimensions")
+            return width, height, pixels
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("no image descriptor in GIF payload")
+
+
+def gif_decoder(payload: bytes, mime_type: str = "") -> dict:
+    """Real :data:`Decoder` for LZW-compressed GIF payloads.
+
+    content_sha digests the DECODED palette indices (md5 of their ASCII
+    digits), not the compressed bytes: an oracle that knows the pixel
+    generation rule can recompute it WITHOUT an LZW implementation, so
+    the value gate proves the decompression actually ran and produced
+    the right pixels — a payload-byte digest would only prove byte
+    plumbing.
+    """
+    width, height, pixels = decode_gif(payload)
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "content_sha": hashlib.md5(
+            "".join(str(p) for p in pixels).encode()
+        ).hexdigest(),
+    }
+
+
+# Deterministic GIF fixture arithmetic (gif_media_table): dimensions and
+# every palette index derive from doc_id, so a SQL oracle recomputes the
+# expected decode output — including the pixel digest — independently.
+GIF_W_BASE, GIF_W_MOD = 4, 13
+GIF_H_BASE, GIF_H_MOD = 3, 11
+GIF_N_COLORS = 4  # pixel i of doc d = (d + i) % 4
+
+
+def gif_media_table(documents: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL LZW-compressed GIF87a images.
+
+    Payload assembly runs in Arrow-batched ``mapInPandas`` (LZW
+    compression is inherently sequential per image — a fixture encoder,
+    like production ingest, is Python-side; DECODE is what the gate
+    measures). Dimensions and pixels are pure doc_id arithmetic.
+    """
+    src = documents.select("doc_id", "source")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = GIF_W_BASE + d % GIF_W_MOD
+                h = GIF_H_BASE + d % GIF_H_MOD
+                px = bytes((d + i) % GIF_N_COLORS for i in range(w * h))
+                payloads.append(encode_gif(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "mime_type": ["image/gif"] * len(payloads),
+                    "n_bytes": [len(p) for p in payloads],
+                    "source": pdf["source"].values,
+                }
+            )
+
+    return src.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, int]:
     """Parse an uncompressed BMP header: (width, height, bits per pixel).
 

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
 from pypers_spark.multimodal import (
+    GIF_H_BASE,
+    GIF_H_MOD,
+    GIF_N_COLORS,
+    GIF_W_BASE,
+    GIF_W_MOD,
     PPM_H_BASE,
     PPM_H_MOD,
     PPM_W_BASE,
@@ -296,6 +301,59 @@ ppm AS (
 )
 """
 
+def mm_gif_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal decode of a COMPRESSED format: deterministic GIF87a
+    payloads are built per document (real variable-width LZW
+    compression — :func:`pypers_spark.multimodal.gif_media_table`),
+    then decoded through the same ``set_decoder`` injection point as
+    mm_decode_meta, with the real GIF parser + LZW DEcompressor
+    (:func:`pypers_spark.multimodal.gif_decoder`) as the fallback.
+
+    content_sha digests the DECODED palette indices, which the oracle
+    recomputes from the doc_id pixel rule without any LZW code — the
+    value match therefore proves the compressed stream round-tripped
+    bit-exactly (sub-block framing, code-width growth, dictionary
+    state), not merely that bytes moved through the plan.
+    """
+    from pypers_spark.multimodal import (
+        decode_media,
+        gif_decoder,
+        gif_media_table,
+        registered_decoder,
+    )
+
+    decoded = decode_media(
+        gif_media_table(t["documents"]),
+        decoder=registered_decoder() or gif_decoder,
+    )
+    return decoded.select(
+        "media_id", "width", "height", "n_channels", "content_sha"
+    ).orderBy("media_id")
+
+
+# The oracle rebuilds the EXPECTED DECODE OUTPUT (not the payload):
+# dimensions from the GIF_* doc_id arithmetic, pixel digest as md5 over
+# the '0'-'3' digit string of (doc_id + i) % GIF_N_COLORS — the exact
+# rule gif_media_table compresses and gif_decoder must recover.
+ORACLE_MM_GIF = f"""
+WITH m AS (
+  SELECT doc_id, {GIF_W_BASE} + doc_id % {GIF_W_MOD} AS w,
+         {GIF_H_BASE} + doc_id % {GIF_H_MOD} AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         string_agg(CAST((doc_id + i) % {GIF_N_COLORS} AS VARCHAR), ''
+                    ORDER BY i) AS s
+  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM m)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+       3::INT AS n_channels, md5(s) AS content_sha
+FROM px ORDER BY media_id
+"""
+
+
 ORACLE_MM_DECODE = f"""
 WITH {_DUCK_PPM}
 SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
@@ -494,6 +552,7 @@ QUERIES = {
     "mm_audio_meta": mm_audio_meta,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_meta": mm_decode_meta,
+    "mm_gif_meta": mm_gif_meta,
     "mm_features_hist": mm_features_hist,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_meta": mm_resize_meta,
@@ -508,6 +567,7 @@ ORACLES = {
     "mm_audio_meta": ORACLE_MM_AUDIO,
     "mm_binary_meta": ORACLE_MM_BINARY,
     "mm_decode_meta": ORACLE_MM_DECODE,
+    "mm_gif_meta": ORACLE_MM_GIF,
     "mm_features_hist": ORACLE_MM_FEATURES,
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "mm_resize_meta": ORACLE_MM_RESIZE,

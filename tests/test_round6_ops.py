@@ -235,6 +235,69 @@ def test_streaming_restart_partial_state_before_recovery(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# --- GIF/LZW codec -----------------------------------------------------------
+
+
+def test_gif_lzw_round_trip_edges():
+    from pypers_spark.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        encode_gif,
+    )
+
+    # repetitive stream long enough to force code-width growth to 12
+    # bits AND a 4096-entry dictionary reset mid-stream
+    px = bytes([0, 1, 2, 3] * 8000) + bytes([0] * 20000)
+    assert _lzw_decompress(_lzw_compress(px, 2), 2) == px
+    # KwKwK pattern (aaa...): the decoder's code == len(table) branch
+    assert _lzw_decompress(_lzw_compress(b"\x00" * 500, 2), 2) == b"\x00" * 500
+    for d in (0, 7, 99, 54321):
+        w, h = 4 + d % 13, 3 + d % 11
+        pix = bytes((d + i) % 4 for i in range(w * h))
+        assert decode_gif(encode_gif(w, h, pix)) == (w, h, pix)
+
+
+def test_gif_decoder_injection_contract(spark, tables):
+    # A registered decoder must win over the GIF fallback in
+    # mm_gif_meta — same contract tests/test_multimodal_sources.py pins
+    # for mm_decode_meta.
+    from pypers_spark import multimodal as mm
+    from pypers_spark.operators.text import mm_gif_meta
+
+    def fake(payload, mime_type=""):
+        return {
+            "width": -1,
+            "height": -1,
+            "n_channels": 9,
+            "content_sha": "injected",
+        }
+
+    mm.set_decoder(fake)
+    try:
+        row = mm_gif_meta(tables).limit(1).collect()[0]
+        assert (row["width"], row["content_sha"]) == (-1, "injected")
+    finally:
+        mm.set_decoder(None)
+    row = mm_gif_meta(tables).limit(1).collect()[0]
+    assert row["width"] > 0 and row["content_sha"] != "injected"
+
+
+def test_gif_decode_skips_extension_blocks():
+    # GIF89a files carry extension blocks (0x21 ...) before the image
+    # descriptor; the parser must skip them. Splice a graphic-control
+    # extension into an encoded payload and decode.
+    from pypers_spark.multimodal import decode_gif, encode_gif
+
+    w, h = 5, 4
+    pix = bytes(i % 4 for i in range(w * h))
+    payload = bytearray(encode_gif(w, h, pix))
+    desc = payload.index(0x2C, 13)  # image descriptor after LSD+GCT
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(payload[:desc]) + gce + bytes(payload[desc:])
+    assert decode_gif(b"GIF89a" + patched[6:]) == (w, h, pix)
+
+
 def test_lsh_params_config_resolution():
     from pypers_spark.config import Config
     from pypers_spark.operators.dedup import (
