@@ -43,6 +43,9 @@ ALWAYS_INCLUDE = [
     "dd_source_overlap_kmv",
     "ann_knn_graph_cells",
     "pipe_entity_resolution",
+    # the production-parameter LSH path: its growth curve vs the
+    # gate-scale dd_minhash_lsh is the cost side of the S-curve trade
+    "dd_minhash_lsh_prod",
 ]
 
 
