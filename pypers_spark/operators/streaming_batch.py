@@ -380,10 +380,13 @@ def _restart_upsert_table(spark, sf_dir: str, crash: bool = True) -> tuple:
     base = tempfile.mkdtemp(prefix="st_restart_upsert_")
     src = f"{base}/src"
     # 4 hash-partitioned files -> 4 micro-batches at maxFilesPerTrigger=1.
-    load_table(spark, sf_dir, "events").repartition(4, "event_id").write.parquet(src)
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4, "event_id").write.parquet(src)
+    # Schema from the batch frame, not re-inferred from src: an empty
+    # source table writes zero part files, which cannot be inferred.
+    schema = events.schema
 
     def make_stream():
-        schema = spark.read.parquet(src).schema
         s = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -446,12 +449,14 @@ def st_restart_upsert(t: dict[str, DataFrame]) -> DataFrame:
     drain (the repype analogy is interrupted-batch resume,
     reference tests/test_batch.py).
     """
-    import os
+    import glob
     import shutil
 
     spark = t["events"].sparkSession
     base, out, _ = _restart_upsert_table(spark, t._sf_dir, crash=True)
-    if not os.path.isdir(out):
+    # Zero drained micro-batches (empty source) leave out/ absent or
+    # without part files — schema inference would fail on read-back.
+    if not glob.glob(f"{out}/**/*.parquet", recursive=True):
         shutil.rmtree(base, ignore_errors=True)
         return (
             t["events"]
