@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # Optional key filter (argv[3:]): run only these registry keys and
+    # skip the artifact write — targeted re-verification, not evidence.
+    only = set(sys.argv[3:])
 
     import __spark_entry__ as e
     from pypers_spark.session import get_session
@@ -38,6 +41,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown keys: {sorted(unknown)}")
+        qs = {k: qs[k] for k in only}
 
     out: dict[str, dict] = {}
     t0 = time.perf_counter()
@@ -87,13 +95,14 @@ def main() -> None:
         "sf_dir": sf_dir,
         "wall_sec": round(time.perf_counter() - t0, 1),
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"CORRECTNESS_FULL_{tag}.json",
-    )
-    with open(path, "w") as fh:
-        json.dump({"summary": summary, "rows": out}, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    if not only:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"CORRECTNESS_FULL_{tag}.json",
+        )
+        with open(path, "w") as fh:
+            json.dump({"summary": summary, "rows": out}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print(json.dumps(summary))
     if n_fail:
         sys.exit(1)
