@@ -53,6 +53,12 @@ def get_session(app_name: str = "pypers_spark", master: str | None = None) -> Sp
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The Python<->JVM collect handshake defaults to 15 s; on a
+        # saturated box (or a busy cluster driver) that window can lapse
+        # and fail an otherwise-healthy toPandas with a spurious
+        # SocketAuthServer awaitResult error. 120 s keeps transient
+        # scheduler stalls from turning into hard failures.
+        .config("spark.python.auth.socketTimeout", "120s")
         # Headless by default: the UI's SQL listener retains every
         # execution's AQE plan graph — measurable driver overhead and
         # memory growth over a long query sweep (10-20% on the bench's
