@@ -705,26 +705,36 @@ def op_market_basket(t: dict[str, DataFrame]) -> DataFrame:
     Baskets are (order × distinct brand) — ≤13 lines here, bounded by
     order width at any corpus size — so the within-basket pair
     explosion is the same bounded-block discipline as every LSH/IVF
-    operator. part is a broadcast dim; one shuffle keys the basket
-    table on the order, one keys pair counts on the brand pair.
+    operator. part is a broadcast dim. ONE shuffle builds the basket
+    array per order (collect_set folds the brand-distinct in — no
+    separate distinct pass, no basket self-join); the bounded pair
+    expansion happens in-row over the sorted array, then one shuffle
+    keys pair counts on the brand pair and one keys brand support.
+    The fact⋈dim scan is paid exactly once.
     """
-    baskets = (
+    grp = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
     n_orders = t["orders"].agg(F.count("*").alias("n_orders"))
-    supp = baskets.groupBy("p_brand").agg(F.count("*").alias("supp"))
-    a = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    supp = (
+        grp.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("supp"))
     )
-    b = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    # In-row ordered-pair expansion: for brand i, pair with every later
+    # brand in the sorted set — width-bounded (order width), so the
+    # expansion is O(rows · w²) with small constant w, never a self-join.
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        grp.select(F.explode(pair_expr).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("pair_supp"))
         .filter(F.col("pair_supp") >= MB_MIN_SUPPORT)
