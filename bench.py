@@ -157,6 +157,17 @@ HEADLINE = (
     # and the compressed-format (GIF/LZW) decode gate
     "dd_minhash_lsh_prod",
     "mm_gif_meta",
+    # round-6 analytics wave: survival/AUC/Gini/streak/changepoint
+    # measurement layer + bitmap exact-distinct + entropy
+    "ev_survival_km",
+    "ev_auc_score",
+    "ev_activity_gini",
+    "ev_streaks",
+    "ev_changepoint",
+    "ev_stickiness",
+    "sk_bitmap_distinct",
+    "op_largest_remainder",
+    "txt_token_entropy",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 from pypers_spark.operators import (
+    analytics,
     curation,
     curation_extra,
     dedup,
@@ -37,6 +38,7 @@ from pypers_spark.operators import (
 # intricate operator families (streaming drain, curation, similarity,
 # LSH dedup, multimodal) lead and the battle-tested TPC-H shapes trail.
 MODULES = (
+    analytics,
     geo,
     incremental,
     sketches,
@@ -68,6 +70,19 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
+    # round-6-new keys lead: never driver-sampled yet
+    "ev_survival_km",
+    "ev_auc_score",
+    "ev_activity_gini",
+    "ev_streaks",
+    "ev_changepoint",
+    "ev_stickiness",
+    "sk_bitmap_distinct",
+    "op_largest_remainder",
+    "txt_token_entropy",
+    "dd_minhash_lsh_prod",
+    "mm_gif_meta",
+    "st_restart_upsert",
     "ev_concurrency",
     "txt_split_leakage",
     "op_benford_check",
