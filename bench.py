@@ -168,6 +168,8 @@ HEADLINE = (
     "sk_bitmap_distinct",
     "op_largest_remainder",
     "txt_token_entropy",
+    "op_scd2_build",
+    "ev_ltv_cohort",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -71,6 +71,8 @@ for _m in MODULES:
 # is value-checked, not just judge-checked.
 _HOISTED = (
     # round-6-new keys lead: never driver-sampled yet
+    "op_scd2_build",
+    "ev_ltv_cohort",
     "ev_survival_km",
     "ev_auc_score",
     "ev_activity_gini",

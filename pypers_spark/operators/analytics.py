@@ -5,11 +5,11 @@ ranking quality, concentration, streaks, drift localization, exact
 distinct at scale — all as declarative DataFrame plans with exact
 cross-engine oracles:
 
-- ``ev_survival_km`` — Kaplan-Meier survival over user lifetimes with
-  right-censoring (users still active near the corpus end are censored,
-  not deaths). The log-survival accumulates 1e-9-quantized ln terms as
-  exact int64s (the ``ev_psi_drift`` discipline), so the product is
-  order-independent and bit-identical cross-engine.
+- ``ev_survival_km`` — Kaplan-Meier time-to-first-conversion (hours)
+  with fixed-horizon right-censoring (slower converters censor at the
+  72 h analysis window). The log-survival accumulates 1e-9-quantized ln
+  terms as exact int64s (the ``ev_psi_drift`` discipline), so the
+  product is order-independent and bit-identical cross-engine.
 - ``ev_auc_score`` — ROC AUC via the tie-corrected Mann-Whitney
   rank-sum. The doubled positive rank-sum Σ(2·rank_min + ties − 1)
   stays integer-exact; AUC is one double division at the end.
@@ -133,12 +133,12 @@ def ev_survival_km(t: dict[str, DataFrame]) -> DataFrame:
     return (
         risk.withColumn("qsum", F.sum(qln).over(cum))
         .select(
-            F.col("dur").alias("duration_days"),
+            F.col("dur").alias("duration_h"),
             F.col("n_risk").alias("n_at_risk"),
             F.col("d").alias("n_deaths"),
             rnd(F.exp(F.col("qsum") / F.lit(1e9)), 6).alias("survival"),
         )
-        .orderBy("duration_days")
+        .orderBy("duration_h")
     )
 
 
@@ -172,10 +172,10 @@ steps AS (
               AS BIGINT) AS qln
   FROM risk WHERE d > 0 AND n_risk > d
 )
-SELECT dur AS duration_days, n_risk AS n_at_risk, d AS n_deaths,
+SELECT dur AS duration_h, n_risk AS n_at_risk, d AS n_deaths,
        {duck_rnd("exp(sum(qln) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e9)", 6)}
          AS survival
-FROM steps ORDER BY duration_days
+FROM steps ORDER BY duration_h
 """
 
 QUERIES["ev_survival_km"] = ev_survival_km
@@ -696,3 +696,168 @@ FROM counts GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["txt_token_entropy"] = txt_token_entropy
 ORACLES["txt_token_entropy"] = ORACLE_TOKEN_ENTROPY
+
+
+# --- op_scd2_build -----------------------------------------------------------
+
+SCD2_HIGH = 8  # daily-event thresholds for the tier attribute
+SCD2_MID = 4
+
+
+def op_scd2_build(t: dict[str, DataFrame]) -> DataFrame:
+    """Type-2 slowly-changing dimension built from daily snapshots.
+
+    Per (user, observed day) an activity tier is derived; consecutive
+    observations with the same tier collapse into one version row
+    [valid_from, valid_to) with valid_to = next version's start and
+    NULL on the current version — the standard snapshot→SCD2 compaction
+    a warehouse runs on every dimension feed. One user-keyed window
+    pass over user-day partials; no self-join.
+    """
+    daily = (
+        t["events"]
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            "day",
+            F.when(F.col("n") >= SCD2_HIGH, F.lit("high"))
+            .when(F.col("n") >= SCD2_MID, F.lit("mid"))
+            .otherwise(F.lit("low"))
+            .alias("tier"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    changes = daily.withColumn("prev_tier", F.lag("tier").over(w)).filter(
+        F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("day")
+    return (
+        changes.select(
+            "user_id",
+            "tier",
+            # timestamp, not date: nullable DATE reaches pandas as
+            # object-dtype None while the oracle's arrives as NaT —
+            # datetime64 on both sides keeps the comparator aligned
+            F.col("day").cast("timestamp").alias("valid_from"),
+            F.lead(F.col("day").cast("timestamp")).over(w2).alias("valid_to"),
+            F.row_number().over(w2).alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+ORACLE_SCD2_BUILD = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CASE WHEN count(*) >= {SCD2_HIGH} THEN 'high'
+              WHEN count(*) >= {SCD2_MID} THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM events GROUP BY 1, 2
+),
+changes AS (
+  SELECT user_id, day, tier,
+         lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+  FROM daily
+)
+SELECT user_id, tier, day AS valid_from,
+       lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+         AS version,
+       lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL AS is_current
+FROM changes
+WHERE prev_tier IS NULL OR prev_tier <> tier
+ORDER BY user_id, version
+"""
+
+QUERIES["op_scd2_build"] = op_scd2_build
+ORACLES["op_scd2_build"] = ORACLE_SCD2_BUILD
+
+
+# --- ev_ltv_cohort -----------------------------------------------------------
+
+
+def ev_ltv_cohort(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per user by
+    weekly signup cohort and week offset — the companion to
+    ev_cohort_retention's activity matrix, with exact dsum revenue.
+
+    per-user first week (one hash agg) joins back on user_id (the
+    natural distribution key; the cohort table is user-cardinality);
+    cumulative revenue runs per cohort over the tiny offset axis.
+    """
+    first_week = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    joined = purchases.join(first_week, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+        )
+        .cast("long")
+        .alias("offset"),
+        "value",
+    )
+    cohort_sizes = first_week.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    per_cell = joined.groupBy("cohort_week", "offset").agg(
+        F.count("*").alias("purchases"),
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))).alias("qrev"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_cell.withColumn("qcum", F.sum("qrev").over(w_cum))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset",
+            "purchases",
+            rnd(F.col("qcum") / F.lit(1e6), 2).alias("cum_revenue"),
+            rnd(F.col("qcum") / F.lit(1e6) / F.col("cohort_users"), 4).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "offset")
+    )
+
+
+ORACLE_LTV_COHORT = f"""
+WITH first_week AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+  FROM first_week GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+           AS "offset",
+         count(*) AS purchases,
+         CAST(sum(CAST(floor(e.value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS qrev
+  FROM events e JOIN first_week f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c."offset", c.purchases,
+       {duck_rnd('CAST(sum(qrev) OVER (PARTITION BY c.cohort_week ORDER BY c."offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6', 2)}
+         AS cum_revenue,
+       {duck_rnd('CAST(sum(qrev) OVER (PARTITION BY c.cohort_week ORDER BY c."offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 / s.cohort_users', 4)}
+         AS ltv_per_user
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+ORDER BY c.cohort_week, c."offset"
+"""
+
+QUERIES["ev_ltv_cohort"] = ev_ltv_cohort
+ORACLES["ev_ltv_cohort"] = ORACLE_LTV_COHORT

@@ -130,3 +130,43 @@ def test_token_entropy_bounds(tables):
 
         assert -1e-4 <= r["entropy"] <= math.log(max(r["n_types"], 1)) + 1e-4
         assert r["n_types"] <= r["n_tokens"]
+
+
+WAVE2_KEYS = ("op_scd2_build", "ev_ltv_cohort")
+
+
+@pytest.mark.parametrize("key", WAVE2_KEYS)
+def test_gate_parity_wave2(spark, duck, sf_dir, key):
+    from tests.oracle_check import check_query
+
+    assert check_query(spark, duck, key, sf_dir) == []
+
+
+def test_scd2_intervals_tile(tables):
+    # Versions per user must tile: valid_from strictly increases,
+    # valid_to == next valid_from, exactly one current (NULL) row.
+    rows = A.op_scd2_build(tables).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["valid_to"] is None for r in vs) == 1
+        assert vs[-1]["valid_to"] is None and vs[-1]["is_current"]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["tier"] != b["tier"]
+
+
+def test_ltv_cumulative_monotone(tables):
+    rows = A.ev_ltv_cohort(tables).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for vs in by_cohort.values():
+        vs.sort(key=lambda r: r["offset"])
+        cum = [r["cum_revenue"] for r in vs]
+        assert all(a <= b for a, b in zip(cum, cum[1:]))
+        assert all(r["ltv_per_user"] <= r["cum_revenue"] for r in vs)
