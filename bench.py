@@ -170,6 +170,7 @@ HEADLINE = (
     "txt_token_entropy",
     "op_scd2_build",
     "ev_ltv_cohort",
+    "pipe_eval",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

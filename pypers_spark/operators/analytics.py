@@ -861,3 +861,130 @@ ORDER BY c.cohort_week, c."offset"
 
 QUERIES["ev_ltv_cohort"] = ev_ltv_cohort
 ORACLES["ev_ltv_cohort"] = ORACLE_LTV_COHORT
+
+
+# --- pipe_eval ---------------------------------------------------------------
+
+ENTROPY_MIN = 2.9  # prune threshold; ~p25-p30 of the corpus at every SF
+
+
+def _entropy_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, qent) — entropy quantized to 1e-4 int64 so
+    downstream averages are exact integer sums."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    qterm = F.floor(
+        F.col("c") * F.log(F.col("c").cast("double")) * 1e9 + F.lit(0.5)
+    ).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.sum(qterm).alias("qsum")
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("qsum") / F.lit(1e9)
+    ) / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(ent * 1e4 + F.lit(0.5)).cast("long").alias("qent"),
+    )
+
+
+def pipe_eval(t: dict[str, DataFrame]) -> DataFrame:
+    """Fifth composed pipeline in the gate: the MEASUREMENT pass —
+    ingest → per-doc entropy scoring → low-entropy prune → per-source
+    rollup, built through the actual Stage/Pipeline machinery
+    (create_pipeline → process) so the orchestration path itself is
+    value-checked, like pipe_curation for the curation pass.
+
+    One Catalyst plan: the entropy join is keyed on doc_id (the ingest
+    repartition key), the prune is a filter above it, the rollup one
+    hash agg. Per-source avg entropy averages the 1e-4-quantized
+    per-doc values as exact int64 sums.
+    """
+    from pypers_spark.config import Config
+    from pypers_spark.pipeline import create_pipeline
+    from pypers_spark.stage import Stage
+
+    class Ingest(Stage):
+        outputs = ("docs",)
+
+        def process(self, pipeline, config, status=None, **inputs):
+            from pypers_spark.session import current_session
+
+            spark = current_session()
+            df = spark.read.parquet(f'{config["sf_dir"]}/documents.parquet')
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            return {"docs": df.repartition(n, F.col("doc_id"))}
+
+    class Score(Stage):
+        consumes = ("docs",)
+        outputs = ("scored",)
+
+        def process(self, pipeline, config, status=None, docs=None, **inputs):
+            return {"scored": docs.join(_entropy_per_doc(docs), "doc_id")}
+
+    class Prune(Stage):
+        consumes = ("scored",)
+        outputs = ("kept",)
+
+        def process(self, pipeline, config, status=None, scored=None, **inputs):
+            qmin = int(round(config.get("entropy_min", ENTROPY_MIN) * 1e4))
+            return {"kept": scored.filter(F.col("qent") >= qmin)}
+
+    class Rollup(Stage):
+        consumes = ("kept",)
+        outputs = ("stats",)
+
+        def process(self, pipeline, config, status=None, kept=None, **inputs):
+            return {
+                "stats": kept.groupBy("source").agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_tokens").alias("total_tokens"),
+                    F.sum("qent").alias("qent_sum"),
+                )
+            }
+
+    pipeline = create_pipeline([Ingest(), Score(), Prune(), Rollup()])
+    config = Config({"ingest": {"sf_dir": t._sf_dir}})
+    data, _, _ = pipeline.process(input_id=1, config=config)
+    return (
+        data["stats"]
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            rnd(F.col("qent_sum") / F.lit(1e4) / F.col("n_docs"), 6).alias(
+                "avg_entropy"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PIPE_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(floor((ln(CAST(sum(c) AS DOUBLE))
+               - (sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) / 1e9) / sum(c))
+              * 1e4 + 0.5) AS BIGINT) AS qent
+  FROM counts GROUP BY doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       {duck_rnd("CAST(sum(p.qent) AS DOUBLE) / 1e4 / count(*)", 6)} AS avg_entropy
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.qent >= {int(round(ENTROPY_MIN * 1e4))}
+GROUP BY d.source ORDER BY d.source
+"""
+
+QUERIES["pipe_eval"] = pipe_eval
+ORACLES["pipe_eval"] = ORACLE_PIPE_EVAL

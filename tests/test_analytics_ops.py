@@ -170,3 +170,17 @@ def test_ltv_cumulative_monotone(tables):
         cum = [r["cum_revenue"] for r in vs]
         assert all(a <= b for a, b in zip(cum, cum[1:]))
         assert all(r["ltv_per_user"] <= r["cum_revenue"] for r in vs)
+
+
+def test_gate_parity_pipe_eval(spark, duck, sf_dir):
+    from tests.oracle_check import check_query
+
+    assert check_query(spark, duck, "pipe_eval", sf_dir) == []
+
+
+def test_pipe_eval_prunes_low_entropy(spark, tables, sf_dir):
+    # The rollup counts only docs at or above the threshold; the pruned
+    # fraction must be strictly between 0 and 1 (non-vacuous gate).
+    kept = sum(r["n_docs"] for r in A.pipe_eval(tables).collect())
+    total = tables["documents"].count()
+    assert 0 < kept < total
