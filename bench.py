@@ -171,6 +171,7 @@ HEADLINE = (
     "op_scd2_build",
     "ev_ltv_cohort",
     "pipe_eval",
+    "ev_diff_in_diff",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

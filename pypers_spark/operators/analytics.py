@@ -988,3 +988,113 @@ GROUP BY d.source ORDER BY d.source
 
 QUERIES["pipe_eval"] = pipe_eval
 ORACLES["pipe_eval"] = ORACLE_PIPE_EVAL
+
+
+# --- ev_diff_in_diff ---------------------------------------------------------
+
+DID_TREAT_MOD = 3  # user_id % 3 == 0 -> treatment arm
+DID_UPLIFT = 1.5  # deterministic injected effect on treated post-period rows
+
+
+def ev_diff_in_diff(t: dict[str, DataFrame]) -> DataFrame:
+    """Difference-in-differences readout per event type.
+
+    Arms split on user_id % 3 (independent of ev_auc_score's parity
+    label); pre/post split at the integer-exact stream midpoint (the
+    ev_psi_drift discipline). A deterministic ×1.5 uplift is injected
+    into treated post-period values so the estimator provably recovers
+    a known effect (did ≈ 0.5 × treated-pre mean) instead of gating on
+    noise. All four cell means come from 1e-6-quantized int64 sums;
+    DiD is arithmetic on identical doubles in both engines.
+    """
+    ev = t["events"].withColumn("ts_s", F.unix_timestamp("ts"))
+    split = ev.agg(
+        F.floor((F.min("ts_s") + F.max("ts_s")) / 2).cast("bigint").alias("mid")
+    )
+    cells = ev.crossJoin(F.broadcast(split)).select(
+        "event_type",
+        (F.col("user_id") % DID_TREAT_MOD == 0).alias("treat"),
+        (F.col("ts_s") > F.col("mid")).alias("post"),
+        F.col("value").alias("v"),
+    )
+    boosted = cells.withColumn(
+        "v",
+        F.when(F.col("treat") & F.col("post"), F.col("v") * DID_UPLIFT).otherwise(
+            F.col("v")
+        ),
+    )
+    q = F.sum(F.floor(F.col("v") * 1e6 + F.lit(0.5)))
+
+    def cell(tr: bool, po: bool, name: str):
+        cond = (F.col("treat") == tr) & (F.col("post") == po)
+        return [
+            F.sum(cond.cast("long")).alias(f"n_{name}"),
+            F.sum(F.when(cond, F.floor(F.col("v") * 1e6 + F.lit(0.5)))).alias(
+                f"q_{name}"
+            ),
+        ]
+
+    aggs = cell(True, False, "t_pre") + cell(True, True, "t_post") + cell(
+        False, False, "c_pre"
+    ) + cell(False, True, "c_post")
+    per_type = boosted.groupBy("event_type").agg(*aggs)
+    mean = lambda n: (F.col(f"q_{n}") / F.lit(1e6)) / F.col(f"n_{n}")  # noqa: E731
+    return per_type.select(
+        "event_type",
+        rnd(mean("t_pre"), 4).alias("treat_pre"),
+        rnd(mean("t_post"), 4).alias("treat_post"),
+        rnd(mean("c_pre"), 4).alias("ctrl_pre"),
+        rnd(mean("c_post"), 4).alias("ctrl_post"),
+        rnd(
+            (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")), 4
+        ).alias("did"),
+    ).orderBy("event_type")
+
+
+def _duck_did_cell(tr: str, po: str, name: str) -> str:
+    cond = f"(treat = {tr} AND post = {po})"
+    return (
+        f"CAST(sum(CAST({cond} AS BIGINT)) AS BIGINT) AS n_{name},\n"
+        f"       CAST(sum(CASE WHEN {cond} THEN CAST(floor(v * 1e6 + 0.5) AS BIGINT) END) AS BIGINT) AS q_{name}"
+    )
+
+
+_DID_MEAN = lambda n: f"((q_{n} / 1e6) / n_{n})"  # noqa: E731
+
+ORACLE_DIFF_IN_DIFF = f"""
+WITH ev AS (
+  SELECT event_type,
+         user_id % {DID_TREAT_MOD} = 0 AS treat,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         value
+  FROM events
+),
+mid AS (
+  SELECT CAST(floor((min(ts_s) + max(ts_s)) / 2.0) AS BIGINT) AS mid FROM ev
+),
+cells AS (
+  SELECT event_type, treat, ts_s > mid AS post,
+         CASE WHEN treat AND ts_s > mid THEN value * {DID_UPLIFT}
+              ELSE value END AS v
+  FROM ev, mid
+),
+per_type AS (
+  SELECT event_type,
+       {_duck_did_cell('TRUE', 'FALSE', 't_pre')},
+       {_duck_did_cell('TRUE', 'TRUE', 't_post')},
+       {_duck_did_cell('FALSE', 'FALSE', 'c_pre')},
+       {_duck_did_cell('FALSE', 'TRUE', 'c_post')}
+  FROM cells GROUP BY event_type
+)
+SELECT event_type,
+       {duck_rnd(_DID_MEAN('t_pre'), 4)} AS treat_pre,
+       {duck_rnd(_DID_MEAN('t_post'), 4)} AS treat_post,
+       {duck_rnd(_DID_MEAN('c_pre'), 4)} AS ctrl_pre,
+       {duck_rnd(_DID_MEAN('c_post'), 4)} AS ctrl_post,
+       {duck_rnd(f"({_DID_MEAN('t_post')} - {_DID_MEAN('t_pre')}) - ({_DID_MEAN('c_post')} - {_DID_MEAN('c_pre')})", 4)}
+         AS did
+FROM per_type ORDER BY event_type
+"""
+
+QUERIES["ev_diff_in_diff"] = ev_diff_in_diff
+ORACLES["ev_diff_in_diff"] = ORACLE_DIFF_IN_DIFF

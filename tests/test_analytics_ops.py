@@ -184,3 +184,20 @@ def test_pipe_eval_prunes_low_entropy(spark, tables, sf_dir):
     kept = sum(r["n_docs"] for r in A.pipe_eval(tables).collect())
     total = tables["documents"].count()
     assert 0 < kept < total
+
+
+def test_gate_parity_did(spark, duck, sf_dir):
+    from tests.oracle_check import check_query
+
+    assert check_query(spark, duck, "ev_diff_in_diff", sf_dir) == []
+
+
+def test_did_recovers_injected_uplift(tables):
+    # With the x1.5 injection, DiD should approximate 0.5 x the
+    # treated-pre mean (exactly, up to natural pre/post drift).
+    for r in A.ev_diff_in_diff(tables).collect():
+        expected = 0.5 * r["treat_post"] / A.DID_UPLIFT  # 0.5 x raw treated-post mean
+        # loose band: natural drift between periods, but the effect must
+        # be positive and in the right order of magnitude
+        assert r["did"] > 0
+        assert 0.2 * expected < r["did"] < 3.0 * expected

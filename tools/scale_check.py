@@ -46,6 +46,12 @@ ALWAYS_INCLUDE = [
     # the production-parameter LSH path: its growth curve vs the
     # gate-scale dd_minhash_lsh is the cost side of the S-curve trade
     "dd_minhash_lsh_prod",
+    # round-6 analytics wave representatives: the full-events window
+    # rank (heaviest new shuffle shape), the bitmap-word distinct, and
+    # the composed measurement pipeline
+    "ev_auc_score",
+    "sk_bitmap_distinct",
+    "pipe_eval",
 ]
 
 
