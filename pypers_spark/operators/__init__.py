@@ -71,6 +71,7 @@ for _m in MODULES:
 # is value-checked, not just judge-checked.
 _HOISTED = (
     # round-6-new keys lead: never driver-sampled yet
+    "mm_image_phash",
     "ev_diff_in_diff",
     "pipe_eval",
     "op_scd2_build",

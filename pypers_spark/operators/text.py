@@ -705,3 +705,70 @@ ORDER BY doc_id, chunk_idx
 
 QUERIES["mm_chunk_bytes"] = mm_chunk_bytes
 ORACLES["mm_chunk_bytes"] = ORACLE_MM_CHUNK
+
+
+def mm_image_phash(t: dict[str, DataFrame]) -> DataFrame:
+    """Perceptual near-dup hashing over REAL decoded pixels: the
+    in-plan P6 payloads stream through the Arrow ``mapInPandas``
+    dHash (:func:`pypers_spark.multimodal.dhash_ppm` — 9×8
+    nearest-neighbor grayscale grid, one bit per horizontal gradient,
+    16 hex chars), then a window count sizes each hash group — the
+    image-level analogue of dd_exact's fingerprint grouping.
+
+    Every step is exact integer arithmetic, so the oracle recomputes
+    the identical hash from the fixture's text-cycling byte derivation
+    (unicode(substr(pix, ...))) without touching binary — a decode or
+    sampling bug breaks the value match bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from pypers_spark.multimodal import phash_media, ppm_media_table
+
+    ph = phash_media(ppm_media_table(t["documents"]))
+    w = Window.partitionBy("phash")
+    return (
+        ph.withColumn("n_same", F.count("*").over(w).cast("bigint"))
+        .select("media_id", "width", "height", "phash", "n_same")
+        .orderBy("media_id")
+    )
+
+
+# Grid/grayscale arithmetic mirrors dhash_ppm: sx = x*w // 9,
+# sy = y*h // 8, gray = (r+g+b) // 3 at pixel k = sy*w + sx (substr is
+# 1-based, so byte c of pixel k sits at 3k + c + 1); bit x of row y is
+# gray(x) < gray(x+1), packed MSB-first into one hex byte per row.
+ORACLE_MM_PHASH = f"""
+WITH {_DUCK_PPM},
+cells AS (
+  SELECT doc_id, w, h, y, x,
+    (  unicode(substr(pix, 3*(((y*h)//8)*w + ((x*w)//9)) + 1, 1))
+     + unicode(substr(pix, 3*(((y*h)//8)*w + ((x*w)//9)) + 2, 1))
+     + unicode(substr(pix, 3*(((y*h)//8)*w + ((x*w)//9)) + 3, 1))
+    ) // 3 AS gray
+  FROM ppm,
+       (SELECT unnest(range(0, 8)) AS y) ty,
+       (SELECT unnest(range(0, 9)) AS x) tx
+),
+bits AS (
+  SELECT doc_id, y, x,
+         CAST(gray < lead(gray) OVER (PARTITION BY doc_id, y ORDER BY x)
+              AS INT) AS b
+  FROM cells
+),
+bytes AS (
+  SELECT doc_id, y, CAST(sum(b * (1 << (7 - x))) AS BIGINT) AS byte
+  FROM bits WHERE x <= 7 GROUP BY doc_id, y
+),
+ph AS (
+  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y) AS phash
+  FROM bytes GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id, m.w::INT AS width, m.h::INT AS height,
+       ph.phash,
+       count(*) OVER (PARTITION BY ph.phash) AS n_same
+FROM ph JOIN m ON ph.doc_id = m.doc_id
+ORDER BY media_id
+"""
+
+QUERIES["mm_image_phash"] = mm_image_phash
+ORACLES["mm_image_phash"] = ORACLE_MM_PHASH

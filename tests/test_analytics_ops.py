@@ -201,3 +201,36 @@ def test_did_recovers_injected_uplift(tables):
         # be positive and in the right order of magnitude
         assert r["did"] > 0
         assert 0.2 * expected < r["did"] < 3.0 * expected
+
+
+def test_gate_parity_phash(spark, duck, sf_dir):
+    from tests.oracle_check import check_query
+
+    assert check_query(spark, duck, "mm_image_phash", sf_dir) == []
+
+
+def test_dhash_known_image():
+    # 9x8 gradient image: gray strictly increases left->right in every
+    # row -> every bit set -> "ff" x 8; reversed -> all zero.
+    from pypers_spark.multimodal import dhash_ppm, encode_ppm
+
+    w, h = 9, 8
+    inc = bytes(bytearray(v for y in range(h) for x in range(w) for v in (x * 20,) * 3))
+    wid, hei, ph = dhash_ppm(encode_ppm(w, h, inc))
+    assert (wid, hei, ph) == (9, 8, "ff" * 8)
+    dec = bytes(bytearray(v for y in range(h) for x in range(w) for v in ((8 - x) * 20,) * 3))
+    assert dhash_ppm(encode_ppm(w, h, dec))[2] == "00" * 8
+
+
+def test_phash_groups_identical_content(tables, spark):
+    # n_same is the size of each hash group; sum over distinct hashes
+    # must equal total images.
+    from pypers_spark.operators.text import mm_image_phash
+
+    rows = mm_image_phash(tables).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["phash"], set()).add(r["n_same"])
+    for ph, sizes in groups.items():
+        assert len(sizes) == 1  # consistent group size per hash
+    assert sum(next(iter(s)) for s in groups.values()) == len(rows)
