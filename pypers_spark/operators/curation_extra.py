@@ -656,16 +656,18 @@ def ev_mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
     make outlier membership hinge on last-ulp agreement between them —
     the same exact-primitive discipline as dsum/md5 everywhere else.
     """
+    from pypers_spark.functions.percentile import exact_percentiles
+
     ev = t["events"]
-    med = ev.groupBy("event_type").agg(
-        rnd(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("med")
-    )
+    med = exact_percentiles(
+        ev, "value", [(0.5, "_med")], group_cols=["event_type"]
+    ).select("event_type", rnd(F.col("_med"), 6).alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        rnd(F.percentile(F.col("adev"), F.lit(0.5)), 6).alias("mad")
-    )
+    mad = exact_percentiles(
+        dev, "adev", [(0.5, "_mad")], group_cols=["event_type"]
+    ).select("event_type", rnd(F.col("_mad"), 6).alias("mad"))
     flagged = dev.join(F.broadcast(mad), "event_type")
     return (
         flagged.groupBy("event_type")

@@ -1415,12 +1415,29 @@ def ev_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("anchor", "last_day"))
     )
-    cuts = per_user.agg(
-        *[
-            rnd(F.percentile(F.col(m), F.lit(q)), 6).alias(f"{m}_q{int(q * 100)}")
-            for m in ("recency_days", "frequency", "monetary")
-            for q in (0.25, 0.50, 0.75)
-        ]
+    # One shuffle-bounded percentile plan per metric (a value column
+    # can't share another's groupBy(value) pass); the three 1-row cut
+    # tables cross-join back together. AQE's ReusedExchange serves the
+    # per_user aggregation to all three from one shuffle.
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    cut_tables = [
+        exact_percentiles(
+            per_user, m, [(q, f"_{m}_q{int(q * 100)}") for q in (0.25, 0.50, 0.75)]
+        )
+        for m in ("recency_days", "frequency", "monetary")
+    ]
+    cuts = (
+        cut_tables[0]
+        .crossJoin(F.broadcast(cut_tables[1]))
+        .crossJoin(F.broadcast(cut_tables[2]))
+        .select(
+            *[
+                rnd(F.col(f"_{m}_q{int(q * 100)}"), 6).alias(f"{m}_q{int(q * 100)}")
+                for m in ("recency_days", "frequency", "monetary")
+                for q in (0.25, 0.50, 0.75)
+            ]
+        )
     )
 
     def asc_score(m):  # low value = best (recency)
@@ -2043,19 +2060,29 @@ SLO_P95_MAX = 145.0  # per-type p95 ceiling — sits between this corpus's
 def ev_slo_report(t: dict[str, DataFrame]) -> DataFrame:
     """SLO/latency-band report: exact interpolated p50/p95/p99 of the
     value metric per event type, with the SLO-breach flag — the
-    on-call dashboard row. One sort-based percentile aggregation per
-    type; at 100 TB the same report runs from the mergeable histogram
-    sketch (sk_hist_quantile), this is the exact form SLAs are settled
-    with.
+    on-call dashboard row. Exact percentiles via the shuffle-bounded
+    order-statistic plan (functions/percentile.py — groupBy(value)
+    counts + cumulative-rank window, partitioned by event_type, never
+    Spark's O(distinct)-single-buffer aggregate); at 100 TB the same
+    report also runs from the mergeable histogram sketch
+    (sk_hist_quantile), this is the exact form SLAs are settled with.
     """
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    rep = exact_percentiles(
+        t["events"],
+        "value",
+        [(0.5, "_p50"), (0.95, "_p95"), (0.99, "_p99")],
+        group_cols=["event_type"],
+        count_alias="n",
+    )
     return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            rnd(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
-            rnd(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95"),
-            rnd(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
+        rep.select(
+            "event_type",
+            "n",
+            rnd(F.col("_p50"), 4).alias("p50"),
+            rnd(F.col("_p95"), 4).alias("p95"),
+            rnd(F.col("_p99"), 4).alias("p99"),
         )
         .withColumn("slo_breach", F.col("p95") > SLO_P95_MAX)
         .orderBy("event_type")

@@ -187,10 +187,15 @@ def op_winsorize(t: dict[str, DataFrame]) -> DataFrame:
     interpolation implementations agreeing to the last ulp (see
     ev_mad_outliers).
     """
+    from pypers_spark.functions.percentile import exact_percentiles
+
     ev = t["events"]
-    bounds = ev.groupBy("event_type").agg(
-        rnd(F.percentile(F.col("value"), F.lit(0.05)), 6).alias("p05"),
-        rnd(F.percentile(F.col("value"), F.lit(0.95)), 6).alias("p95"),
+    bounds = exact_percentiles(
+        ev, "value", [(0.05, "_p05"), (0.95, "_p95")], group_cols=["event_type"]
+    ).select(
+        "event_type",
+        rnd(F.col("_p05"), 6).alias("p05"),
+        rnd(F.col("_p95"), 6).alias("p95"),
     )
     clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
         "v_w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))

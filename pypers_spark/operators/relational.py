@@ -651,11 +651,19 @@ def op_approx_quantile(t: dict[str, DataFrame]) -> DataFrame:
     Spark's approx_percentile sketch is engine-specific, so the oracled
     surface uses exact percentile; the approximate path (same API shape,
     t-digest at scale) is covered in tests/test_operators_relational.py.
+    Computed via the shuffle-bounded order-statistic plan
+    (functions/percentile.py) — never Spark's O(distinct)-single-buffer
+    `percentile` aggregate.
     """
-    return t["lineitem"].agg(
-        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        rnd(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    pct = exact_percentiles(
+        t["lineitem"], "l_extendedprice", [(0.5, "_p50"), (0.9, "_p90"), (0.99, "_p99")]
+    )
+    return pct.select(
+        rnd(F.col("_p50"), 4).alias("p50"),
+        rnd(F.col("_p90"), 4).alias("p90"),
+        rnd(F.col("_p99"), 4).alias("p99"),
     )
 
 
@@ -909,16 +917,21 @@ ORDER BY o_orderkey
 
 def op_percentile_exact(t: dict[str, DataFrame]) -> DataFrame:
     """Exact interpolated percentiles per group (vs the approx variant in
-    op_approx_quantile)."""
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            rnd(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).alias("p50"),
-            rnd(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4).alias("p90"),
-        )
-        .orderBy("l_returnflag")
+    op_approx_quantile) — shuffle-bounded order-statistic plan, bit-equal
+    to F.percentile without its O(distinct) single-buffer merge state."""
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    pct = exact_percentiles(
+        t["lineitem"],
+        "l_extendedprice",
+        [(0.5, "_p50"), (0.9, "_p90")],
+        group_cols=["l_returnflag"],
     )
+    return pct.select(
+        "l_returnflag",
+        rnd(F.col("_p50"), 4).alias("p50"),
+        rnd(F.col("_p90"), 4).alias("p90"),
+    ).orderBy("l_returnflag")
 
 
 ORACLE_PERCENTILE_EXACT = f"""

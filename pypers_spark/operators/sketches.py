@@ -387,14 +387,22 @@ def sk_hist_quantile(t: dict[str, DataFrame]) -> DataFrame:
     once for bounds and once for counts; everything downstream is
     sketch-sized and broadcast.
     """
+    from pypers_spark.functions.percentile import exact_percentiles
+
     vals = t["orders"].select(F.col("o_totalprice").alias("x"))
-    bounds = vals.agg(
-        F.min("x").alias("lo"),
-        F.max("x").alias("hi"),
-        F.count("*").alias("n"),
-        rnd(F.percentile(F.col("x"), F.lit(0.5)), 4).alias("ex50"),
-        rnd(F.percentile(F.col("x"), F.lit(0.95)), 4).alias("ex95"),
-        rnd(F.percentile(F.col("x"), F.lit(0.99)), 4).alias("ex99"),
+    bounds = exact_percentiles(
+        vals,
+        "x",
+        [(0.5, "_e50"), (0.95, "_e95"), (0.99, "_e99")],
+        count_alias="n",
+        extra_aggs={"lo": F.min(F.col("x")), "hi": F.max(F.col("x"))},
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        rnd(F.col("_e50"), 4).alias("ex50"),
+        rnd(F.col("_e95"), 4).alias("ex95"),
+        rnd(F.col("_e99"), 4).alias("ex99"),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(HQ_BINS))
     binned = (

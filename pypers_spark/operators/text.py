@@ -603,7 +603,9 @@ def txt_quality_prune(t: dict[str, DataFrame]) -> DataFrame:
     from pypers_spark.functions.caching import tracked_persist
 
     scored = tracked_persist(scored, "text.quality_scores")
-    cut = scored.agg(F.percentile(F.col("q"), F.lit(0.25)).alias("q25"))
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    cut = exact_percentiles(scored, "q", [(0.25, "q25")])
     return (
         scored.crossJoin(F.broadcast(cut))
         .groupBy("source")

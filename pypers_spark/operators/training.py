@@ -656,10 +656,14 @@ def txt_curriculum_stages(t: dict[str, DataFrame]) -> DataFrame:
             * F.lit(5.0)
         ).alias("score"),
     )
-    cuts = scored.agg(
-        rnd(F.percentile(F.col("score"), F.lit(0.25)), 6).alias("c1"),
-        rnd(F.percentile(F.col("score"), F.lit(0.5)), 6).alias("c2"),
-        rnd(F.percentile(F.col("score"), F.lit(0.75)), 6).alias("c3"),
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    cuts = exact_percentiles(
+        scored, "score", [(0.25, "_c1"), (0.5, "_c2"), (0.75, "_c3")]
+    ).select(
+        rnd(F.col("_c1"), 6).alias("c1"),
+        rnd(F.col("_c2"), 6).alias("c2"),
+        rnd(F.col("_c3"), 6).alias("c3"),
     )
     stage = (
         F.when(F.col("score") <= F.col("c1"), 0)

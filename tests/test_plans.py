@@ -84,6 +84,25 @@ def test_no_python_row_udf_in_hot_paths(spark, sf_dir):
     assert not offenders, f"Python row-UDFs in hot paths: {offenders}"
 
 
+def test_no_exact_percentile_aggregate_anywhere(spark, sf_dir):
+    """r6 verdict #1: Spark's exact `percentile` aggregate buffers an
+    O(distinct-values) value→count map in ONE task at the final merge —
+    an OOM at 100 TB on high-cardinality columns. Every percentile
+    consumer must ride the shuffle-bounded order-statistic plan
+    (functions/percentile.py); no executed plan may contain the exact
+    Percentile aggregate (approx_percentile stays sanctioned)."""
+    import re
+
+    offenders = []
+    for name in entry_mod.queries():
+        if name.startswith("st_"):  # streaming drains execute, not plan-print
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if re.search(r"(?<!approx_)percentile\(", plan):
+            offenders.append(name)
+    assert not offenders, f"exact percentile aggregate in plans: {offenders}"
+
+
 def test_whole_stage_codegen_and_partial_agg(spark, sf_dir):
     import re
 

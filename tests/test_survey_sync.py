@@ -25,6 +25,18 @@ def test_survey_query_count_matches_registry():
     assert set(ORACLES) <= set(REGISTRY)
 
 
+def test_survey_checkpoint_knob_name_matches_code():
+    """r6 verdict #2: SURVEY §7 said PYPERS_SPARK_CHECKPOINT_DIR while the
+    code reads SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR — an operator following
+    the survey would set a dead env var. Pin the real name in the doc."""
+    root = pathlib.Path(__file__).parent.parent
+    survey = (root / "SURVEY.md").read_text()
+    assert "SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR" in survey
+    assert "PYPERS_SPARK_CHECKPOINT_DIR" not in survey
+    code = (root / "pypers_spark" / "functions" / "checkpoint.py").read_text()
+    assert "SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR" in code
+
+
 def test_every_registry_key_appears_in_survey():
     from pypers_spark.operators import REGISTRY
 
