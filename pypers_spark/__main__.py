@@ -15,6 +15,12 @@ if __name__ == "__main__":
         ok = submit_smoke()
         print("submit-smoke:", "PASS" if ok else "FAIL")
         sys.exit(0 if ok else 1)
+    if "--executor-loss-smoke" in sys.argv[1:]:
+        from pypers_spark.submit import executor_loss_smoke
+
+        ok = executor_loss_smoke()
+        print("executor-loss-smoke:", "PASS" if ok else "FAIL")
+        sys.exit(0 if ok else 1)
     from pypers_spark.cli import run_cli
 
     sys.exit(0 if run_cli() else 1)
