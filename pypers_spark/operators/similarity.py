@@ -1507,9 +1507,15 @@ def ann_knn_graph_cells(t: dict[str, DataFrame]) -> DataFrame:
     build ~19x wall at 20x rows vs ~7x here, 7.7x faster absolute).
     Here the blocking key is the dd_semantic_dedup cell
     assignment: K = ceil(sqrt(n)) seeded centroids keeps within-cell
-    pair work at O(n^1.5) BY CONSTRUCTION at any corpus size, and the
+    pair work at O(n^1.5) BY CONSTRUCTION at any corpus size (K is
+    recomputed from the live corpus count, never pinned), and the
     cell id is the storage partition key in production, so the
-    self-join is co-located. Approximation semantics are the standard
+    self-join is co-located. Growth law: sqrt-n sizing BALANCES the
+    n x K assignment scan against the n²/K within-cell pairs — both
+    Θ(n^1.5) — so the expected wall step for a 2x data step is
+    2^1.5 ≈ 2.83; SCALE_r06 measured 2.51 (at/below the law; a ≤2
+    step would require the sub-n^1.5 serving path, which is
+    ann_ivf_pq's job, not the graph build's). Approximation semantics are the standard
     graph-ANN trade: neighbors are cell-local (recall recovered at
     query time by nprobe-style multi-assignment); the oracle mirrors
     the same cells, so the gate is exact over the approximate

@@ -39,6 +39,24 @@ DST_ROOT = "/tmp/scale_replicas"
 # (sub-second at 1x, so they never make the top-N cut) and the composed
 # entity-resolution pipeline — their growth curve vs the exact
 # counterparts in the top-N is the headline sublinearity evidence.
+# Known-by-construction growth laws (r6 verdict item #5): for these the
+# right 10x→20x step bound is their DESIGN law, not 2.0. Recorded in the
+# artifact so a step between 2.0 and the law reads as compliant, and a
+# step ABOVE the law reads as a real regression.
+DESIGN_LAWS = {
+    # K = ceil(sqrt(n)) cells ⇒ both the n×K centroid assignment and the
+    # within-cell pair work are Θ(n^1.5); doubling n multiplies wall by
+    # 2^1.5 ≈ 2.83. A sub-2 step is mathematically unattainable without
+    # changing the algorithm (the sub-n^1.5 serving path is ann_ivf_pq).
+    "ann_knn_graph_cells": {"step_2x_bound": 2.83, "law": "Theta(n^1.5), K=sqrt(n) balance"},
+    # Replica cloning makes every copy a true near-dup of its source, so
+    # candidate-pair volume grows with duplicate DENSITY — a property of
+    # the replica fixture, not the plan (real corpora don't 20x their
+    # dup rate when they 20x in size).
+    "dd_minhash_lsh_prod": {"step_2x_bound": None, "law": "fixture: replica dup density"},
+    "txt_winnowing": {"step_2x_bound": None, "law": "fixture: replica dup density"},
+}
+
 ALWAYS_INCLUDE = [
     "dd_source_overlap_kmv",
     "ann_knn_graph_cells",
@@ -191,6 +209,7 @@ def main() -> None:
                 "ratio_step_2x": round(w["20x"] / w["10x"], 2)
                 if w["10x"]
                 else None,
+                **({"design_law": DESIGN_LAWS[k]} if k in DESIGN_LAWS else {}),
             }
             for k, w in walls.items()
         },
