@@ -190,42 +190,56 @@ def ev_auc_score(t: dict[str, DataFrame]) -> DataFrame:
     (user_id parity), per event type — the Mann-Whitney rank-sum
     estimator an eval pipeline runs over billions of scored rows.
 
-    Integer discipline: rank_min (rank() over score asc) and the tie
-    width c are exact; the doubled positive rank-sum
-    S2 = Σ_pos (2·rank_min + c − 1) stays int64; AUC =
-    (S2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) is one double division.
+    Scale discipline (advisor r6): the fact table reduces FIRST to
+    (event_type, score) → per-score pos/neg counts — one hash
+    aggregation with map-side combine — and the rank algebra runs on
+    DISTINCT-SCORE cardinality: with cum = cumulative row count over
+    sorted distinct scores, every positive at score s has doubled rank
+    term 2·rank_min + c − 1 = 2·cum − c + 1, so
+    S2 = Σ_s pos(s)·(2·cum(s) − c(s) + 1) — identical integer algebra,
+    but the window never sorts raw events. AUC =
+    (S2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) is one double division,
+    NULL-guarded explicitly for single-label types in BOTH engines so
+    parity never rests on engine divide-by-zero semantics.
     """
-    ev = t["events"].select(
-        "event_type",
-        F.col("value").alias("score"),
-        (F.col("user_id") % 2 == 0).cast("long").alias("label"),
-    )
-    w_rank = Window.partitionBy("event_type").orderBy("score")
-    w_tie = Window.partitionBy("event_type", "score")
-    ranked = ev.select(
-        "event_type",
-        "label",
-        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1).alias("r2"),
-    )
-    return (
-        ranked.groupBy("event_type")
-        .agg(
-            F.sum("label").alias("n_pos"),
-            (F.count("*") - F.sum("label")).alias("n_neg"),
-            F.sum(F.when(F.col("label") == 1, F.col("r2"))).alias("s2"),
-        )
+    per_score = (
+        t["events"]
         .select(
             "event_type",
-            "n_pos",
-            "n_neg",
-            rnd(
+            F.col("value").alias("score"),
+            (F.col("user_id") % 2 == 0).cast("long").alias("label"),
+        )
+        .groupBy("event_type", "score")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("label").alias("pos"),
+        )
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("score")
+    scored = per_score.select(
+        "event_type",
+        "c",
+        "pos",
+        (F.sum("c").over(w_cum) * 2 - F.col("c") + 1).alias("r2"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("c") - F.sum("pos")).alias("n_neg"),
+        F.sum(F.col("pos") * F.col("r2")).alias("s2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        rnd(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                 (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
                 / (2.0 * F.col("n_pos") * F.col("n_neg")),
-                6,
-            ).alias("auc"),
-        )
-        .orderBy("event_type")
-    )
+            ),
+            6,
+        ).alias("auc"),
+    ).orderBy("event_type")
 
 
 ORACLE_AUC_SCORE = f"""
@@ -239,8 +253,9 @@ WITH ranked AS (
 SELECT event_type,
        CAST(sum(label) AS BIGINT) AS n_pos,
        CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+       CASE WHEN sum(label) > 0 AND count(*) - sum(label) > 0 THEN
        {duck_rnd("(sum(CASE WHEN label = 1 THEN r2 END) - sum(label) * (sum(label) + 1)) / (2.0 * sum(label) * (count(*) - sum(label)))", 6)}
-         AS auc
+       END AS auc
 FROM ranked GROUP BY event_type ORDER BY event_type
 """
 
@@ -545,7 +560,10 @@ def sk_bitmap_distinct(t: dict[str, DataFrame]) -> DataFrame:
     """
     words = t["events"].select(
         "event_type",
-        (F.col("user_id") / BITMAP_WORD).cast("long").alias("word"),
+        # integer floor division (`div`), matching the oracle's `//` by
+        # construction — double '/' then cast truncates and silently
+        # diverges for ids past 2^53 or negative (advisor r6)
+        F.expr(f"user_id div {BITMAP_WORD}").alias("word"),
         # shiftleft with a COLUMN shift amount needs the SQL form — the
         # Python wrapper only takes an int literal
         F.expr(
@@ -598,7 +616,9 @@ def op_largest_remainder(t: dict[str, DataFrame]) -> DataFrame:
     ).select(
         "source",
         "docs",
-        ((F.col("docs") * SAMPLE_BUDGET) / F.col("total")).cast("long").alias("base"),
+        # exact integer division — same arithmetic as the oracle's `//`
+        # (FP '/'-then-truncate is fragile near 2^53; advisor r6)
+        F.expr(f"(docs * {SAMPLE_BUDGET}) div total").alias("base"),
         ((F.col("docs") * SAMPLE_BUDGET) % F.col("total")).alias("rem"),
     )
     w_rank = Window.orderBy(F.desc("rem"), "source")
@@ -1023,8 +1043,6 @@ def ev_diff_in_diff(t: dict[str, DataFrame]) -> DataFrame:
             F.col("v")
         ),
     )
-    q = F.sum(F.floor(F.col("v") * 1e6 + F.lit(0.5)))
-
     def cell(tr: bool, po: bool, name: str):
         cond = (F.col("treat") == tr) & (F.col("post") == po)
         return [
