@@ -1237,3 +1237,92 @@ ORDER BY cid
 
 QUERIES["ann_kmeans_update"] = ann_kmeans_update
 ORACLES["ann_kmeans_update"] = ORACLE_KMEANS_UPDATE
+
+
+# --- op_pps_sample -----------------------------------------------------------
+
+PPS_K = 20  # sample slots per source stratum
+
+
+def op_pps_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling per source:
+    {PPS_K} slots per stratum, each doc's selection odds proportional
+    to its n_chars — the weighted sampler a mixture builder runs when
+    "pick K documents per source, favoring the big ones" must be
+    reproducible across engines and reruns.
+
+    EXACT-INTEGER discipline: docs are laid on a per-source cumulative
+    weight line (window sum ordered by doc_id), slot j probes position
+    ((2j+1)·total) div (2K) — the textbook systematic-PPS midpoints —
+    and the doc whose [lo, hi) interval covers the probe is selected.
+    No ln/pow priority keys (Efraimidis-Spirtsos A-Res needs
+    last-ulp-identical libm across engines — a parity trap); integer
+    div/compare is bit-exact everywhere. A doc wider than one stride
+    is selected by MULTIPLE slots — standard PPS-with-replacement
+    semantics, deterministic here.
+
+    Scale shape: the weight-line window partitions by source (fully
+    distributed); the probe side is |sources|·{PPS_K} rows, broadcast;
+    the fact table never shuffles beyond the per-source window. At
+    100 TB the same plan runs per date-partition and the slot table
+    stays broadcast-sized.
+    """
+    d = t["documents"].select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    w_cum = Window.partitionBy("source").orderBy("doc_id")
+    lined = d.select(
+        "doc_id",
+        "source",
+        "w",
+        (F.sum("w").over(w_cum) - F.col("w")).alias("lo"),
+        F.sum("w").over(w_cum).alias("hi"),
+    )
+    slots = (
+        d.groupBy("source")
+        .agg(F.sum("w").alias("total"))
+        .select(
+            F.col("source").alias("s_source"),
+            F.explode(F.sequence(F.lit(0), F.lit(PPS_K - 1))).alias("slot"),
+            "total",
+        )
+        .select(
+            "s_source",
+            "slot",
+            F.expr(f"((2 * slot + 1) * total) div {2 * PPS_K}").alias("p"),
+        )
+    )
+    return (
+        lined.join(
+            F.broadcast(slots),
+            (lined["source"] == slots["s_source"])
+            & (slots["p"] >= lined["lo"])
+            & (slots["p"] < lined["hi"]),
+        )
+        .select("source", "slot", "doc_id", "w")
+        .orderBy("source", "slot")
+    )
+
+
+ORACLE_PPS_SAMPLE = f"""
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w FROM documents),
+lined AS (
+  SELECT doc_id, source, w,
+         sum(w) OVER (PARTITION BY source ORDER BY doc_id) - w AS lo,
+         sum(w) OVER (PARTITION BY source ORDER BY doc_id) AS hi
+  FROM d
+),
+totals AS (SELECT source, sum(w) AS total FROM d GROUP BY 1),
+slots AS (
+  SELECT source AS s_source, CAST(i AS INT) AS slot,
+         ((2 * i + 1) * total) // {2 * PPS_K} AS p
+  FROM totals, unnest(range({PPS_K})) AS t(i)
+)
+SELECT l.source AS source, s.slot, l.doc_id, l.w
+FROM lined l JOIN slots s
+  ON l.source = s.s_source AND s.p >= l.lo AND s.p < l.hi
+ORDER BY source, slot
+"""
+
+QUERIES["op_pps_sample"] = op_pps_sample
+ORACLES["op_pps_sample"] = ORACLE_PPS_SAMPLE

@@ -2263,3 +2263,107 @@ ORDER BY hour
 
 QUERIES["ev_concurrency"] = ev_concurrency
 ORACLES["ev_concurrency"] = ORACLE_CONCURRENCY
+
+
+# --- ev_anomaly_seasonal -----------------------------------------------------
+
+SEAS_SIGMA = 3.0
+
+
+def ev_anomaly_seasonal(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonality-aware anomaly readout: z-score outliers per
+    (event_type, hour-of-day) — the metric-monitoring cut that
+    ev_zscore_outliers' global per-type baseline can't see ("normal at
+    3am, anomalous at noon"). Per cell: n, quantized mean/sd, anomaly
+    count beyond mean ± {SEAS_SIGMA}σ, anomaly rate.
+
+    Same exact-primitive discipline as ev_zscore_outliers: mean/σ from
+    exact quantized sums (Σv, Σv²) so both engines derive identical
+    doubles (sqrt IS correctly-rounded IEEE, unlike ln/pow), and
+    mean/sd are 1e-6-quantized BEFORE the comparison so anomaly
+    membership never hinges on last-ulp agreement. Cells with n < 2
+    get NULL sd and zero anomalies EXPLICITLY in both engines (the
+    ev_auc_score guard discipline — never lean on engine
+    divide-by-zero semantics).
+
+    Scale shape: one hash aggregation to ≤ |types|·24 cells (map-side
+    combine), the tiny stats table broadcast back, one counting
+    aggregation — two scans, no window over raw events.
+    """
+    ev = t["events"].select(
+        "event_type", F.hour("ts").alias("hr"), F.col("value").alias("v")
+    )
+    stats = ev.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("v")).alias("s1"),
+        dsum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    limits = stats.select(
+        "event_type",
+        "hr",
+        rnd(mean, 6).alias("mean"),
+        F.when(F.col("n") > 1, rnd(F.sqrt(var), 6)).alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(limits), ["event_type", "hr"])
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(
+                    F.col("sd").isNotNull()
+                    & (
+                        F.abs(F.col("v") - F.col("mean"))
+                        > SEAS_SIGMA * F.col("sd")
+                    ),
+                    1,
+                )
+            ).alias("n_anom"),
+            rnd(F.first("mean"), 4).alias("mean"),
+            rnd(F.first("sd"), 4).alias("sd"),
+        )
+        .withColumn(
+            "anom_rate",
+            rnd(F.col("n_anom").cast("double") / F.col("n"), 6),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+_SEAS_S1 = duck_dsum("v")
+_SEAS_S2 = duck_dsum("v * v")
+
+ORACLE_ANOMALY_SEASONAL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr, value AS v FROM events
+),
+stats AS (
+  SELECT event_type, hr, count(*) AS n, {_SEAS_S1} AS s1, {_SEAS_S2} AS s2
+  FROM ev GROUP BY 1, 2
+),
+limits AS (
+  SELECT event_type, hr,
+         {duck_rnd('s1 / n', 6)} AS mean,
+         CASE WHEN n > 1 THEN
+           {duck_rnd('sqrt((s2 - s1 * s1 / n) / (n - 1))', 6)}
+         END AS sd
+  FROM stats
+)
+SELECT e.event_type AS event_type, e.hr AS hr,
+       count(*) AS n,
+       count(CASE WHEN sd IS NOT NULL AND abs(v - mean) > {SEAS_SIGMA} * sd
+                  THEN 1 END) AS n_anom,
+       {duck_rnd('any_value(mean)', 4)} AS mean,
+       {duck_rnd('any_value(sd)', 4)} AS sd,
+       {duck_rnd('count(CASE WHEN sd IS NOT NULL AND abs(v - mean) > ' + str(SEAS_SIGMA) + ' * sd THEN 1 END) * 1.0 / count(*)', 6)} AS anom_rate
+FROM ev e JOIN limits l ON e.event_type = l.event_type AND e.hr = l.hr
+GROUP BY 1, 2
+ORDER BY event_type, hr
+"""
+
+QUERIES["ev_anomaly_seasonal"] = ev_anomaly_seasonal
+ORACLES["ev_anomaly_seasonal"] = ORACLE_ANOMALY_SEASONAL

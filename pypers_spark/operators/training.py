@@ -882,3 +882,126 @@ def _finalize_split_leakage_oracle() -> str:
 
 QUERIES["txt_split_leakage"] = txt_split_leakage
 ORACLES["txt_split_leakage"] = _finalize_split_leakage_oracle()
+
+
+# --- dd_chunk_cdc ------------------------------------------------------------
+
+CDC_MOD = 16  # expected chunk length (tokens): boundary odds 1/16 per token
+
+
+def dd_chunk_cdc(t: dict[str, DataFrame]) -> DataFrame:
+    """Content-defined chunking dedup: chunk boundaries fall where the
+    TOKEN HASH satisfies ``h % {CDC_MOD} == 0`` (gear/Rabin-CDC
+    discipline at token granularity), so an insertion near the top of a
+    document shifts only the chunks it touches — every later boundary
+    re-synchronizes on content. Fixed-stride chunking (dd_chunk_exact)
+    loses all downstream chunk identity after one inserted token; CDC
+    is what production dedup runs when near-identical documents drift
+    by small edits (the round-6 GIF/LZW of the dedup family: the
+    boundary function IS the operator). Production CDC adds min/max
+    chunk bounds; the pure-modulus form keeps the Spark plan and the
+    DuckDB oracle byte-identical.
+
+    Plan shape: posexplode → map-side boundary flag (one md5 per token,
+    whole-stage codegen) → per-document cumulative boundary count (a
+    window PARTITIONED BY doc_id — bounded by document length, fully
+    distributed) → chunk fingerprint aggregation → the corpus-wide
+    fp_counts hash aggregation. Same readout as dd_chunk_exact so the
+    two chunkers' dup-yield is directly comparable per source.
+    """
+    from pyspark.sql import Window
+
+    from pypers_spark.operators.dedup import corpus
+
+    toks = corpus(t).select(
+        "doc_id",
+        "source",
+        F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "tok"),
+    )
+    boundary = (
+        md5_int64(F.concat(F.lit("cdc:"), F.col("tok"))) % CDC_MOD == 0
+    ).cast("long")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.select(
+        "doc_id",
+        "source",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(boundary).over(w_prev), F.lit(0)).alias("cid"),
+    )
+    chunks = chunked.groupBy("doc_id", "source", "cid").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("fp")
+    )
+    fp_counts = chunks.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    return (
+        chunks.join(fp_counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_in_dup_groups"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            "n_in_dup_groups",
+            (F.col("n_chunks") - F.col("n_unique")).alias("n_removable"),
+        )
+        .orderBy("source")
+    )
+
+
+def _finalize_chunk_cdc_oracle() -> str:
+    from pypers_spark.operators.dedup import DUCK_CORPUS
+
+    return f"""
+WITH {DUCK_CORPUS},
+tk_src AS (SELECT doc_id, source, {_DUCK_TOKS} AS tk FROM corpus),
+toks AS (
+  SELECT doc_id, source, tk[CAST(i AS INT)] AS tok, i - 1 AS pos
+  FROM tk_src, unnest(range(1, len(tk) + 1)) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN {duck_md5_int64("'cdc:' || tok")} % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, source, pos, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, source, cid,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM chunked GROUP BY doc_id, source, cid
+),
+fp_counts AS (SELECT fp, count(*) AS n_copies FROM chunks GROUP BY 1)
+SELECT source,
+       count(*) AS n_chunks,
+       count(DISTINCT c.fp) AS n_unique,
+       count(CASE WHEN n_copies > 1 THEN 1 END) AS n_in_dup_groups,
+       count(*) - count(DISTINCT c.fp) AS n_removable
+FROM chunks c JOIN fp_counts USING (fp)
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["dd_chunk_cdc"] = dd_chunk_cdc
+ORACLES["dd_chunk_cdc"] = _finalize_chunk_cdc_oracle()

@@ -70,6 +70,9 @@ ALWAYS_INCLUDE = [
     "ev_auc_score",
     "sk_bitmap_distinct",
     "pipe_eval",
+    # r7: the rewritten shuffle-bounded exact-percentile consumer — its
+    # flat growth curve is the evidence the r6 verdict asked for
+    "ev_slo_report",
 ]
 
 
