@@ -173,6 +173,15 @@ HEADLINE = (
     "pipe_eval",
     "ev_diff_in_diff",
     "mm_image_phash",
+    # round-7 coverage wave: content-defined chunk dedup, systematic
+    # PPS sampling, seasonal anomaly cells, banded perceptual pair
+    # mining, equi-depth histogram, k-core peeling
+    "dd_chunk_cdc",
+    "op_pps_sample",
+    "ev_anomaly_seasonal",
+    "mm_phash_pairs",
+    "op_histogram_equidepth",
+    "gr_k_core",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -896,3 +896,83 @@ ORDER BY leg
 
 QUERIES["op_adaptive_join"] = op_adaptive_join
 ORACLES["op_adaptive_join"] = ORACLE_ADAPTIVE_JOIN
+
+
+# --- op_histogram_equidepth --------------------------------------------------
+
+HEQ_B = 8  # equi-depth buckets
+
+
+def op_histogram_equidepth(t: dict[str, DataFrame]) -> DataFrame:
+    """EQUI-DEPTH histogram of order totals: bucket boundaries at the
+    exact {HEQ_B}-quantiles (the optimizer's histogram of choice —
+    fixed-width buckets smear skewed money columns into a few hot
+    bins; equi-depth puts ~n/{HEQ_B} rows in every bucket by
+    construction). The cutoffs come from
+    :func:`pypers_spark.functions.percentile.exact_percentiles` — the
+    round-7 shuffle-bounded order-statistic plan, NOT Spark's
+    O(distinct)-single-buffer percentile aggregate — quantized to 1e-6
+    BEFORE bucket membership is decided, so assignment never hinges on
+    last-ulp agreement between engines.
+
+    Plan shape: one counting pass builds the 7 cutoffs (partial-agg
+    friendly), the 1-row cutoff table broadcasts back, and bucket
+    assignment + stats is one hash aggregation — two scans, no sort of
+    the fact table.
+    """
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    cuts = exact_percentiles(
+        t["orders"],
+        "o_totalprice",
+        [(i / HEQ_B, f"_c{i}") for i in range(1, HEQ_B)],
+    )
+    cuts_q = cuts.select(
+        *[rnd(F.col(f"_c{i}"), 6).alias(f"_c{i}") for i in range(1, HEQ_B)]
+    )
+    bucket = sum(
+        (F.col("o_totalprice") > F.col(f"_c{i}")).cast("int")
+        for i in range(1, HEQ_B)
+    )
+    return (
+        t["orders"]
+        .select("o_totalprice")
+        .crossJoin(F.broadcast(cuts_q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            rnd(F.min("o_totalprice"), 2).alias("lo"),
+            rnd(F.max("o_totalprice"), 2).alias("hi"),
+            rnd(dsum(F.col("o_totalprice")), 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _finalize_histogram_equidepth_oracle() -> str:
+    cut_cols = ",\n         ".join(
+        f"{duck_rnd(f'quantile_cont(o_totalprice, {i / HEQ_B})', 6)} AS c{i}"
+        for i in range(1, HEQ_B)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END"
+        for i in range(1, HEQ_B)
+    )
+    return f"""
+WITH cuts AS (
+  SELECT {cut_cols}
+  FROM orders
+)
+SELECT ({bucket}) AS bucket,
+       count(*) AS n,
+       {duck_rnd('min(o_totalprice)', 2)} AS lo,
+       {duck_rnd('max(o_totalprice)', 2)} AS hi,
+       {duck_rnd(duck_dsum('o_totalprice'), 2)} AS sum_price
+FROM orders, cuts
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+QUERIES["op_histogram_equidepth"] = op_histogram_equidepth
+ORACLES["op_histogram_equidepth"] = _finalize_histogram_equidepth_oracle()

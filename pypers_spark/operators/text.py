@@ -739,8 +739,8 @@ def mm_image_phash(t: dict[str, DataFrame]) -> DataFrame:
 # sy = y*h // 8, gray = (r+g+b) // 3 at pixel k = sy*w + sx (substr is
 # 1-based, so byte c of pixel k sits at 3k + c + 1); bit x of row y is
 # gray(x) < gray(x+1), packed MSB-first into one hex byte per row.
-ORACLE_MM_PHASH = f"""
-WITH {_DUCK_PPM},
+# Shared by ORACLE_MM_PHASH and ORACLE_MM_PHASH_PAIRS.
+_DUCK_PHASH_CTES = f"""{_DUCK_PPM},
 cells AS (
   SELECT doc_id, w, h, y, x,
     (  unicode(substr(pix, 3*(((y*h)//8)*w + ((x*w)//9)) + 1, 1))
@@ -764,7 +764,10 @@ bytes AS (
 ph AS (
   SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y) AS phash
   FROM bytes GROUP BY doc_id
-)
+)"""
+
+ORACLE_MM_PHASH = f"""
+WITH {_DUCK_PHASH_CTES}
 SELECT m.doc_id AS media_id, m.w::INT AS width, m.h::INT AS height,
        ph.phash,
        count(*) OVER (PARTITION BY ph.phash) AS n_same
@@ -774,3 +777,109 @@ ORDER BY media_id
 
 QUERIES["mm_image_phash"] = mm_image_phash
 ORACLES["mm_image_phash"] = ORACLE_MM_PHASH
+
+
+# --- mm_phash_pairs ----------------------------------------------------------
+
+PHP_BANDS = 4   # 4 bands × 16 bits over the 64-bit dHash
+PHP_HAM_T = 12  # max Hamming distance for a verified near-dup pair
+
+
+def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Perceptual near-dup PAIR MINING over the dHash table — the
+    image-side analogue of dd_simhash's banded Hamming search. The
+    64-bit dHash splits into {PHP_BANDS} 16-bit bands (4 hex chars);
+    images sharing ANY band become candidates (an edit that flips ≤ a
+    few bits leaves ≥ 1 band intact with high odds — same S-curve logic
+    as MinHash banding), and only candidates pay the exact 64-bit
+    Hamming verify (≤ {PHP_HAM_T} bits → emitted with the distance).
+
+    Scale shape: banding is a projection (no shuffle beyond the bucket
+    join), candidates are bucket-bounded — never all-pairs over the
+    image corpus; the verify is 16 nibble XOR/bit_count terms in
+    whole-stage codegen. At 100 TB the band key becomes the storage
+    bucket and the join is co-located.
+    """
+    from pypers_spark.multimodal import phash_media, ppm_media_table
+
+    ph = phash_media(ppm_media_table(t["documents"])).select(
+        "media_id", "phash"
+    )
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("phash", i * 4 + 1, 4)
+                    for i in range(PHP_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "bkey",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ph_a", "id_b", "ph_b")
+        .distinct()
+    )
+
+    def _nib(col: str, i: int) -> F.Column:
+        return F.conv(F.substring(col, i + 1, 1), 16, 10).cast("int")
+
+    hamming = sum(
+        F.bit_count(_nib("ph_a", i).bitwiseXOR(_nib("ph_b", i)))
+        for i in range(16)
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= PHP_HAM_T)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _php_duck_nib(col: str, i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+
+
+_PHP_DUCK_HAMMING = " + ".join(
+    f"bit_count(xor({_php_duck_nib('a.phash', i)}, {_php_duck_nib('b.phash', i)}))"
+    for i in range(16)
+)
+
+ORACLE_MM_PHASH_PAIRS = f"""
+WITH {_DUCK_PHASH_CTES},
+bands AS (
+  SELECT doc_id AS media_id, phash, CAST(i AS INT) AS band,
+         substr(phash, CAST(i AS INT) * 4 + 1, 4) AS bkey
+  FROM ph, unnest(range({PHP_BANDS})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, a.phash AS ph_a,
+                  b.media_id AS id_b, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+)
+SELECT id_a, id_b,
+       CAST({_PHP_DUCK_HAMMING.replace("a.phash", "ph_a").replace("b.phash", "ph_b")} AS INT)
+         AS hamming
+FROM cand
+WHERE {_PHP_DUCK_HAMMING.replace("a.phash", "ph_a").replace("b.phash", "ph_b")} <= {PHP_HAM_T}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["mm_phash_pairs"] = mm_phash_pairs
+ORACLES["mm_phash_pairs"] = ORACLE_MM_PHASH_PAIRS

@@ -135,6 +135,66 @@ def test_anomaly_seasonal_guards_and_planted_outlier(spark):
     assert b["sd"] is None and b["n_anom"] == 0 and b["anom_rate"] == 0.0
 
 
+def test_phash_pairs_band_blocking_and_hamming(spark):
+    """mm_phash_pairs: identical images collide on every band and pair
+    at hamming 0; unrelated images (different text, different
+    gradients) never reach the verify. doc_ids chosen congruent mod
+    the PPM dimension moduli so both docs render at identical w×h."""
+    from pypers_spark.multimodal import PPM_H_MOD, PPM_W_MOD
+    from pypers_spark.operators.text import mm_phash_pairs
+
+    stride = PPM_W_MOD * PPM_H_MOD  # same dims for doc_id and doc_id+stride
+    text_a = "the quick brown fox jumps over the lazy dog " * 6
+    text_b = "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii " * 6
+    docs = _docs_df(
+        spark,
+        [
+            (1, text_a, "s", len(text_a)),
+            (1 + stride, text_a, "s", len(text_a)),  # identical image
+            (1 + 2 * stride, text_b, "s", len(text_b)),  # unrelated
+        ],
+    )
+    out = mm_phash_pairs({"documents": docs}).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got[(1, 1 + stride)] == 0
+    assert all(1 + 2 * stride not in pair for pair in got)
+
+
+def test_histogram_equidepth_balance(tables):
+    """op_histogram_equidepth: exactly HEQ_B buckets, counts summing to
+    the table and balanced within 20% of each other (the property that
+    distinguishes equi-depth from op_histogram's fixed width, which
+    smears a skewed money column into hot bins)."""
+    from pypers_spark.operators.relational_extra import (
+        HEQ_B,
+        op_histogram_equidepth,
+    )
+
+    rows = op_histogram_equidepth(tables).collect()
+    assert [r["bucket"] for r in rows] == list(range(HEQ_B))
+    counts = [r["n"] for r in rows]
+    assert sum(counts) == tables["orders"].count()
+    assert max(counts) <= 1.2 * min(counts)
+    los = [r["lo"] for r in rows]
+    assert los == sorted(los)
+
+
+def test_k_core_peel_monotone_and_converged(tables):
+    """gr_k_core: the peel census is monotone non-increasing, and the
+    fixture's pair graph converges within the unrolled rounds (the
+    last two rounds agree) — so the readout captures a real fixed
+    point, not a truncated peel."""
+    from pypers_spark.operators.graph import KCORE_ROUNDS, gr_k_core
+
+    rows = gr_k_core(tables).collect()
+    assert len(rows) == KCORE_ROUNDS
+    nodes = [r["n_nodes"] for r in rows]
+    edges = [r["n_edges"] for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    assert (nodes[-1], edges[-1]) == (nodes[-2], edges[-2])
+
+
 def test_executor_loss_recovers_via_reliable_checkpoint():
     """r6 verdict #4: turn the 'executor-loss-tolerant' claim into
     evidence. Runs in a SUBPROCESS (an in-process builder would reuse
