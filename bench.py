@@ -182,6 +182,8 @@ HEADLINE = (
     "mm_phash_pairs",
     "op_histogram_equidepth",
     "gr_k_core",
+    "op_scd2_lookup",
+    "ann_graph_search",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

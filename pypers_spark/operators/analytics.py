@@ -795,6 +795,90 @@ QUERIES["op_scd2_build"] = op_scd2_build
 ORACLES["op_scd2_build"] = ORACLE_SCD2_BUILD
 
 
+# --- op_scd2_lookup ----------------------------------------------------------
+
+
+def op_scd2_lookup(t: dict[str, DataFrame]) -> DataFrame:
+    """Point-in-time fact→dimension lookup against the SCD2 table built
+    by op_scd2_build: every event is attributed to its user's tier
+    VERSION AS OF the event date (day in [valid_from, valid_to), open
+    current version included) — the join a warehouse runs on every
+    fact load, and the reason SCD2 exists at all. Readout per tier:
+    events attributed, distinct users, events landing on the current
+    (open) version.
+
+    Scale shape: the range predicate rides an EQUI-join on user_id, so
+    both sides co-partition on the natural key and the version
+    intervals per user are few (never a blind range join); the
+    attribution is one joined hash aggregation. At 100 TB the dim side
+    is bucketed on user_id and the join is exchange-free.
+    """
+    # dim derives from the same events scan as the fact side — rename
+    # its key so the self-join is unambiguous.
+    dim = op_scd2_build(t).select(
+        F.col("user_id").alias("d_user"),
+        "tier",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    ev = t["events"].select(
+        "user_id", F.to_date("ts").cast("timestamp").alias("day")
+    )
+    joined = ev.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("day") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("d_user").alias("n_users"),
+            F.count(F.when(F.col("is_current"), 1)).alias("n_on_current"),
+        )
+        .orderBy("tier")
+    )
+
+
+ORACLE_SCD2_LOOKUP = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CASE WHEN count(*) >= {SCD2_HIGH} THEN 'high'
+              WHEN count(*) >= {SCD2_MID} THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM events GROUP BY 1, 2
+),
+changes AS (
+  SELECT user_id, day, tier,
+         lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev_tier
+  FROM daily
+),
+dim AS (
+  SELECT user_id, tier, day AS valid_from,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+           AS is_current
+  FROM changes
+  WHERE prev_tier IS NULL OR prev_tier <> tier
+),
+ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT d.tier AS tier, count(*) AS n_events,
+       count(DISTINCT d.user_id) AS n_users,
+       count(CASE WHEN d.is_current THEN 1 END) AS n_on_current
+FROM ev e JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.day >= d.valid_from
+ AND (d.valid_to IS NULL OR e.day < d.valid_to)
+GROUP BY 1
+ORDER BY tier
+"""
+
+QUERIES["op_scd2_lookup"] = op_scd2_lookup
+ORACLES["op_scd2_lookup"] = ORACLE_SCD2_LOOKUP
+
+
 # --- ev_ltv_cohort -----------------------------------------------------------
 
 

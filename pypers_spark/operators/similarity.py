@@ -1615,3 +1615,142 @@ ORDER BY vec_id, rank
 
 QUERIES["ann_knn_graph_cells"] = ann_knn_graph_cells
 ORACLES["ann_knn_graph_cells"] = _oracle_knn_cells()
+
+
+# --- ann_graph_search --------------------------------------------------------
+
+GS_QMOD, GS_QRES = 101, 7  # deterministic query-vector selection
+GS_HOPS = 2                # unrolled beam-expansion hops
+GS_BEAM = 8                # beam width
+GS_TOPK = 5                # emitted neighbors per query
+
+
+def ann_graph_search(t: dict[str, DataFrame]) -> DataFrame:
+    """Graph-based ANN SERVING (the HNSW/DiskANN-shaped read path) over
+    the cell-kNN graph: each query vector enters at one entry node per
+    k-means cell (the IVF-style multi-entry that makes a cell-local
+    graph reachable), keeps a beam of the {GS_BEAM} best candidates by
+    true cosine, and expands {GS_HOPS} unrolled hops along the
+    {KNN_K}-NN out-edges before emitting its top {GS_TOPK}. Queries
+    are vec_id % {GS_QMOD} == {GS_QRES} — a deterministic handful at
+    any corpus size.
+
+    Scale shape: the hop join is (beam rows) ⋈ edges keyed on node id
+    — candidate volume is Q·B·{KNN_K} per hop, never corpus-squared;
+    scoring joins the candidate ids back to the (persisted) embedding
+    table on its key. Each hop's beam is MATERIALIZED (the gr_k_core
+    lesson: the union references the previous beam twice, so an
+    unmaterialized unroll doubles plan copies per hop). The graph
+    build itself is ann_knn_graph_cells' Θ(n^1.5) plan, shared via
+    tracked_persist; at 100 TB the graph is a stored table and this
+    query is pure serving.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.vectors import cosine_similarity
+
+    knn = tracked_persist(
+        ann_knn_graph_cells(t).select("vec_id", "nbr_id", "cell"),
+        "similarity.gs_edges",
+    )
+    emb = tracked_persist(
+        t["embeddings"].select("vec_id", "embedding"),
+        "similarity.gs_emb",
+    )
+    qv = emb.filter(
+        F.col("vec_id") % GS_QMOD == GS_QRES
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    entries = knn.groupBy("cell").agg(F.min("vec_id").alias("node_id"))
+
+    def scored(cand: DataFrame) -> DataFrame:
+        s = (
+            cand.join(emb, cand["node_id"] == emb["vec_id"])
+            .join(F.broadcast(qv), "q_id")
+            .select(
+                "q_id",
+                "node_id",
+                rnd(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "node_id")
+        return s.withColumn("rn", F.row_number().over(w))
+
+    beam = tracked_persist(
+        scored(qv.crossJoin(entries.select("node_id")).select("q_id", "node_id"))
+        .filter(F.col("rn") <= GS_BEAM)
+        .select("q_id", "node_id"),
+        "similarity.gs_beam0",
+    )
+    last = None
+    for h in range(1, GS_HOPS + 1):
+        cand = beam.unionByName(
+            beam.join(knn, beam["node_id"] == knn["vec_id"]).select(
+                "q_id", F.col("nbr_id").alias("node_id")
+            )
+        ).distinct()
+        last = tracked_persist(scored(cand), f"similarity.gs_s{h}")
+        beam = last.filter(F.col("rn") <= GS_BEAM).select("q_id", "node_id")
+    return (
+        last.filter(F.col("rn") <= GS_TOPK)
+        .select("q_id", F.col("rn").cast("int").alias("rank"), "node_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _oracle_graph_search() -> str:
+    from pypers_spark.functions.vectors import duck_cosine
+
+    knn_sql = _oracle_knn_cells().replace("ORDER BY vec_id, rank", "")
+    cos = duck_cosine("q.qe", "m.embedding")
+    hops = []
+    for h in range(1, GS_HOPS + 1):
+        p = h - 1
+        hops.append(f"""
+c{h} AS (
+  SELECT DISTINCT q_id, node_id FROM (
+    SELECT q_id, node_id FROM b{p}
+    UNION ALL
+    SELECT b.q_id, e.nbr_id AS node_id
+    FROM b{p} b JOIN edges e ON b.node_id = e.vec_id
+  )
+),
+s{h} AS (
+  SELECT q_id, node_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, node_id) AS rn
+  FROM (
+    SELECT c.q_id, c.node_id, {duck_rnd(cos, 4)} AS cos_sim
+    FROM c{h} c JOIN embeddings m ON c.node_id = m.vec_id
+    JOIN qv q ON c.q_id = q.q_id
+  )
+),
+b{h} AS (SELECT q_id, node_id FROM s{h} WHERE rn <= {GS_BEAM})""")
+    return f"""
+WITH knn AS ({knn_sql}),
+edges AS (SELECT vec_id, nbr_id FROM knn),
+qv AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id % {GS_QMOD} = {GS_QRES}
+),
+entries AS (SELECT cell, min(vec_id) AS node_id FROM knn GROUP BY 1),
+s0 AS (
+  SELECT q_id, node_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, node_id) AS rn
+  FROM (
+    SELECT q.q_id, c.node_id, {duck_rnd(cos, 4)} AS cos_sim
+    FROM qv q CROSS JOIN entries c
+    JOIN embeddings m ON c.node_id = m.vec_id
+  )
+),
+b0 AS (SELECT q_id, node_id FROM s0 WHERE rn <= {GS_BEAM}),{",".join(hops)}
+SELECT q_id, CAST(rn AS INT) AS rank, node_id, cos_sim
+FROM s{GS_HOPS}
+WHERE rn <= {GS_TOPK}
+ORDER BY q_id, rank
+"""
+
+
+QUERIES["ann_graph_search"] = ann_graph_search
+ORACLES["ann_graph_search"] = _oracle_graph_search()

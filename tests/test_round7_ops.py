@@ -195,6 +195,64 @@ def test_k_core_peel_monotone_and_converged(tables):
     assert (nodes[-1], edges[-1]) == (nodes[-2], edges[-2])
 
 
+def test_scd2_lookup_partitions_every_event(tables):
+    """op_scd2_lookup: the SCD2 validity intervals tile each user's
+    timeline with no gap or overlap, so the as-of join attributes
+    EVERY event exactly once — totals across tiers equal the fact
+    table's row count."""
+    from pypers_spark.operators.analytics import op_scd2_lookup
+
+    rows = op_scd2_lookup(tables).collect()
+    assert sum(r["n_events"] for r in rows) == tables["events"].count()
+    assert all(0 <= r["n_on_current"] <= r["n_events"] for r in rows)
+
+
+def test_graph_search_beam_is_ranked_and_improves_on_entries(tables, spark):
+    """ann_graph_search: per query exactly GS_TOPK results ranked by
+    non-increasing cosine, and the expanded beam is never WORSE than
+    the entry-point readout alone (hop expansion can only add
+    candidates — the monotone-improvement property of beam search)."""
+    from pypers_spark.functions.vectors import cosine_similarity
+    from pypers_spark.operators.similarity import (
+        GS_QMOD,
+        GS_QRES,
+        GS_TOPK,
+        ann_graph_search,
+        ann_knn_graph_cells,
+    )
+    from pypers_spark.functions.rounding import rnd
+
+    out = ann_graph_search(tables).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, GS_TOPK + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # entry-only baseline: best cosine among the per-cell entry nodes
+    knn = ann_knn_graph_cells(tables).select("vec_id", "cell")
+    entries = knn.groupBy("cell").agg(F.min("vec_id").alias("node_id"))
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") % GS_QMOD == GS_QRES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    base = (
+        qv.crossJoin(entries)
+        .join(emb, F.col("node_id") == emb["vec_id"])
+        .select(
+            "q_id",
+            rnd(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("c"),
+        )
+        .groupBy("q_id")
+        .agg(F.max("c").alias("best_entry"))
+        .collect()
+    )
+    best_entry = {r["q_id"]: r["best_entry"] for r in base}
+    for q, rs in by_q.items():
+        assert rs[0]["cos_sim"] >= best_entry[q]
+
+
 def test_executor_loss_recovers_via_reliable_checkpoint():
     """r6 verdict #4: turn the 'executor-loss-tolerant' claim into
     evidence. Runs in a SUBPROCESS (an in-process builder would reuse
