@@ -800,10 +800,24 @@ def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
     whole-stage codegen. At 100 TB the band key becomes the storage
     bucket and the join is co-located.
     """
+    from pypers_spark.functions.caching import tracked_persist
     from pypers_spark.multimodal import phash_media, ppm_media_table
 
-    ph = phash_media(ppm_media_table(t["documents"])).select(
-        "media_id", "phash"
+    # Persist the hash table: both sides of the band self-join read it,
+    # and without the materialization the Arrow decode+dHash pass runs
+    # once PER SIDE. Repartition BEFORE the decode (the corpus() lesson):
+    # the skinny media table arrives in 1-2 scan splits, which would pin
+    # the Arrow decode to 1-2 cores; at 100 TB the scan has thousands of
+    # splits and AQE coalesces this exchange away.
+    n_part = int(
+        t["documents"].sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    media = ppm_media_table(t["documents"]).repartition(
+        n_part, F.col("media_id")
+    )
+    ph = tracked_persist(
+        phash_media(media).select("media_id", "phash"),
+        "text.phash_pairs_ph",
     )
     bands = ph.select(
         "media_id",
