@@ -55,6 +55,14 @@ DESIGN_LAWS = {
     # dup rate when they 20x in size).
     "dd_minhash_lsh_prod": {"step_2x_bound": None, "law": "fixture: replica dup density"},
     "txt_winnowing": {"step_2x_bound": None, "law": "fixture: replica dup density"},
+    # Pair MINING output is Θ(Σ k²) over duplicate-group sizes k by
+    # definition — replica cloning collides copies onto identical
+    # phashes, so both candidate volume and the emitted pair set grow
+    # with the square of dup multiplicity. The plan stays
+    # bucket-bounded (band join, never all-pairs); at production dup
+    # density the dd_minhash drop-list pattern (cluster + keep-min)
+    # replaces exhaustive pair emission.
+    "mm_phash_pairs": {"step_2x_bound": None, "law": "fixture: replica dup density (pair output Theta(sum k^2))"},
 }
 
 ALWAYS_INCLUDE = [
