@@ -184,6 +184,8 @@ HEADLINE = (
     "gr_k_core",
     "op_scd2_lookup",
     "ann_graph_search",
+    "ev_srm_check",
+    "sk_moments",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

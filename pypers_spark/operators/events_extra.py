@@ -2367,3 +2367,79 @@ ORDER BY event_type, hr
 
 QUERIES["ev_anomaly_seasonal"] = ev_anomaly_seasonal
 ORACLES["ev_anomaly_seasonal"] = ORACLE_ANOMALY_SEASONAL
+
+
+# --- ev_srm_check ------------------------------------------------------------
+
+SRM_CHI2_95 = 3.841459  # chi-square critical value, 1 dof, alpha=0.05
+
+
+def ev_srm_check(t: dict[str, DataFrame]) -> DataFrame:
+    """Sample-ratio-mismatch guard for the hash-split experiment: per
+    event type, the observed A/B arm counts against the designed 50/50
+    split, with the 1-dof chi-square statistic — the first sanity gate
+    an experimentation platform runs BEFORE reading ev_ab_lift (a
+    biased split invalidates the lift no matter how good the t-stat
+    looks). Assignment is the same md5(user) % 2 bucketing as
+    ev_ab_lift, so this audits exactly the split that readout uses.
+
+    Exact-integer discipline: for two cells with expected n/2 each,
+    chi² collapses to (n_a − n_b)² / n — integers until the one final
+    division, so both engines agree bit-for-bit; no continuity
+    approximation, no libm. One conditional hash aggregation keyed on
+    event_type (map-side combined); state is two counters per type.
+    """
+    from pypers_spark.functions.hashing import md5_int64
+
+    variant = (
+        md5_int64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+    ).alias("variant")
+    agg = (
+        t["events"]
+        .select("event_type", variant)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        )
+    )
+    d = F.col("n_a") - F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    chi2 = (d * d).cast("double") / n
+    return (
+        agg.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            rnd(chi2, 6).alias("chi2"),
+            (chi2 > SRM_CHI2_95).alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _finalize_srm_oracle() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+
+    variant = (
+        f"({duck_md5_int64(chr(39) + 'ab:' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % 2)"
+    )
+    return f"""
+WITH e AS (SELECT event_type, {variant} AS variant FROM events),
+agg AS (
+  SELECT event_type,
+         count(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+         count(CASE WHEN variant = 1 THEN 1 END) AS n_b
+  FROM e GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       {duck_rnd('CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)', 6)} AS chi2,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > {SRM_CHI2_95}
+         AS srm_flag
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES["ev_srm_check"] = ev_srm_check
+ORACLES["ev_srm_check"] = _finalize_srm_oracle()

@@ -996,3 +996,107 @@ FROM cum, totals
 
 QUERIES["sk_ks_stat"] = sk_ks_stat
 ORACLES["sk_ks_stat"] = ORACLE_KS_STAT
+
+
+# --- sk_moments --------------------------------------------------------------
+
+
+def sk_moments(t: dict[str, DataFrame]) -> DataFrame:
+    """Mergeable higher-moment sketch per event type: (n, Σx, Σx², Σx³,
+    Σx⁴) folds associatively like every other sketch in this module, and
+    the readout derives mean / population variance / skewness / excess
+    kurtosis — the one-pass distribution-shape profile a drift monitor
+    keeps per metric (KS/PSI need a reference; moments are standalone).
+
+    Exactness: the four power sums go through ``dsum_wide`` (1e-6
+    integer-decimal — x⁴ terms reach ~6e16 in quantum units at value
+    ≈ 490, past int64 for big groups; the decimal path is exact to
+    ~1e31 and order-free), so both engines derive the moments from
+    IDENTICAL doubles with an identical association order, and sqrt is
+    correctly-rounded IEEE. Zero-variance groups emit NULL shape stats
+    explicitly in both engines. One hash aggregation, map-side
+    combined; state is 5 numbers per (type) regardless of corpus size.
+    """
+    from pypers_spark.functions.rounding import dsum_wide
+
+    x = F.col("value")
+    agg = (
+        t["events"]
+        .select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum_wide(F.col("x")).alias("s1"),
+            dsum_wide(F.col("x") * F.col("x")).alias("s2"),
+            dsum_wide(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+            dsum_wide(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    ex2 = F.col("s2") / F.col("n")
+    ex3 = F.col("s3") / F.col("n")
+    ex4 = F.col("s4") / F.col("n")
+    var = ex2 - mean * mean
+    m3 = ex3 - 3 * mean * ex2 + 2 * mean * mean * mean
+    m4 = (
+        ex4
+        - 4 * mean * ex3
+        + 6 * mean * mean * ex2
+        - 3 * mean * mean * mean * mean
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            rnd(mean, 6).alias("mean"),
+            rnd(var, 6).alias("var_pop"),
+            F.when(
+                var > 0, rnd(m3 / (F.sqrt(var) * F.sqrt(var) * F.sqrt(var)), 4)
+            ).alias("skewness"),
+            F.when(var > 0, rnd(m4 / (var * var) - 3, 4)).alias("kurtosis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _finalize_moments_oracle() -> str:
+    from pypers_spark.functions.rounding import duck_dsum
+
+    return f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         {duck_dsum('value')} AS s1,
+         {duck_dsum('value * value')} AS s2,
+         {duck_dsum('value * value * value')} AS s3,
+         {duck_dsum('value * value * value * value')} AS s4
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT event_type, n,
+         s1 / n AS mean, s2 / n AS ex2, s3 / n AS ex3, s4 / n AS ex4
+  FROM agg
+),
+st AS (
+  SELECT event_type, n, mean,
+         ex2 - mean * mean AS var_pop,
+         ex3 - 3 * mean * ex2 + 2 * mean * mean * mean AS m3,
+         ex4 - 4 * mean * ex3 + 6 * mean * mean * ex2
+             - 3 * mean * mean * mean * mean AS m4
+  FROM m
+)
+SELECT event_type, n,
+       {duck_rnd('mean', 6)} AS mean,
+       {duck_rnd('var_pop', 6)} AS var_pop,
+       CASE WHEN var_pop > 0 THEN
+         {duck_rnd('m3 / (sqrt(var_pop) * sqrt(var_pop) * sqrt(var_pop))', 4)}
+       END AS skewness,
+       CASE WHEN var_pop > 0 THEN
+         {duck_rnd('m4 / (var_pop * var_pop) - 3', 4)}
+       END AS kurtosis
+FROM st
+ORDER BY event_type
+"""
+
+
+QUERIES["sk_moments"] = sk_moments
+ORACLES["sk_moments"] = _finalize_moments_oracle()

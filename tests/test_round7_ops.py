@@ -253,6 +253,61 @@ def test_graph_search_beam_is_ranked_and_improves_on_entries(tables, spark):
         assert rs[0]["cos_sim"] >= best_entry[q]
 
 
+def test_moments_match_numpy(tables):
+    """sk_moments: the sketch-derived mean/variance/skewness/kurtosis
+    agree with a direct numpy computation over the raw values — the
+    moment algebra is validated against independent math, not just the
+    mirrored oracle."""
+    import numpy as np
+
+    from pypers_spark.operators.sketches import sk_moments
+
+    out = {r["event_type"]: r for r in sk_moments(tables).collect()}
+    rows = tables["events"].select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        # quantize like dsum_wide does (1e-6 round-half-up) so the
+        # reference replays the sketch's exactness contract
+        x = np.floor(np.array(vals) * 1e6 + 0.5)
+        got = out[et]
+        assert got["n"] == len(vals)
+        n = len(vals)
+        s = [float((x ** k).sum()) / 1e6 ** k for k in (1, 2, 3, 4)]
+        mean = s[0] / n
+        var = s[1] / n - mean * mean
+        assert abs(got["mean"] - mean) < 1e-4
+        assert abs(got["var_pop"] - var) < 1e-2 * max(1.0, var)
+        if var > 0:
+            m3 = s[2] / n - 3 * mean * (s[1] / n) + 2 * mean**3
+            m4 = (
+                s[3] / n - 4 * mean * (s[2] / n) + 6 * mean**2 * (s[1] / n)
+                - 3 * mean**4
+            )
+            assert abs(got["skewness"] - m3 / var**1.5) < 1e-2
+            assert abs(got["kurtosis"] - (m4 / var**2 - 3)) < 1e-2
+
+
+def test_srm_check_consistency_and_coverage(tables):
+    """ev_srm_check: arm counts cover every event exactly once, the
+    chi2 column equals (n_a-n_b)^2/n recomputed from the emitted
+    counts, and the flag is exactly chi2 > the 95% critical value."""
+    from pypers_spark.operators.events_extra import SRM_CHI2_95, ev_srm_check
+
+    rows = ev_srm_check(tables).collect()
+    per_type = {
+        r["event_type"]: r["count"]
+        for r in tables["events"].groupBy("event_type").count().collect()
+    }
+    for r in rows:
+        n = r["n_a"] + r["n_b"]
+        assert n == per_type[r["event_type"]]
+        chi2 = (r["n_a"] - r["n_b"]) ** 2 / n
+        assert abs(r["chi2"] - chi2) < 1e-6
+        assert r["srm_flag"] == (chi2 > SRM_CHI2_95)
+
+
 def test_executor_loss_recovers_via_reliable_checkpoint():
     """r6 verdict #4: turn the 'executor-loss-tolerant' claim into
     evidence. Runs in a SUBPROCESS (an in-process builder would reuse
