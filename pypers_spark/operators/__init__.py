@@ -18,6 +18,7 @@ from pypers_spark.operators import (
     geo,
     graph,
     incremental,
+    lakehouse,
     events,
     events_extra,
     relational,
@@ -41,6 +42,7 @@ MODULES = (
     analytics,
     geo,
     incremental,
+    lakehouse,
     sketches,
     training,
     streaming_batch,

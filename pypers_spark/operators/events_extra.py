@@ -1402,10 +1402,13 @@ def ev_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     survive a billion-user table. Threshold ties land deterministically
     on one side in both engines, so the gate stays value-exact.
     """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.functions.percentile import exact_percentiles
+
     ev = t["events"]
     p = ev.filter(F.col("event_type") == "purchase")
     anchor = p.agg(F.max(F.to_date("ts")).alias("anchor"))
-    per_user = (
+    per_user = tracked_persist(
         p.groupBy("user_id")
         .agg(
             F.max(F.to_date("ts")).alias("last_day"),
@@ -1413,31 +1416,44 @@ def ev_rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
             (F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))) / 1e6).alias("monetary"),
         )
         .crossJoin(F.broadcast(anchor))
-        .withColumn("recency_days", F.datediff("anchor", "last_day"))
+        .withColumn("recency_days", F.datediff("anchor", "last_day")),
+        "events_extra.rfm_per_user",
     )
-    # One shuffle-bounded percentile plan per metric (a value column
-    # can't share another's groupBy(value) pass); the three 1-row cut
-    # tables cross-join back together. AQE's ReusedExchange serves the
-    # per_user aggregation to all three from one shuffle.
-    from pypers_spark.functions.percentile import exact_percentiles
-
-    cut_tables = [
-        exact_percentiles(
-            per_user, m, [(q, f"_{m}_q{int(q * 100)}") for q in (0.25, 0.50, 0.75)]
-        )
-        for m in ("recency_days", "frequency", "monetary")
-    ]
-    cuts = (
-        cut_tables[0]
-        .crossJoin(F.broadcast(cut_tables[1]))
-        .crossJoin(F.broadcast(cut_tables[2]))
-        .select(
-            *[
-                rnd(F.col(f"_{m}_q{int(q * 100)}"), 6).alias(f"{m}_q{int(q * 100)}")
-                for m in ("recency_days", "frequency", "monetary")
-                for q in (0.25, 0.50, 0.75)
-            ]
-        )
+    # ONE shuffle-bounded percentile pass for all nine cutoffs: unpivot
+    # the three metrics into (metric, value) rows and group the
+    # percentile plan by metric — 3n skinny rows through one
+    # groupBy(metric, value) + one window, instead of three separate
+    # full plans over the per-user aggregate (the r7 bench tax). The
+    # int metrics cast to double exactly at these magnitudes, so the
+    # interpolated cutoffs are bit-identical to the per-metric passes.
+    metrics = ("recency_days", "frequency", "monetary")
+    unpivoted = per_user.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("v"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("mv")
+    ).select("mv.metric", "mv.v")
+    cuts_long = exact_percentiles(
+        unpivoted,
+        "v",
+        [(0.25, "_q25"), (0.50, "_q50"), (0.75, "_q75")],
+        group_cols=["metric"],
+    )
+    cuts = cuts_long.groupBy().agg(
+        *[
+            rnd(
+                F.max(F.when(F.col("metric") == m, F.col(f"_q{q}"))), 6
+            ).alias(f"{m}_q{q}")
+            for m in metrics
+            for q in (25, 50, 75)
+        ]
     )
 
     def asc_score(m):  # low value = best (recency)

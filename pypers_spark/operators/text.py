@@ -783,44 +783,42 @@ ORACLES["mm_image_phash"] = ORACLE_MM_PHASH
 
 PHP_BANDS = 4   # 4 bands × 16 bits over the 64-bit dHash
 PHP_HAM_T = 12  # max Hamming distance for a verified near-dup pair
+# Skew guard on the band buckets, measured in DISTINCT hashes (the
+# banding runs over representatives after the identical-hash collapse):
+# a band bucket wider than this is dropped from cross-hash candidate
+# generation — the dd LSH_MAX_BUCKET_WIDTH discipline. Baked into the
+# DuckDB oracle too, so both engines compute the identical capped
+# result at any data scale.
+PHP_MAX_BUCKET_WIDTH = 64
 
 
-def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
-    """Perceptual near-dup PAIR MINING over the dHash table — the
-    image-side analogue of dd_simhash's banded Hamming search. The
-    64-bit dHash splits into {PHP_BANDS} 16-bit bands (4 hex chars);
-    images sharing ANY band become candidates (an edit that flips ≤ a
-    few bits leaves ≥ 1 band intact with high odds — same S-curve logic
-    as MinHash banding), and only candidates pay the exact 64-bit
-    Hamming verify (≤ {PHP_HAM_T} bits → emitted with the distance).
+def _phash_table(t: dict[str, DataFrame]) -> DataFrame:
+    """Persisted (media_id, phash) dHash table shared by the pair miner
+    and the bucket-stats profile.
 
-    Scale shape: banding is a projection (no shuffle beyond the bucket
-    join), candidates are bucket-bounded — never all-pairs over the
-    image corpus; the verify is 16 nibble XOR/bit_count terms in
-    whole-stage codegen. At 100 TB the band key becomes the storage
-    bucket and the join is co-located.
+    Repartition BEFORE the decode (the corpus() lesson): the skinny
+    media table arrives in 1-2 scan splits, which would pin the Arrow
+    decode to 1-2 cores; at 100 TB the scan has thousands of splits and
+    AQE coalesces this exchange away.
     """
     from pypers_spark.functions.caching import tracked_persist
     from pypers_spark.multimodal import phash_media, ppm_media_table
 
-    # Persist the hash table: both sides of the band self-join read it,
-    # and without the materialization the Arrow decode+dHash pass runs
-    # once PER SIDE. Repartition BEFORE the decode (the corpus() lesson):
-    # the skinny media table arrives in 1-2 scan splits, which would pin
-    # the Arrow decode to 1-2 cores; at 100 TB the scan has thousands of
-    # splits and AQE coalesces this exchange away.
     n_part = int(
         t["documents"].sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     media = ppm_media_table(t["documents"]).repartition(
         n_part, F.col("media_id")
     )
-    ph = tracked_persist(
+    return tracked_persist(
         phash_media(media).select("media_id", "phash"),
         "text.phash_pairs_ph",
     )
-    bands = ph.select(
-        "media_id",
+
+
+def _phash_rep_bands(ph: DataFrame) -> DataFrame:
+    """Band table over DISTINCT hashes (one row per hash per band)."""
+    return ph.select("phash").distinct().select(
         "phash",
         F.posexplode(
             F.array(
@@ -831,22 +829,72 @@ def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("band", "bkey"),
     )
-    a = bands.select(
-        F.col("media_id").alias("id_a"),
-        F.col("phash").alias("ph_a"),
-        "band",
-        "bkey",
+
+
+def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Perceptual near-dup PAIR MINING over the dHash table — the
+    image-side analogue of dd_simhash's banded Hamming search. The
+    64-bit dHash splits into {PHP_BANDS} 16-bit bands (4 hex chars);
+    hashes sharing ANY band become candidates (an edit that flips ≤ a
+    few bits leaves ≥ 1 band intact with high odds — same S-curve logic
+    as MinHash banding), and only candidates pay the exact 64-bit
+    Hamming verify (≤ {PHP_HAM_T} bits → emitted with the distance).
+
+    Duplicate-dense hardening (the real-corpus case: thousands of
+    byte-identical copies of one logo):
+
+    1. **Identical-hash collapse.** Banding and candidate generation run
+       over DISTINCT hashes only. Pairs WITHIN one hash group are
+       Hamming-0 by definition — they come from a plain equality
+       self-join on the hash key (one co-located shuffle, no banding,
+       no 16-nibble verify), so k copies of one image cost the
+       candidate stage nothing instead of Θ(k²·bands) raw join rows.
+    2. **Band bucket cap.** A band bucket wider than
+       {PHP_MAX_BUCKET_WIDTH} DISTINCT hashes is dropped from candidate
+       generation (aggregate-and-expand, the dd _band_candidates
+       shape), with the drop accounted in mm_phash_bucket_stats. Pair
+       count per bucket is ≤ C(cap, 2), bounded at any corpus size.
+
+    Cross-hash matches then fan back out to media pairs through two
+    joins on the hash key (each emitted pair's Hamming distance is a
+    property of the hash pair, computed once per hash pair, not once
+    per media pair). The verify is 16 nibble XOR/bit_count terms in
+    whole-stage codegen. At 100 TB the band key becomes the storage
+    bucket and the join is co-located.
+    """
+    ph = _phash_table(t)
+
+    # Hamming-0 pairs: equality self-join within identical-hash groups.
+    pa = ph.select(F.col("media_id").alias("id_a"), "phash")
+    pb = ph.select(F.col("media_id").alias("id_b"), "phash")
+    within = (
+        pa.join(pb, "phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
     )
-    b = bands.select(
-        F.col("media_id").alias("id_b"),
-        F.col("phash").alias("ph_b"),
-        "band",
-        "bkey",
+
+    # Cross-hash candidates over representatives: capped
+    # aggregate-and-expand per band bucket (C(w,2) ordered hash pairs).
+    buckets = (
+        _phash_rep_bands(ph)
+        .groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("phash")).alias("hs"))
+        .filter(
+            (F.size("hs") >= 2) & (F.size("hs") <= F.lit(PHP_MAX_BUCKET_WIDTH))
+        )
+    )
+    hash_pairs = F.flatten(
+        F.transform(
+            F.col("hs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("hs"), i + 2, F.size("hs")),
+                lambda y: F.struct(x.alias("ph_a"), y.alias("ph_b")),
+            ),
+        )
     )
     cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "ph_a", "id_b", "ph_b")
+        buckets.select(F.explode(hash_pairs).alias("p"))
+        .select("p.ph_a", "p.ph_b")
         .distinct()
     )
 
@@ -857,12 +905,19 @@ def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
         F.bit_count(_nib("ph_a", i).bitwiseXOR(_nib("ph_b", i)))
         for i in range(16)
     ).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= PHP_HAM_T)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+    verified = cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= PHP_HAM_T
     )
+    cross = (
+        verified.join(pa.withColumnRenamed("phash", "ph_a"), "ph_a")
+        .join(pb.withColumnRenamed("phash", "ph_b"), "ph_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross).orderBy("id_a", "id_b")
 
 
 def _php_duck_nib(col: str, i: int) -> str:
@@ -874,26 +929,111 @@ _PHP_DUCK_HAMMING = " + ".join(
     for i in range(16)
 )
 
+# Shared CTE chain over DISTINCT hashes: reps → bands → widths (the
+# cap acts on representative counts, mirrored exactly engine-to-engine).
+_PHP_DUCK_BAND_CTES = f"""reps AS (SELECT DISTINCT phash FROM ph),
+bands AS (
+  SELECT phash, CAST(i AS INT) AS band,
+         substr(phash, CAST(i AS INT) * 4 + 1, 4) AS bkey
+  FROM reps, unnest(range({PHP_BANDS})) AS t(i)
+),
+widths AS (SELECT band, bkey, count(*) AS w FROM bands GROUP BY ALL)"""
+
+_PHP_HAM = _PHP_DUCK_HAMMING.replace("a.phash", "ph_a").replace(
+    "b.phash", "ph_b"
+)
+
 ORACLE_MM_PHASH_PAIRS = f"""
 WITH {_DUCK_PHASH_CTES},
-bands AS (
-  SELECT doc_id AS media_id, phash, CAST(i AS INT) AS band,
-         substr(phash, CAST(i AS INT) * 4 + 1, 4) AS bkey
-  FROM ph, unnest(range({PHP_BANDS})) AS t(i)
-),
+{_PHP_DUCK_BAND_CTES},
+keep AS (SELECT band, bkey FROM widths WHERE w BETWEEN 2 AND {PHP_MAX_BUCKET_WIDTH}),
 cand AS (
-  SELECT DISTINCT a.media_id AS id_a, a.phash AS ph_a,
-                  b.media_id AS id_b, b.phash AS ph_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+  SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a
+  JOIN keep k ON a.band = k.band AND a.bkey = k.bkey
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.phash < b.phash
+),
+verified AS (
+  SELECT ph_a, ph_b, CAST({_PHP_HAM} AS INT) AS hamming
+  FROM cand WHERE {_PHP_HAM} <= {PHP_HAM_T}
+),
+within AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+  FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+),
+crossed AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+         greatest(ma.doc_id, mb.doc_id) AS id_b, v.hamming
+  FROM verified v
+  JOIN ph ma ON ma.phash = v.ph_a
+  JOIN ph mb ON mb.phash = v.ph_b
 )
-SELECT id_a, id_b,
-       CAST({_PHP_DUCK_HAMMING.replace("a.phash", "ph_a").replace("b.phash", "ph_b")} AS INT)
-         AS hamming
-FROM cand
-WHERE {_PHP_DUCK_HAMMING.replace("a.phash", "ph_a").replace("b.phash", "ph_b")} <= {PHP_HAM_T}
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM within
+UNION ALL
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM crossed
 ORDER BY id_a, id_b
 """
 
 QUERIES["mm_phash_pairs"] = mm_phash_pairs
 ORACLES["mm_phash_pairs"] = ORACLE_MM_PHASH_PAIRS
+
+
+def mm_phash_bucket_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-band dHash bucket-width profile + what the skew cap dropped —
+    the observability side of mm_phash_pairs' PHP_MAX_BUCKET_WIDTH
+    guard (dd_lsh_bucket_stats for the image index). Widths count
+    DISTINCT hashes (the space the cap acts on, post identical-hash
+    collapse); n_collapsed is how many media rows the collapse absorbed
+    before banding. One groupBy over the representative band table —
+    O(distinct hashes · bands).
+    """
+    ph = _phash_table(t)
+    collapsed = ph.groupBy().agg(
+        (F.count("*") - F.count_distinct("phash")).alias("n_collapsed")
+    )
+    over = F.col("w") > F.lit(PHP_MAX_BUCKET_WIDTH)
+    widths = (
+        _phash_rep_bands(ph).groupBy("band", "bkey").agg(F.count("*").alias("w"))
+    )
+    return (
+        widths.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("w").alias("max_width"),
+            F.sum(over.cast("bigint")).alias("n_dropped_buckets"),
+            F.sum(F.when(over, F.col("w")).otherwise(F.lit(0))).alias(
+                "n_dropped_hashes"
+            ),
+        )
+        .crossJoin(F.broadcast(collapsed))
+        .select(
+            "band",
+            "n_buckets",
+            "max_width",
+            "n_dropped_buckets",
+            "n_dropped_hashes",
+            "n_collapsed",
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_MM_PHASH_BUCKET_STATS = f"""
+WITH {_DUCK_PHASH_CTES},
+{_PHP_DUCK_BAND_CTES},
+collapsed AS (
+  SELECT count(*) - count(DISTINCT phash) AS n_collapsed FROM ph
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(w) AS BIGINT) AS max_width,
+       CAST(sum(CASE WHEN w > {PHP_MAX_BUCKET_WIDTH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_buckets,
+       CAST(sum(CASE WHEN w > {PHP_MAX_BUCKET_WIDTH} THEN w ELSE 0 END) AS BIGINT)
+         AS n_dropped_hashes,
+       CAST((SELECT n_collapsed FROM collapsed) AS BIGINT) AS n_collapsed
+FROM widths GROUP BY band ORDER BY band
+"""
+
+QUERIES["mm_phash_bucket_stats"] = mm_phash_bucket_stats
+ORACLES["mm_phash_bucket_stats"] = ORACLE_MM_PHASH_BUCKET_STATS

@@ -644,17 +644,25 @@ def txt_curriculum_stages(t: dict[str, DataFrame]) -> DataFrame:
     ntile sort. Readout: per stage, doc/char totals and the score
     band, i.e. the shard manifest a curriculum scheduler consumes.
     """
+    from pypers_spark.functions.caching import tracked_persist
+
     docs = t["documents"]
     txt = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        "n_chars",
-        (
-            F.lit(0.5) * F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
-            + F.lit(0.5)
-            * (F.size(tokenize_ws(txt)) / F.greatest(F.length(txt), F.lit(1)))
-            * F.lit(5.0)
-        ).alias("score"),
+    # Persisted: the cuts plan and the scoring pass both read it, and
+    # the tokenize_ws split is the expensive part of the row (the r7
+    # bench tax was paying it twice).
+    scored = tracked_persist(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (
+                F.lit(0.5) * F.least(F.length(txt) / F.lit(500.0), F.lit(1.0))
+                + F.lit(0.5)
+                * (F.size(tokenize_ws(txt)) / F.greatest(F.length(txt), F.lit(1)))
+                * F.lit(5.0)
+            ).alias("score"),
+        ),
+        "training.curriculum_scored",
     )
     from pypers_spark.functions.percentile import exact_percentiles
 

@@ -291,6 +291,33 @@ def streaming_upsert_parquet(
     """
     import os
 
+    def _pruned_existing(spark, table_path, latest):
+        """Rows of the stored table NOT superseded by the batch, read
+        through a plan-side partition prune: broadcast-semi-join the
+        batch's distinct ``_pk`` values against the table's partition
+        column. Dynamic partition pruning turns the broadcast into a
+        runtime PartitionFilters subquery on the parquet scan — only
+        touched ``_pk=`` directories are read — with no driver-side
+        collect of key values (at 4096 buckets a per-batch collect is
+        4096 values on the driver, every micro-batch). The ``_pk >= 0``
+        predicate is always true (pmod output) but statically
+        unprovable, which is exactly what PartitionPruning's
+        isLikelySelective gate needs to plant the
+        dynamicpruningexpression on the scan
+        (tests/test_streaming.py pins the plan shape).
+        """
+        touched = F.broadcast(
+            latest.select("_pk").distinct().filter(F.col("_pk") >= 0)
+        )
+        return (
+            spark.read.parquet(table_path)
+            .join(touched, "_pk", "left_semi")  # DPP-pruned scan
+            .join(latest.select(*key_cols), key_cols, "left_anti")
+        )
+
+    # exposed for the plan-shape test
+    streaming_upsert_parquet._pruned_existing = _pruned_existing
+
     key_hash = F.pmod(
         F.abs(F.hash(*[F.col(c) for c in key_cols])), F.lit(n_partitions)
     )
@@ -319,12 +346,7 @@ def streaming_upsert_parquet(
             if os.path.isdir(path) and any(
                 n.startswith("_pk=") for n in os.listdir(path)
             ):
-                touched = [r["_pk"] for r in latest.select("_pk").distinct().collect()]
-                existing = (
-                    spark.read.parquet(path)
-                    .filter(F.col("_pk").isin(touched))  # partition-pruned scan
-                    .join(latest.select(*key_cols), key_cols, "left_anti")
-                )
+                existing = _pruned_existing(spark, path, latest)
                 out = existing.unionByName(latest)
             else:
                 out = latest

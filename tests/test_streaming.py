@@ -256,3 +256,44 @@ def test_streaming_upsert_second_run_updates_in_place(spark, sf_dir, tmp_path):
     assert after_df.count() == n  # updated, not appended
     after = after_df.agg(F.sum("value")).collect()[0][0]
     assert abs((after - before) - 500.0 * n) < 1e-3 * n
+
+
+def test_streaming_upsert_scan_is_dpp_pruned(spark, tmp_path):
+    """The upsert sink's read of the stored table must carry a
+    dynamic-partition-pruning subquery on the _pk partition column —
+    the plan-side replacement for collecting touched bucket ids to the
+    driver. Pins both the plan shape (dynamicpruningexpression in the
+    scan's PartitionFilters) and the merge semantics of the pruned
+    read (rows superseded by the batch are gone, others intact)."""
+    from pypers_spark.streaming.core import streaming_upsert_parquet
+
+    out = str(tmp_path / "dpp_table")
+    base = (
+        spark.range(1000)
+        .select(F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("value"))
+        .withColumn("_pk", F.pmod(F.abs(F.hash("event_id")), F.lit(16)))
+    )
+    base.write.partitionBy("_pk").parquet(out)
+
+    # instantiate the sink to bind key_cols, then use its pruned reader
+    streaming_upsert_parquet(base, out, key_cols=["event_id"], order_col="value")
+    pruned = streaming_upsert_parquet._pruned_existing
+    batch = (
+        spark.range(10)
+        .select(F.col("id").alias("event_id"), F.lit(9.9).alias("value"))
+        .withColumn("_pk", F.pmod(F.abs(F.hash("event_id")), F.lit(16)))
+    )
+    existing = pruned(spark, out, batch)
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    # semantics: only TOUCHED partitions are read (untouched ones are
+    # preserved on disk by dynamic partition overwrite, not rewritten),
+    # and within them the batch's keys are anti-joined away
+    assert existing.filter(F.col("event_id") < 10).count() == 0
+    touched_pks = {r["_pk"] for r in batch.select("_pk").distinct().collect()}
+    expected = (
+        base.filter(F.col("_pk").isin(list(touched_pks)))
+        .filter(F.col("event_id") >= 10)
+        .count()
+    )
+    assert existing.count() == expected

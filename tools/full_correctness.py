@@ -57,7 +57,12 @@ def main() -> None:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            # wall of the full Spark-vs-oracle compare for this key (a
+            # committed per-key cost record for every registry key, not
+            # just the bench headline set — r7 verdict item #4)
+            "wall_sec": None,
         }
+        tk = time.perf_counter()
         try:
             sdf = qs[k](spark, sf_dir)
             if k not in osql:
@@ -80,6 +85,7 @@ def main() -> None:
                 )
         except Exception as exc:  # a crash is a red row, not a crash of the sweep
             row["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        row["wall_sec"] = round(time.perf_counter() - tk, 2)
         out[k] = row
         status = "ok" if row["hash_match"] in (True, None) and row["rows_match"] else "FAIL"
         print(f"{k}: {status}", flush=True)
