@@ -186,6 +186,17 @@ HEADLINE = (
     "ann_graph_search",
     "ev_srm_check",
     "sk_moments",
+    # round-8 coverage wave: phash bucket profile, lakehouse write-path
+    # pipeline, PCM audio features, conversion latency, calibration
+    # bins, DBSCAN core census, bloom FPR, boilerplate scrub
+    "mm_phash_bucket_stats",
+    "pipe_lakehouse",
+    "mm_audio_energy",
+    "ev_time_to_convert",
+    "ev_calibration_bins",
+    "gs_dbscan_core",
+    "sk_bloom_fpr",
+    "txt_boilerplate_scrub",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

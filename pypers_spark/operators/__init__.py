@@ -72,7 +72,22 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
-    # round-6-new keys lead: never driver-sampled yet
+    # round-8-new keys lead: never driver-sampled yet, plus the three
+    # operators round 8 rewrote (phash pair miner, one-pass RFM cuts,
+    # persisted curriculum scoring) so their first post-rewrite driver
+    # run is value-checked
+    "mm_phash_bucket_stats",
+    "pipe_lakehouse",
+    "mm_audio_energy",
+    "ev_time_to_convert",
+    "ev_calibration_bins",
+    "gs_dbscan_core",
+    "sk_bloom_fpr",
+    "txt_boilerplate_scrub",
+    "mm_phash_pairs",
+    "ev_rfm_segments",
+    "txt_curriculum_stages",
+    # round-6-new keys next
     "mm_image_phash",
     "ev_diff_in_diff",
     "pipe_eval",

@@ -2459,3 +2459,168 @@ ORDER BY event_type
 
 QUERIES["ev_srm_check"] = ev_srm_check
 ORACLES["ev_srm_check"] = _finalize_srm_oracle()
+
+
+# --- ev_time_to_convert (r8) --------------------------------------------------
+
+TTC_QS = ((0.25, "p25_s"), (0.50, "p50_s"), (0.75, "p75_s"), (0.90, "p90_s"))
+
+
+def ev_time_to_convert(t: dict[str, DataFrame]) -> DataFrame:
+    """Signup→purchase conversion-latency profile: for every signed-up
+    user, seconds from their FIRST signup to their first purchase at or
+    after it; readout is the conversion funnel (signed up / converted /
+    rate) plus exact latency quartiles + p90.
+
+    Scale shape: two struct-min hash aggregations keyed on user_id (no
+    window over raw events), one user-cardinality join, and the
+    quartiles go through the shuffle-bounded order-statistic plan
+    (functions/percentile.py) — never a global sort of the latency
+    column. The conditional min (first purchase ≥ signup) rides the
+    same aggregate as the funnel counts.
+    """
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    ev = t["events"]
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("t_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("t_p")
+    )
+    lat = (
+        signup.join(purchases, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(F.when(F.col("t_p") >= F.col("t_signup"), F.col("t_p")))
+                - F.first("t_signup")
+            ).alias("latency_s")
+        )
+    )
+    return exact_percentiles(
+        lat,
+        "latency_s",
+        list(TTC_QS),
+        count_alias="n_converted",
+    ).crossJoin(
+        F.broadcast(lat.agg(F.count("*").alias("n_signed_up")))
+    ).select(
+        "n_signed_up",
+        "n_converted",
+        rnd(F.col("n_converted").cast("double") / F.col("n_signed_up"), 6).alias(
+            "conversion_rate"
+        ),
+        *[rnd(F.col(a), 6).alias(a) for _, a in TTC_QS],
+    )
+
+
+_TTC_EP = _DUCK_EPOCH.format(col="ts")
+
+ORACLE_TIME_TO_CONVERT = f"""
+WITH signup AS (
+  SELECT user_id, min({_TTC_EP}) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+lat AS (
+  SELECT s.user_id,
+         min(CASE WHEN {_DUCK_EPOCH.format(col="p.ts")} >= s.t_signup
+                  THEN {_DUCK_EPOCH.format(col="p.ts")} END) - s.t_signup
+           AS latency_s
+  FROM signup s
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = s.user_id
+  GROUP BY s.user_id, s.t_signup
+)
+SELECT count(*) AS n_signed_up,
+       CAST(count(latency_s) AS BIGINT) AS n_converted,
+       {duck_rnd('CAST(count(latency_s) AS DOUBLE) / count(*)', 6)}
+         AS conversion_rate,
+       {", ".join(duck_rnd(f'quantile_cont(latency_s, {q})', 6) + f' AS {a}'
+                  for q, a in TTC_QS)}
+FROM lat
+"""
+
+QUERIES["ev_time_to_convert"] = ev_time_to_convert
+ORACLES["ev_time_to_convert"] = ORACLE_TIME_TO_CONVERT
+
+
+# --- ev_calibration_bins (r8) -------------------------------------------------
+
+CAL_BINS = 10
+CAL_SCALE = 1000  # score quantum: k/1000 — summed as exact ints
+
+
+def ev_calibration_bins(t: dict[str, DataFrame]) -> DataFrame:
+    """Model-calibration reliability table: a deterministic pseudo-score
+    per event (hash draw quantized to 1/{CAL_SCALE}) bucketed into
+    {CAL_BINS} equi-width bins against the synthetic binary label
+    (user_id parity — the ev_auc_score fixture), emitting per bin the
+    count, exact mean predicted score, and observed positive rate: the
+    reliability-diagram input every eval pipeline materializes.
+
+    Parity discipline: scores stay INTEGER (k ∈ [0, {CAL_SCALE})) until
+    one final division per bin, so the mean never depends on float
+    accumulation order; one map-side projection + one {CAL_BINS}-row
+    hash aggregation at any scale.
+    """
+    from pypers_spark.functions.hashing import md5_int64
+
+    k = md5_int64(
+        F.concat(F.lit("cal:"), F.col("event_id").cast("string"))
+    ) % CAL_SCALE
+    scored = t["events"].select(
+        k.alias("k"),
+        (F.col("user_id") % 2 == 0).cast("long").alias("label"),
+    )
+    bin_id = F.least(
+        F.floor(F.col("k") * CAL_BINS / CAL_SCALE).cast("int"),
+        F.lit(CAL_BINS - 1),
+    )
+    return (
+        scored.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("_sk"),
+            F.sum("label").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            rnd(
+                F.col("_sk").cast("double") / (F.col("n") * CAL_SCALE), 6
+            ).alias("mean_score"),
+            "n_pos",
+            rnd(F.col("n_pos").cast("double") / F.col("n"), 6).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _oracle_calibration() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+
+    key_expr = duck_md5_int64("'cal:' || CAST(event_id AS VARCHAR)")
+    k = f"({key_expr}) % {CAL_SCALE}"
+    return f"""
+WITH scored AS (
+  SELECT {k} AS k,
+         CAST(user_id % 2 = 0 AS BIGINT) AS label
+  FROM events
+)
+SELECT least(CAST(floor(k * {CAL_BINS} / {CAL_SCALE}) AS INT), {CAL_BINS - 1}) AS bin,
+       count(*) AS n,
+       {duck_rnd(f'CAST(sum(k) AS DOUBLE) / (count(*) * {CAL_SCALE})', 6)}
+         AS mean_score,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       {duck_rnd('CAST(sum(label) AS DOUBLE) / count(*)', 6)} AS pos_rate
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+QUERIES["ev_calibration_bins"] = ev_calibration_bins
+ORACLES["ev_calibration_bins"] = _oracle_calibration()

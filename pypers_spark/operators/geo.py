@@ -243,3 +243,128 @@ ORDER BY dist_decile
 
 QUERIES["gs_radius_join"] = gs_radius_join
 ORACLES["gs_radius_join"] = ORACLE_RADIUS_JOIN
+
+
+# --- gs_dbscan_core (r8) ------------------------------------------------------
+
+DBSCAN_EPS_KM = 15.0
+DBSCAN_MIN_PTS = 4  # neighbors (excl. self) for a core point
+DBSCAN_NN_CAP = 10  # histogram bucket ceiling for the readout
+
+
+def gs_dbscan_core(t: dict[str, DataFrame]) -> DataFrame:
+    """DBSCAN's core-point pass, grid-blocked: each point counts its
+    ε={DBSCAN_EPS_KM} km neighbors through the same 3×3 cell-probe
+    equi-join as gs_radius_join (never an all-pairs distance join),
+    and the readout is the neighbor-count histogram (bucketed at
+    {DBSCAN_NN_CAP}+) with the core classification (≥ {DBSCAN_MIN_PTS}
+    neighbors) per bucket — the density census a distributed DBSCAN
+    shuffles before any cluster expansion.
+
+    Scale shape: the probe fan-out is a constant 9× projection, the
+    join is an equi-join on the cell key (co-located at 100 TB when
+    points are stored cell-partitioned), and zero-neighbor points
+    survive via one user-cardinality left join — no point ever compares
+    against more than its 3×3 neighborhood.
+    """
+    pts = _points(t)
+    cy, cx = _cell(F.col("lat"), F.col("lon"))
+    right = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cy.alias("cell_y"),
+        cx.alias("cell_x"),
+    )
+    probes = pts.select(
+        F.col("pid").alias("pid_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cy + F.lit(dy)).alias("cell_y"),
+                        (cx + F.lit(dx)).alias("cell_x"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "pid_a",
+        "lat_a",
+        "lon_a",
+        F.col("p.cell_y").alias("cell_y"),
+        F.col("p.cell_x").alias("cell_x"),
+    )
+    dist = rnd(
+        _haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+        6,
+    )
+    nn = (
+        probes.join(right, ["cell_y", "cell_x"])
+        .filter(F.col("pid_a") != F.col("pid_b"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= DBSCAN_EPS_KM)
+        .groupBy("pid_a")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+    census = pts.join(nn, pts["pid"] == nn["pid_a"], "left").select(
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors")
+    )
+    bucket = F.least(F.col("n_neighbors"), F.lit(DBSCAN_NN_CAP)).cast("int")
+    return (
+        census.groupBy(bucket.alias("nn_bucket"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max(
+                (F.col("n_neighbors") >= DBSCAN_MIN_PTS).cast("int")
+            ).alias("is_core"),
+        )
+        .orderBy("nn_bucket")
+    )
+
+
+ORACLE_DBSCAN_CORE = f"""
+WITH pts AS ({_DUCK_POINTS}),
+located AS (
+  SELECT pid, lat, lon,
+         CAST(floor(lat / {CELL_DEG}) AS BIGINT) AS cell_y,
+         CAST(floor(lon / {CELL_DEG}) AS BIGINT) AS cell_x
+  FROM pts
+),
+probes AS (
+  SELECT pid AS pid_a, lat AS lat_a, lon AS lon_a,
+         cell_y + dy AS cell_y, cell_x + dx AS cell_x
+  FROM located,
+       unnest([-1, 0, 1]) AS ty(dy),
+       unnest([-1, 0, 1]) AS tx(dx)
+),
+nn AS (
+  SELECT pid_a, count(*) AS n_neighbors
+  FROM probes p
+  JOIN (SELECT pid AS pid_b, lat AS lat_b, lon AS lon_b, cell_y, cell_x
+        FROM located) r
+    ON p.cell_y = r.cell_y AND p.cell_x = r.cell_x AND p.pid_a != r.pid_b
+  WHERE {_DUCK_DIST} <= {DBSCAN_EPS_KM}
+  GROUP BY pid_a
+),
+census AS (
+  SELECT coalesce(nn.n_neighbors, 0) AS n_neighbors
+  FROM located l LEFT JOIN nn ON l.pid = nn.pid_a
+)
+SELECT CAST(least(n_neighbors, {DBSCAN_NN_CAP}) AS INT) AS nn_bucket,
+       count(*) AS n_points,
+       CAST(max(CASE WHEN n_neighbors >= {DBSCAN_MIN_PTS} THEN 1 ELSE 0 END)
+            AS INT) AS is_core
+FROM census
+GROUP BY 1
+ORDER BY nn_bucket
+"""
+
+QUERIES["gs_dbscan_core"] = gs_dbscan_core
+ORACLES["gs_dbscan_core"] = ORACLE_DBSCAN_CORE

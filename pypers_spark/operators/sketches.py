@@ -1100,3 +1100,114 @@ ORDER BY event_type
 
 QUERIES["sk_moments"] = sk_moments
 ORACLES["sk_moments"] = _finalize_moments_oracle()
+
+
+# --- sk_bloom_fpr (r8) --------------------------------------------------------
+
+BF_BITS = 4096  # filter size (the dd_bloom_admit demo geometry)
+BF_K = 2        # hash functions
+
+
+def sk_bloom_fpr(t: dict[str, DataFrame]) -> DataFrame:
+    """Measured Bloom-filter false-positive rate: build the
+    {BF_BITS}-bit/{BF_K}-hash filter over the corpus's distinct content
+    fingerprints, then probe it with an equal-sized set of keys
+    GUARANTEED absent (a second md5 derivation of each fingerprint —
+    disjoint hash space), and report occupancy + the measured FPR. The
+    sizing artifact you compute before trusting dd_bloom_admit's
+    prefilter at a new corpus scale: measured FPR vs the
+    (1 − e^{-kn/m})^k design point, without the libm exp in the gate.
+
+    Scale shape: the filter IS a distinct bit-position table (≤
+    {BF_BITS} rows at any corpus size) broadcast to every executor;
+    build and probe are each one hash aggregation + {BF_K} broadcast
+    joins — the filter never round-trips through the driver.
+    """
+    d = t["documents"]
+    fp = d.select(F.md5(normalize_text(F.col("text"))).alias("fp")).distinct()
+
+    def positions(col: F.Column, tag: str) -> list:
+        return [
+            (
+                md5_int64(F.concat(F.lit(f"bf{j}:"), col)) % BF_BITS
+            ).alias(f"{tag}{j}")
+            for j in range(BF_K)
+        ]
+
+    bits = (
+        fp.select(F.explode(F.array(*positions(F.col("fp"), "p"))).alias("pos"))
+        .distinct()
+    )
+    # probe keys: re-hash each fingerprint into a disjoint key space
+    probes = fp.select(F.md5(F.concat(F.lit("probe:"), F.col("fp"))).alias("pk"))
+    flagged = probes.select("pk", *positions(F.col("pk"), "q"))
+    for j in range(BF_K):
+        b = bits.select(F.col("pos").alias(f"bpos{j}"))
+        flagged = flagged.join(
+            F.broadcast(b), flagged[f"q{j}"] == b[f"bpos{j}"], "left"
+        )
+    hit = F.lit(True)
+    for j in range(BF_K):
+        hit = hit & F.col(f"bpos{j}").isNotNull()
+    probe_agg = flagged.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(hit.cast("long")).alias("n_false_pos"),
+    )
+    build_agg = fp.agg(F.count("*").alias("n_keys")).crossJoin(
+        F.broadcast(bits.agg(F.count("*").alias("bits_set")))
+    )
+    return build_agg.crossJoin(F.broadcast(probe_agg)).select(
+        F.lit(BF_BITS).alias("m_bits"),
+        F.lit(BF_K).alias("k_hashes"),
+        "n_keys",
+        "bits_set",
+        rnd(F.col("bits_set").cast("double") / F.lit(BF_BITS), 6).alias(
+            "load_factor"
+        ),
+        "n_probes",
+        "n_false_pos",
+        rnd(
+            F.col("n_false_pos").cast("double") / F.col("n_probes"), 6
+        ).alias("fpr"),
+    )
+
+
+def _oracle_bloom_fpr() -> str:
+    pos_fp = ", ".join(
+        f"({duck_md5_int64(repr('bf' + str(j) + ':') + ' || fp')}) % {BF_BITS}"
+        for j in range(BF_K)
+    )
+    pos_pk = [
+        f"({duck_md5_int64(repr('bf' + str(j) + ':') + ' || pk')}) % {BF_BITS}"
+        for j in range(BF_K)
+    ]
+    all_hit = " AND ".join(
+        f"{p} IN (SELECT pos FROM bits)" for p in pos_pk
+    )
+    return f"""
+WITH fp AS (
+  SELECT DISTINCT md5({duck_normalize_text('text')}) AS fp FROM documents
+),
+bits AS (
+  SELECT DISTINCT unnest([{pos_fp}]) AS pos FROM fp
+),
+probes AS (SELECT md5('probe:' || fp) AS pk FROM fp),
+probe_agg AS (
+  SELECT count(*) AS n_probes,
+         CAST(sum(CASE WHEN {all_hit} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+  FROM probes
+)
+SELECT {BF_BITS} AS m_bits, {BF_K} AS k_hashes,
+       (SELECT count(*) FROM fp) AS n_keys,
+       (SELECT count(*) FROM bits) AS bits_set,
+       {duck_rnd(f'(SELECT count(*) FROM bits) * 1.0 / {BF_BITS}', 6)}
+         AS load_factor,
+       n_probes, n_false_pos,
+       {duck_rnd('CAST(n_false_pos AS DOUBLE) / n_probes', 6)} AS fpr
+FROM probe_agg
+"""
+
+
+QUERIES["sk_bloom_fpr"] = sk_bloom_fpr
+ORACLES["sk_bloom_fpr"] = _oracle_bloom_fpr()

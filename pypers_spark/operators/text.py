@@ -1037,3 +1037,114 @@ FROM widths GROUP BY band ORDER BY band
 
 QUERIES["mm_phash_bucket_stats"] = mm_phash_bucket_stats
 ORACLES["mm_phash_bucket_stats"] = ORACLE_MM_PHASH_BUCKET_STATS
+
+
+# --- mm_audio_energy (r8) -----------------------------------------------------
+
+
+def mm_audio_energy(t: dict[str, DataFrame]) -> DataFrame:
+    """Audio FEATURE EXTRACTION over real RIFF/WAVE bytes: per media,
+    exact integer PCM signal statistics (sum |amp|, energy Σamp²,
+    peak, silence count at the per-depth threshold) plus derived
+    silence ratio and RMS — the VAD/loudness profile an audio curation
+    pipeline computes before keeping a clip. The chunk walk + numpy
+    amplitude math run in the Arrow ``mapInPandas`` stage
+    (:func:`pypers_spark.multimodal.audio_energy`); only 7-column
+    stats rows shuffle.
+
+    The data bytes are the document's ASCII text cycled to the
+    per-doc data length (multimodal.wav_media_table), so the oracle
+    recomputes every statistic from the text WITHOUT touching binary —
+    a bug anywhere in the writer, the chunk walk, the 8-vs-16-bit
+    sample decode, or the sign handling breaks the value match. RMS
+    stays parity-safe: one double division + one sqrt (correctly
+    rounded IEEE in both engines); every accumulation is int64.
+    """
+    from pypers_spark.multimodal import audio_energy, wav_media_table
+
+    n_part = int(
+        t["documents"].sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    media = wav_media_table(t["documents"]).repartition(
+        n_part, F.col("media_id")
+    )
+    stats = audio_energy(media)
+    return stats.select(
+        "media_id",
+        "bits_per_sample",
+        "n_samples",
+        "sum_abs",
+        "sum_sq",
+        "peak_abs",
+        "n_silent",
+        rnd(
+            F.col("n_silent").cast("double")
+            / F.greatest(F.col("n_samples"), F.lit(1)),
+            6,
+        ).alias("silence_ratio"),
+        rnd(
+            F.sqrt(
+                F.col("sum_sq").cast("double")
+                / F.greatest(F.col("n_samples"), F.lit(1))
+            ),
+            6,
+        ).alias("rms"),
+    ).orderBy("media_id")
+
+
+def _oracle_mm_audio_energy() -> str:
+    from pypers_spark.multimodal import SILENCE_ABS_8, SILENCE_ABS_16
+
+    # data bytes = the doc's ASCII text cycled to data_len (the
+    # wav_media_table derivation); 8-bit amps are unsigned around 128,
+    # 16-bit are signed little-endian pairs.
+    amp8 = "unicode(substr(data, CAST(i AS INT), 1)) - 128"
+    s16 = (
+        "unicode(substr(data, CAST(2 * i - 1 AS INT), 1))"
+        " + 256 * unicode(substr(data, CAST(2 * i AS INT), 1))"
+    )
+    amp16 = f"CASE WHEN {s16} >= 32768 THEN {s16} - 65536 ELSE {s16} END"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + 8 * ((doc_id % 5) % 2) AS bits,
+         {WAV_DATA_BASE} + doc_id % {WAV_DATA_MOD} AS data_len,
+         text
+  FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
+),
+d AS (
+  SELECT media_id, bits, data_len,
+         substr(repeat(text, CAST(ceil(data_len * 1.0 / length(text)) AS INT)),
+                1, CAST(data_len AS INT)) AS data
+  FROM m
+),
+amps AS (
+  SELECT media_id, bits,
+         CASE WHEN bits = 8
+              THEN list_transform(range(1, CAST(data_len AS BIGINT) + 1),
+                                  i -> {amp8})
+              ELSE list_transform(range(1, data_len // 2 + 1),
+                                  i -> {amp16})
+         END AS amp,
+         CASE WHEN bits = 8 THEN {SILENCE_ABS_8} ELSE {SILENCE_ABS_16} END AS st
+  FROM d
+)
+SELECT media_id,
+       CAST(bits AS INT) AS bits_per_sample,
+       CAST(len(amp) AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(amp, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_sum(list_transform(amp, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(list_transform(amp, x -> abs(x))) AS BIGINT) AS peak_abs,
+       CAST(len(list_filter(amp, x -> abs(x) <= st)) AS BIGINT) AS n_silent,
+       {duck_rnd('CAST(len(list_filter(amp, x -> abs(x) <= st)) AS DOUBLE)'
+                 ' / greatest(len(amp), 1)', 6)} AS silence_ratio,
+       {duck_rnd('sqrt(CAST(list_sum(list_transform(amp, x -> x * x)) AS DOUBLE)'
+                 ' / greatest(len(amp), 1))', 6)} AS rms
+FROM amps
+ORDER BY media_id
+"""
+
+
+QUERIES["mm_audio_energy"] = mm_audio_energy
+ORACLES["mm_audio_energy"] = _oracle_mm_audio_energy()

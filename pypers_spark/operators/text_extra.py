@@ -621,3 +621,112 @@ LIMIT {RAKE_TOP_K}
 
 QUERIES["txt_rake"] = txt_rake
 ORACLES["txt_rake"] = _duck_rake_sql()
+
+
+# --- txt_boilerplate_scrub (r8) -----------------------------------------------
+
+BP_PARA_W = 12  # paragraph = 12-token non-overlapping window
+BP_DF = 3       # boilerplate: paragraph appears in >= 3 DISTINCT docs
+
+
+def txt_boilerplate_scrub(t: dict[str, DataFrame]) -> DataFrame:
+    """Frequency-based boilerplate removal (the CCNet paragraph-hash
+    dedup, on a corpus whose 'paragraphs' are {BP_PARA_W}-token
+    non-overlapping windows): a paragraph occurring in ≥ {BP_DF}
+    distinct documents is boilerplate (nav bars, cookie banners,
+    license headers) and every occurrence is scrubbed — distinct from
+    dd_chunk_exact, which only REPORTS duplicate chunk groups. Readout:
+    per source, paragraphs/tokens before and after, docs touched, and
+    the removal ratio — the retention accounting a curation run emits.
+
+    Scale shape: paragraphs are a bounded in-row array transform (no
+    token explode), the df count is one hash aggregation over (hash →
+    doc) with map-side combine, and the scrub is a broadcast-ready
+    anti-membership join keyed on the paragraph hash — O(paragraphs),
+    never O(tokens²).
+    """
+    docs = t["documents"]
+    toks = tokenize_ws(F.col("text"))
+    n_paras = F.ceil(F.size(toks) / F.lit(BP_PARA_W)).cast("int")
+    paras = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * BP_PARA_W + 1, BP_PARA_W), " "
+                ),
+            )
+        ).alias("para_idx", "para"),
+    ).withColumn("n_tok", F.size(F.split(F.col("para"), " ")))
+    hashed = paras.withColumn("ph", F.md5("para"))
+    bp = (
+        hashed.groupBy("ph")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BP_DF)
+        .select("ph")
+    )
+    marked = hashed.join(
+        bp.withColumn("is_bp", F.lit(1)), "ph", "left"
+    ).withColumn("is_bp", F.coalesce(F.col("is_bp"), F.lit(0)))
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum("is_bp").alias("n_removed"),
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+            F.sum(F.when(F.col("is_bp") == 0, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_after"),
+            F.count_distinct(F.when(F.col("is_bp") == 1, F.col("doc_id"))).alias(
+                "docs_touched"
+            ),
+            rnd(
+                F.sum("is_bp").cast("double") / F.count("*"), 6
+            ).alias("removal_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_BP_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
+
+ORACLE_BOILERPLATE_SCRUB = f"""
+WITH paras AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_slice({_BP_TOKS}, CAST(i * {BP_PARA_W} + 1 AS INT),
+                      CAST((i + 1) * {BP_PARA_W} AS INT)), ' ') AS para
+  FROM documents,
+       unnest(range(CAST(ceil(len({_BP_TOKS}) * 1.0 / {BP_PARA_W}) AS BIGINT)))
+         AS t(i)
+),
+hashed AS (
+  SELECT doc_id, source, md5(para) AS ph,
+         len(string_split(para, ' ')) AS n_tok
+  FROM paras
+),
+bp AS (
+  SELECT ph FROM hashed GROUP BY ph HAVING count(DISTINCT doc_id) >= {BP_DF}
+),
+marked AS (
+  SELECT h.*, CASE WHEN bp.ph IS NULL THEN 0 ELSE 1 END AS is_bp
+  FROM hashed h LEFT JOIN bp ON h.ph = bp.ph
+)
+SELECT source,
+       count(*) AS n_paras,
+       CAST(sum(is_bp) AS BIGINT) AS n_removed,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+       CAST(sum(CASE WHEN is_bp = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_after,
+       CAST(count(DISTINCT CASE WHEN is_bp = 1 THEN doc_id END) AS BIGINT)
+         AS docs_touched,
+       {duck_rnd('CAST(sum(is_bp) AS DOUBLE) / count(*)', 6)} AS removal_ratio
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["txt_boilerplate_scrub"] = txt_boilerplate_scrub
+ORACLES["txt_boilerplate_scrub"] = ORACLE_BOILERPLATE_SCRUB

@@ -151,3 +151,168 @@ def test_lakehouse_write_roundtrip_lossless(spark, sf_dir, tables):
     landed = spark.table(LH_SNAP_TABLE)
     assert landed.count() == n_expected
     assert landed.filter(F.col("price").isNull()).count() == 0
+
+
+# --- round-8 coverage wave ----------------------------------------------------
+
+
+def test_time_to_convert_funnel_invariants(spark, sf_dir, tables):
+    """Converted ≤ signed up; quartiles non-decreasing; every latency
+    non-negative (first purchase AT OR AFTER the first signup)."""
+    from pypers_spark.operators.events_extra import ev_time_to_convert
+
+    row = ev_time_to_convert(tables).collect()[0]
+    assert 0 < row["n_converted"] <= row["n_signed_up"]
+    assert 0 <= row["p25_s"] <= row["p50_s"] <= row["p75_s"] <= row["p90_s"]
+    assert abs(
+        row["conversion_rate"] - row["n_converted"] / row["n_signed_up"]
+    ) < 1e-6
+
+
+def test_calibration_bins_partition_events(spark, sf_dir, tables):
+    """The ten bins partition the event stream exactly, and each bin's
+    mean score sits inside its own bin bounds."""
+    from pypers_spark.operators.events_extra import CAL_BINS, ev_calibration_bins
+
+    rows = ev_calibration_bins(tables).collect()
+    assert [r["bin"] for r in rows] == list(range(CAL_BINS))
+    assert sum(r["n"] for r in rows) == tables["events"].count()
+    for r in rows:
+        assert r["bin"] / CAL_BINS <= r["mean_score"] < (r["bin"] + 1) / CAL_BINS
+        assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+def test_dbscan_core_counts_match_bruteforce(spark, sf_dir, tables):
+    """Grid-blocked neighbor counting must equal the all-pairs count:
+    the 3×3 probe neighborhood fully covers the ε radius (cell 0.5° ≈
+    55 km > ε = 15 km), so blocking loses no neighbor."""
+    import math
+
+    from pypers_spark.operators.geo import (
+        DBSCAN_EPS_KM,
+        DBSCAN_MIN_PTS,
+        DBSCAN_NN_CAP,
+        _points,
+        gs_dbscan_core,
+    )
+
+    pts = [(r["pid"], r["lat"], r["lon"]) for r in _points(tables).collect()]
+
+    def hav(a, b):
+        rad = math.pi / 180.0
+        dlat, dlon = (b[1] - a[1]) * rad / 2, (b[2] - a[2]) * rad / 2
+        x = (
+            math.sin(dlat) ** 2
+            + math.cos(a[1] * rad) * math.cos(b[1] * rad) * math.sin(dlon) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    counts = {p[0]: 0 for p in pts}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if round(hav(pts[i], pts[j]), 6) <= DBSCAN_EPS_KM:
+                counts[pts[i][0]] += 1
+                counts[pts[j][0]] += 1
+    want = {}
+    for c in counts.values():
+        b = min(c, DBSCAN_NN_CAP)
+        n, _ = want.get(b, (0, 0))
+        want[b] = (n + 1, int(c >= DBSCAN_MIN_PTS))
+    got = {
+        r["nn_bucket"]: (r["n_points"], r["is_core"])
+        for r in gs_dbscan_core(tables).collect()
+    }
+    assert got == want
+
+
+def test_bloom_fpr_report_is_consistent(spark, sf_dir, tables):
+    """Occupancy and FPR invariants: bits_set ≤ min(m, k·n); measured
+    FPR within a loose band of the (1−e^{-kn/m})^k design point (the
+    libm-free gate can't pin it exactly — this test can)."""
+    import math
+
+    from pypers_spark.operators.sketches import BF_BITS, BF_K, sk_bloom_fpr
+
+    r = sk_bloom_fpr(tables).collect()[0]
+    assert r["bits_set"] <= min(BF_BITS, BF_K * r["n_keys"])
+    assert r["n_probes"] == r["n_keys"]
+    expected = (1.0 - math.exp(-BF_K * r["n_keys"] / BF_BITS)) ** BF_K
+    assert 0.3 * expected <= r["fpr"] <= 3.0 * expected + 0.01
+    assert abs(r["load_factor"] - r["bits_set"] / BF_BITS) < 1e-6
+
+
+def test_boilerplate_scrub_conservation(spark, sf_dir, tables):
+    """Token conservation per source (before = after + removed-para
+    tokens) and the gate is non-vacuous on a corpus with planted
+    boilerplate (a shared paragraph injected into ≥ BP_DF docs)."""
+    from pypers_spark.operators.text_extra import (
+        BP_DF,
+        BP_PARA_W,
+        txt_boilerplate_scrub,
+    )
+
+    bp = " ".join(["cookie"] * BP_PARA_W)
+    docs = tables["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(bp + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    t2 = dict(tables)
+    t2["documents"] = docs
+    rows = txt_boilerplate_scrub(t2).collect()
+    assert sum(r["n_removed"] for r in rows) > 0
+    for r in rows:
+        assert r["tokens_after"] <= r["tokens_before"]
+        assert r["n_removed"] <= r["n_paras"]
+        if r["n_removed"] == 0:
+            assert r["tokens_after"] == r["tokens_before"]
+
+
+def test_audio_energy_matches_pure_python(spark, sf_dir, tables):
+    """The Arrow PCM stats must equal a from-scratch Python decode of
+    the same payloads (independent of numpy vectorization and of the
+    oracle's text-derivation shortcut)."""
+    from pypers_spark.multimodal import (
+        SILENCE_ABS_8,
+        SILENCE_ABS_16,
+        wav_media_table,
+    )
+    from pypers_spark.operators.text import mm_audio_energy
+
+    got = {r["media_id"]: r for r in mm_audio_energy(tables).collect()}
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in wav_media_table(tables["documents"]).collect()
+    }
+    assert set(got) == set(payloads)
+    import struct
+
+    checked = 0
+    for mid, payload in list(payloads.items())[:50]:
+        pos, bits, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                bits = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])[5]
+            elif cid == b"data":
+                data = payload[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        if bits == 8:
+            amps = [b - 128 for b in data]
+            st = SILENCE_ABS_8
+        else:
+            amps = [
+                struct.unpack("<h", data[2 * i : 2 * i + 2])[0]
+                for i in range(len(data) // 2)
+            ]
+            st = SILENCE_ABS_16
+        r = got[mid]
+        assert r["n_samples"] == len(amps)
+        assert r["sum_abs"] == sum(abs(a) for a in amps)
+        assert r["sum_sq"] == sum(a * a for a in amps)
+        assert r["peak_abs"] == max(abs(a) for a in amps)
+        assert r["n_silent"] == sum(1 for a in amps if abs(a) <= st)
+        checked += 1
+    assert checked == 50
