@@ -197,6 +197,9 @@ HEADLINE = (
     "gs_dbscan_core",
     "sk_bloom_fpr",
     "txt_boilerplate_scrub",
+    "ann_sq8",
+    "op_changelog_compact",
+    "ev_cuped",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -78,6 +78,9 @@ _HOISTED = (
     # run is value-checked
     "mm_phash_bucket_stats",
     "pipe_lakehouse",
+    "ann_sq8",
+    "op_changelog_compact",
+    "ev_cuped",
     "mm_audio_energy",
     "ev_time_to_convert",
     "ev_calibration_bins",

@@ -2624,3 +2624,161 @@ ORDER BY bin
 
 QUERIES["ev_calibration_bins"] = ev_calibration_bins
 ORACLES["ev_calibration_bins"] = _oracle_calibration()
+
+
+# --- ev_cuped (r8) ------------------------------------------------------------
+
+CUPED_SPLIT = "2024-01-15"  # pre-period | experiment-period boundary
+
+
+def ev_cuped(t: dict[str, DataFrame]) -> DataFrame:
+    """CUPED variance reduction (Deng et al.): per user, pre-period
+    spend x and experiment-period spend y; θ = cov(x,y)/var(x) pooled
+    over all users; adjusted metric y′ = y − θ·(x − x̄). Readout per
+    hash variant (the ev_ab_lift assignment): users, raw and adjusted
+    means, plus the pooled θ and the measured variance-reduction ratio
+    var(y′)/var(y) — the experimentation-platform preprocessing that
+    shrinks confidence intervals for free.
+
+    Parity discipline: per-user x/y are 1e-6-quantized integer sums;
+    every pooled moment (Σx, Σx², Σxy, Σy′, Σy′²) goes through the
+    wide-decimal order-free accumulator; θ and the adjustment are one
+    double expression with the identical association in both engines.
+    Two hash aggregations (user rollup, variant rollup) — both
+    partial-aggregated, no window, no sort, at any corpus size.
+    """
+    from pypers_spark.functions.hashing import md5_int64
+    from pypers_spark.functions.rounding import dsum_wide
+
+    ev = t["events"]
+    q = lambda c: F.sum(
+        F.when(c.isNotNull(), F.floor(c * 1e6 + F.lit(0.5))).otherwise(F.lit(0))
+    ) / 1e6
+    per_user = ev.groupBy("user_id").agg(
+        q(F.when(F.col("ts") < F.lit(CUPED_SPLIT), F.col("value"))).alias("x"),
+        q(F.when(F.col("ts") >= F.lit(CUPED_SPLIT), F.col("value"))).alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        dsum_wide(F.col("x")).alias("sx"),
+        dsum_wide(F.col("y")).alias("sy"),
+        dsum_wide(F.col("x") * F.col("x")).alias("sxx"),
+        dsum_wide(F.col("x") * F.col("y")).alias("sxy"),
+        dsum_wide(F.col("y") * F.col("y")).alias("syy"),
+    )
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    xbar = F.col("sx") / F.col("n")
+    adj = per_user.crossJoin(
+        F.broadcast(pooled.select(theta.alias("theta"), xbar.alias("xbar"),
+                                  F.col("n"), F.col("sy"), F.col("syy")))
+    ).select(
+        "user_id",
+        "x",
+        "y",
+        "theta",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+        "n",
+        "sy",
+        "syy",
+    )
+    variant = (
+        md5_int64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+    ).alias("variant")
+    per_variant = adj.select(variant, "y", "y_adj", "theta", "n", "sy", "syy").groupBy(
+        "variant"
+    ).agg(
+        F.count("*").alias("n_users"),
+        dsum_wide(F.col("y")).alias("vy"),
+        dsum_wide(F.col("y_adj")).alias("vya"),
+        dsum_wide(F.col("y_adj") * F.col("y_adj")).alias("vyaa"),
+        F.first("theta").alias("theta"),
+        F.first("n").alias("n_all"),
+        F.first("sy").alias("sy_all"),
+        F.first("syy").alias("syy_all"),
+    )
+    var_y = (F.col("syy_all") - F.col("sy_all") * F.col("sy_all") / F.col("n_all"))
+    # pooled Σy′/Σy′² recomposed from the two variant rows via a window-free
+    # trick: re-aggregate the variant rows (2 rows — driver-free, exact)
+    tot = per_variant.agg(
+        F.sum("vya").alias("t_ya"), F.sum("vyaa").alias("t_yaa"),
+        F.first("n_all").alias("n_all2"),
+    )
+    out = per_variant.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_users",
+        rnd(F.col("vy") / F.col("n_users"), 6).alias("mean_y"),
+        rnd(F.col("vya") / F.col("n_users"), 6).alias("mean_y_adj"),
+        rnd(F.col("theta"), 6).alias("theta"),
+        rnd(
+            (F.col("t_yaa") - F.col("t_ya") * F.col("t_ya") / F.col("n_all2"))
+            / var_y,
+            6,
+        ).alias("var_reduction"),
+    )
+    return out.orderBy("variant")
+
+
+def _oracle_cuped() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+
+    qpre = (
+        "CAST(sum(CASE WHEN ts < TIMESTAMP '" + CUPED_SPLIT + "' "
+        "THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) "
+        "AS DOUBLE) / 1000000.0"
+    )
+    qpost = (
+        "CAST(sum(CASE WHEN ts >= TIMESTAMP '" + CUPED_SPLIT + "' "
+        "THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) "
+        "AS DOUBLE) / 1000000.0"
+    )
+    vexpr = duck_md5_int64("'ab:' || CAST(user_id AS VARCHAR)")
+    variant = f"({vexpr}) % 2"
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {qpre} AS x, {qpost} AS y
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT count(*) AS n,
+         {duck_dsum('x')} AS sx, {duck_dsum('y')} AS sy,
+         {duck_dsum('x * x')} AS sxx, {duck_dsum('x * y')} AS sxy,
+         {duck_dsum('y * y')} AS syy
+  FROM per_user
+),
+adj AS (
+  SELECT user_id, x, y,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         y - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (x - sx / n) AS y_adj,
+         n, sy, syy
+  FROM per_user, pooled
+),
+per_variant AS (
+  SELECT {variant} AS variant,
+         count(*) AS n_users,
+         {duck_dsum('y')} AS vy,
+         {duck_dsum('y_adj')} AS vya,
+         {duck_dsum('y_adj * y_adj')} AS vyaa,
+         any_value(theta) AS theta,
+         any_value(n) AS n_all, any_value(sy) AS sy_all,
+         any_value(syy) AS syy_all
+  FROM adj GROUP BY 1
+),
+tot AS (
+  SELECT sum(vya) AS t_ya, sum(vyaa) AS t_yaa, any_value(n_all) AS n_all2
+  FROM per_variant
+)
+SELECT variant, n_users,
+       {duck_rnd('vy / n_users', 6)} AS mean_y,
+       {duck_rnd('vya / n_users', 6)} AS mean_y_adj,
+       {duck_rnd('theta', 6)} AS theta,
+       {duck_rnd('(t_yaa - t_ya * t_ya / n_all2) / (syy_all - sy_all * sy_all / n_all)', 6)}
+         AS var_reduction
+FROM per_variant, tot
+ORDER BY variant
+"""
+
+
+QUERIES["ev_cuped"] = ev_cuped
+ORACLES["ev_cuped"] = _oracle_cuped()

@@ -1152,3 +1152,105 @@ ORDER BY table_name
 
 QUERIES["op_table_checksum"] = op_table_checksum
 ORACLES["op_table_checksum"] = ORACLE_TABLE_CHECKSUM
+
+
+# --- op_changelog_compact (r8) ------------------------------------------------
+
+CLC_UPD_MOD = 7   # keys receiving an Update op (price * 1.1)
+CLC_DEL_MOD = 11  # keys receiving a Delete op (tombstone)
+
+
+def op_changelog_compact(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC changelog compaction: replay an op-coded (I/U/D) change log
+    down to latest state — last op per key wins by sequence number,
+    tombstones drop the key — and emit the compaction report (ops
+    read, live/deleted keys, winning-op census, exact live-value
+    total). The batch twin of the streaming upsert sink, and the job
+    every changelog-table (Debezium/Delta CDF-shaped) pipeline runs.
+
+    The log is derived deterministically from orders: every key gets an
+    Insert at seq 1; keys ≡0 mod {CLC_UPD_MOD} an Update (+10%) at seq
+    2; keys ≡0 mod {CLC_DEL_MOD} a Delete at seq 3 — so both engines
+    replay the identical log. One window keyed on the key column (the
+    100 TB shuffle), one aggregation; the live-value total accumulates
+    through the wide-decimal path (unbounded-cardinality sum of
+    price-scale terms).
+    """
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    ins = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    upd = o.filter(F.col("o_orderkey") % CLC_UPD_MOD == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("val"),
+    )
+    dele = o.filter(F.col("o_orderkey") % CLC_DEL_MOD == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(0.0).alias("val"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest.agg(
+        F.count("*").alias("n_keys"),
+        F.sum((F.col("op") != "D").cast("long")).alias("n_live"),
+        F.sum((F.col("op") == "D").cast("long")).alias("n_deleted"),
+        F.sum((F.col("op") == "I").cast("long")).alias("won_by_insert"),
+        F.sum((F.col("op") == "U").cast("long")).alias("won_by_update"),
+        rnd(
+            dsum_wide(F.when(F.col("op") != "D", F.col("val")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("live_value_total"),
+    ).crossJoin(
+        F.broadcast(log.agg(F.count("*").alias("n_ops")))
+    ).select(
+        "n_ops",
+        "n_keys",
+        "n_live",
+        "n_deleted",
+        "won_by_insert",
+        "won_by_update",
+        "live_value_total",
+    )
+
+
+ORACLE_CHANGELOG_COMPACT = f"""
+WITH log AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_totalprice * 1.1 FROM orders
+  WHERE o_orderkey % {CLC_UPD_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', 0.0 FROM orders
+  WHERE o_orderkey % {CLC_DEL_MOD} = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT (SELECT count(*) FROM log) AS n_ops,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN op != 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS won_by_insert,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS won_by_update,
+       {duck_rnd(duck_dsum("CASE WHEN op != 'D' THEN val ELSE 0.0 END"), 2)}
+         AS live_value_total
+FROM latest
+"""
+
+QUERIES["op_changelog_compact"] = op_changelog_compact
+ORACLES["op_changelog_compact"] = ORACLE_CHANGELOG_COMPACT

@@ -60,7 +60,10 @@ from pypers_spark.stage import Stage
 LH_BUCKETS = 8  # bucket count shared by both snapshot tables
 LH_BASE_TABLE = "pypers_lh_base"
 LH_SNAP_TABLE = "pypers_lh_snapshot"
-LH_PATH = "/tmp/pypers_spark_lakehouse"
+# Per-process landing zone: concurrent sessions (test suite + sweep on
+# one box) each land into their own directory — table names are already
+# isolated per session catalog, but the external path is not.
+LH_PATH = f"/tmp/pypers_spark_lakehouse_{os.getpid()}"
 
 
 class IngestSnapshot(Stage):

@@ -1754,3 +1754,120 @@ ORDER BY q_id, rank
 
 QUERIES["ann_graph_search"] = ann_graph_search
 ORACLES["ann_graph_search"] = _oracle_graph_search()
+
+
+# --- ann_sq8 (r8: scalar quantization) ----------------------------------------
+
+SQ_LEVELS = 255  # int8 code range 0..255 per dimension
+
+
+def _sq_bounds(emb: DataFrame) -> DataFrame:
+    """Per-dimension (lo, hi) corpus bounds — the SQ8 'codebook': 
+    {EMB_DIM} rows, broadcast everywhere."""
+    return (
+        emb.select(F.posexplode(F.col("embedding")).alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def ann_sq8(t: dict[str, DataFrame]) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN serving: every dimension compresses
+    to one byte against per-dim corpus (lo, hi) bounds — the int8 index
+    layout production vector stores default to before PQ — and the
+    query runs asymmetric distance against the RECONSTRUCTED codes
+    (lo + (c + 0.5)·(hi − lo)/{SQ_LEVELS}), never the raw vectors.
+    Readout: top-{TOP_K} by approximate d², the ann_pq_adc twin at 4×
+    the code budget (64 B vs 256 B raw, vs PQ's 2 B).
+
+    Scale shape: bounds are {EMB_DIM} broadcast rows (two map-side
+    partial aggregations to build); encode + query terms are one
+    exploded projection joined to the broadcast bounds; the per-vector
+    sum is a partial-aggregated shuffle on vec_id through the
+    order-free quantized accumulator. Quantization parity: the
+    ((x − lo)·{SQ_LEVELS})/(hi − lo) floor runs the identical IEEE
+    association in both engines (the zone-map discipline), so codes are
+    bit-equal, not merely close.
+    """
+    emb = t["embeddings"]
+    bounds = _sq_bounds(emb)
+    rows = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    width = F.col("hi") - F.col("lo")
+    code = F.when(width > 0, F.least(
+        F.greatest(
+            F.floor(((F.col("x") - F.col("lo")) * SQ_LEVELS) / width),
+            F.lit(0),
+        ),
+        F.lit(SQ_LEVELS),
+    ).cast("int")).otherwise(F.lit(0))
+    codes = rows.join(F.broadcast(bounds), "dim").select(
+        "vec_id", "dim", code.alias("c")
+    )
+    recon = F.col("lo") + (
+        (F.col("c") + F.lit(0.5)) * (F.col("hi") - F.col("lo"))
+    ) / F.lit(float(SQ_LEVELS))
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.posexplode(F.col("embedding")).alias("dim", "qx"))
+        .withColumn("qx", F.col("qx").cast("double"))
+    )
+    terms = (
+        codes.join(F.broadcast(bounds), "dim")
+        .join(F.broadcast(q), "dim")
+        .select(
+            "vec_id",
+            ((F.col("qx") - recon) * (F.col("qx") - recon)).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("vec_id")
+        .agg(rnd(dsum(F.col("term")), 4).alias("approx_d2"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy("approx_d2", "vec_id")
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_SQ8 = f"""
+WITH rows_x AS (
+  SELECT vec_id, CAST(d.i AS INT) - 1 AS dim,
+         CAST(embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, {EMB_DIM} + 1)) AS d(i)
+),
+bounds AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM rows_x GROUP BY dim
+),
+codes AS (
+  SELECT vec_id, r.dim,
+         CASE WHEN hi - lo > 0 THEN
+           CAST(least(greatest(floor(((x - lo) * {SQ_LEVELS}) / (hi - lo)), 0),
+                      {SQ_LEVELS}) AS INT)
+         ELSE 0 END AS c
+  FROM rows_x r JOIN bounds b ON r.dim = b.dim
+),
+q AS (
+  SELECT CAST(d.i AS INT) - 1 AS dim, CAST(embedding[d.i] AS DOUBLE) AS qx
+  FROM embeddings, unnest(range(1, {EMB_DIM} + 1)) AS d(i)
+  WHERE vec_id = {QUERY_VEC_ID}
+),
+terms AS (
+  SELECT vec_id,
+         (qx - (lo + ((c + 0.5) * (hi - lo)) / {float(SQ_LEVELS)}))
+         * (qx - (lo + ((c + 0.5) * (hi - lo)) / {float(SQ_LEVELS)})) AS term
+  FROM codes
+  JOIN bounds USING (dim)
+  JOIN q USING (dim)
+)
+SELECT vec_id, {duck_rnd(duck_dsum('term'), 4)} AS approx_d2
+FROM terms
+WHERE vec_id != {QUERY_VEC_ID}
+GROUP BY vec_id
+ORDER BY approx_d2, vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["ann_sq8"] = ann_sq8
+ORACLES["ann_sq8"] = ORACLE_ANN_SQ8

