@@ -200,6 +200,8 @@ HEADLINE = (
     "ann_sq8",
     "op_changelog_compact",
     "ev_cuped",
+    "gr_link_predict",
+    "op_column_mask",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -751,3 +751,108 @@ e0 AS (
 
 QUERIES["gr_k_core"] = gr_k_core
 ORACLES["gr_k_core"] = _oracle_k_core()
+
+
+# --- gr_link_predict (r8) -----------------------------------------------------
+
+LINKPRED_TOP_K = 20
+
+
+def gr_link_predict(t: dict[str, DataFrame]) -> DataFrame:
+    """Neighbor-Jaccard link prediction over the τ=0.3 near-dup graph:
+    for every NON-edge 2-hop pair, score = |N(a)∩N(b)| / |N(a)∪N(b)|
+    (the classic common-neighbors/Jaccard predictor), top-{LINKPRED_TOP_K}
+    candidates — the "these two clusters are about to merge" signal a
+    dedup pipeline reviews before lowering its threshold.
+
+    Scale shape: candidates come from the WEDGE join (a−m, m−b with
+    a < b), so the intersection count is a count(*) per candidate off
+    one self-join of the doubled edge list — candidate volume is
+    Σ_m deg(m)², wedge-bounded like gr_triangle_count, never all-pairs.
+    Degrees are a node-cardinality broadcast; existing edges drop out
+    via one anti-join; integers until the final division; global top-k
+    fuses to TakeOrderedAndProject.
+    """
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    pairs = tracked_persist(
+        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
+        "graph.lp_pairs",
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
+    # wedges: a -m- b, canonical a < b
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("m"))
+    e2 = edges.select(F.col("id_a").alias("m"), F.col("id_b").alias("b"))
+    inter = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cand = inter.join(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("id_a").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id_a").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            "n_common",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).alias("n_union"),
+            rnd(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.desc("n_common"), "id_a", "id_b"
+    ).limit(LINKPRED_TOP_K)
+
+
+def _oracle_link_predict() -> str:
+    from pypers_spark.operators.similarity import COS_T03, _oracle_dd_emb
+
+    pair_sql = _oracle_dd_emb(COS_T03).replace("ORDER BY label, id_a, id_b", "")
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT id_a, count(*) AS deg FROM edges GROUP BY id_a),
+inter AS (
+  SELECT e1.id_a AS a, e2.id_b AS b, count(*) AS n_common
+  FROM edges e1 JOIN edges e2 ON e1.id_b = e2.id_a
+  WHERE e1.id_a < e2.id_b
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT i.* FROM inter i
+  ANTI JOIN pairs p ON i.a = p.id_a AND i.b = p.id_b
+)
+SELECT c.a AS id_a, c.b AS id_b, c.n_common,
+       CAST(da.deg + db.deg - c.n_common AS BIGINT) AS n_union,
+       {duck_rnd('CAST(c.n_common AS DOUBLE) / (da.deg + db.deg - c.n_common)', 6)}
+         AS jaccard
+FROM cand c
+JOIN deg da ON da.id_a = c.a
+JOIN deg db ON db.id_a = c.b
+ORDER BY jaccard DESC, n_common DESC, id_a, id_b
+LIMIT {LINKPRED_TOP_K}
+"""
+
+
+QUERIES["gr_link_predict"] = gr_link_predict
+ORACLES["gr_link_predict"] = _oracle_link_predict()

@@ -976,3 +976,69 @@ ORDER BY bucket
 
 QUERIES["op_histogram_equidepth"] = op_histogram_equidepth
 ORACLES["op_histogram_equidepth"] = _finalize_histogram_equidepth_oracle()
+
+
+# --- op_column_mask (r8) ------------------------------------------------------
+
+MASK_BAND = 1000.0  # acctbal generalization band width
+MASK_K = 5          # suppress bands with < K members per (segment, band)
+
+
+def op_column_mask(t: dict[str, DataFrame]) -> DataFrame:
+    """APPLIED column masking for a governed export (the op_k_anonymity
+    report turned into the actual de-identified table): direct
+    identifiers are hashed (md5-prefix pseudonym for c_name),
+    quasi-identifiers are generalized (acctbal → {MASK_BAND}-wide
+    band), and any (segment, band) cell with fewer than {MASK_K}
+    members is SUPPRESSED (band → NULL) so the export is k-anonymous
+    by construction — the share-with-vendor shape every governed
+    warehouse ships.
+
+    One window count over the generalized cell key (the only shuffle),
+    everything else map-side expressions; at 100 TB the cell census is
+    a broadcast join instead of a window, same semantics.
+    """
+    from pyspark.sql import Window
+
+    c = t["customer"]
+    band = (F.floor(F.col("c_acctbal") / MASK_BAND) * int(MASK_BAND)).cast("bigint")
+    masked = c.select(
+        "c_custkey",
+        F.substring(F.md5(F.col("c_name")), 1, 8).alias("name_mask"),
+        F.col("c_mktsegment").alias("segment"),
+        band.alias("band"),
+    )
+    w = Window.partitionBy("segment", "band")
+    return (
+        masked.withColumn("cell_n", F.count("*").over(w))
+        .select(
+            "c_custkey",
+            "name_mask",
+            "segment",
+            F.when(F.col("cell_n") >= MASK_K, F.col("band")).alias("band"),
+            (F.col("cell_n") < MASK_K).cast("int").alias("suppressed"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_COLUMN_MASK = f"""
+WITH masked AS (
+  SELECT c_custkey,
+         substr(md5(c_name), 1, 8) AS name_mask,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal / {MASK_BAND}) * {int(MASK_BAND)} AS BIGINT) AS band
+  FROM customer
+),
+census AS (
+  SELECT *, count(*) OVER (PARTITION BY segment, band) AS cell_n FROM masked
+)
+SELECT c_custkey, name_mask, segment,
+       CASE WHEN cell_n >= {MASK_K} THEN band END AS band,
+       CAST(cell_n < {MASK_K} AS INT) AS suppressed
+FROM census
+ORDER BY c_custkey
+"""
+
+QUERIES["op_column_mask"] = op_column_mask
+ORACLES["op_column_mask"] = ORACLE_COLUMN_MASK

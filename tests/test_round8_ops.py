@@ -383,3 +383,44 @@ def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir, tables):
     pooled_raw = sum(r["mean_y"] * r["n_users"] for r in rows) / n
     pooled_adj = sum(r["mean_y_adj"] * r["n_users"] for r in rows) / n
     assert abs(pooled_raw - pooled_adj) < 1e-4
+
+
+def test_link_predict_scores_against_networkx_free_bruteforce(spark, sf_dir, tables):
+    """Wedge-join Jaccard must equal a per-node adjacency-set brute
+    force, and no predicted pair may already be an edge."""
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+    from pypers_spark.operators.graph import gr_link_predict
+
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in _embedding_cos_pairs(tables, COS_T03).select("id_a", "id_b").collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = gr_link_predict(tables).collect()
+    for r in rows:
+        a, b = r["id_a"], r["id_b"]
+        assert (a, b) not in edges and (b, a) not in edges
+        inter = len(adj[a] & adj[b])
+        union = len(adj[a] | adj[b])
+        assert r["n_common"] == inter
+        assert abs(r["jaccard"] - round(inter / union, 6)) < 1e-9
+
+
+def test_column_mask_is_k_anonymous(spark, sf_dir, tables):
+    """Every NON-suppressed (segment, band) cell in the export must
+    hold >= MASK_K rows; suppressed rows carry NULL bands; pseudonyms
+    never collide for distinct names (md5-prefix at this cardinality)."""
+    from collections import Counter
+
+    from pypers_spark.operators.relational_extra import MASK_K, op_column_mask
+
+    rows = op_column_mask(tables).collect()
+    cells = Counter((r["segment"], r["band"]) for r in rows if r["band"] is not None)
+    assert cells and all(n >= MASK_K for n in cells.values())
+    for r in rows:
+        assert (r["band"] is None) == bool(r["suppressed"])
+    n_names = tables["customer"].select("c_name").distinct().count()
+    assert len({(r["name_mask"]) for r in rows}) == n_names
