@@ -202,6 +202,13 @@ HEADLINE = (
     "ev_cuped",
     "gr_link_predict",
     "op_column_mask",
+    "ann_mips",
+    "ann_maxsim",
+    "gs_knn_join",
+    "ev_attribution_position",
+    "op_gap_fill",
+    "op_sequence_islands",
+    "gr_adamic_adar",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -78,6 +78,13 @@ _HOISTED = (
     # then tools/suggest_sample.py's never-driver-sampled backlog,
     # oldest coverage gaps first — so each driver round closes the
     # sampling gap instead of re-drawing verified keys.
+    "ann_mips",
+    "ann_maxsim",
+    "gs_knn_join",
+    "ev_attribution_position",
+    "op_gap_fill",
+    "op_sequence_islands",
+    "gr_adamic_adar",
     "mm_phash_bucket_stats",
     "pipe_lakehouse",
     "ann_sq8",

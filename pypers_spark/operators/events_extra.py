@@ -2782,3 +2782,120 @@ ORDER BY variant
 
 QUERIES["ev_cuped"] = ev_cuped
 ORACLES["ev_cuped"] = _oracle_cuped()
+
+
+# --- ev_attribution_position (r8) ---------------------------------------------
+#
+# U-shaped (position-based) multi-touch attribution — the third member
+# of the attribution family (first-touch / linear / position-based):
+# 40% of a purchase's value to the FIRST touch in the window, 40% to
+# the LAST, the remaining 20% split evenly over the middle touches
+# (1 touch → 100%, 2 touches → 50/50 — the standard degenerations).
+# Touches here are views AND clicks, so the position classes are not
+# trivially one event type.
+
+ATTR_U_FIRST = 0.4
+ATTR_U_LAST = 0.4
+ATTR_U_MID = 0.2
+
+
+def ev_attribution_position(t: dict[str, DataFrame]) -> DataFrame:
+    """Position-based attribution rollup: attributed revenue and touch
+    counts per (touch event_type × position class).
+
+    Scale shape: same bounded purchases×touches interval join as
+    ev_attribution_linear (per-user lists, AQE skew-split for power
+    users); position classes come from one rank window per purchase
+    (candidate lists are window-bounded); credits are exact rational
+    splits of the purchase value, dsum-quantized so partition order
+    can't move the sums; readout is a ≤6-row hash aggregation.
+    """
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches_src = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    touches = purchases.join(touches_src, "user_id").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    w = Window.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    ranked = (
+        touches.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_touch", F.count(F.lit(1)).over(wn))
+    )
+    pos = (
+        F.when(F.col("rk") == 1, F.lit("first"))
+        .when(F.col("rk") == F.col("n_touch"), F.lit("last"))
+        .otherwise(F.lit("mid"))
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.col("p_value"))
+        .when(F.col("n_touch") == 2, F.col("p_value") * F.lit(0.5))
+        .when(F.col("rk") == 1, F.col("p_value") * F.lit(ATTR_U_FIRST))
+        .when(
+            F.col("rk") == F.col("n_touch"), F.col("p_value") * F.lit(ATTR_U_LAST)
+        )
+        .otherwise(
+            F.col("p_value") * F.lit(ATTR_U_MID) / (F.col("n_touch") - 2)
+        )
+    )
+    return (
+        ranked.select("touch_type", pos.alias("pos_class"), credit.alias("credit"))
+        .groupBy("touch_type", "pos_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            rnd(dsum(F.col("credit")), 2).alias("attributed_value"),
+        )
+        .orderBy("touch_type", "pos_class")
+    )
+
+
+ORACLE_ATTRIBUTION_POSITION = f"""
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, p.value AS p_value,
+         v.event_id AS touch_id, v.event_type AS touch_type, v.ts AS t_ts
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND p.event_type = 'purchase' AND v.event_type IN ('view', 'click')
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+ranked AS (
+  SELECT touch_type, p_value,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts, touch_id) AS rk,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touch
+  FROM touches
+),
+credited AS (
+  SELECT touch_type,
+         CASE WHEN rk = 1 THEN 'first'
+              WHEN rk = n_touch THEN 'last'
+              ELSE 'mid' END AS pos_class,
+         CASE WHEN n_touch = 1 THEN p_value
+              WHEN n_touch = 2 THEN p_value * 0.5
+              WHEN rk = 1 THEN p_value * {ATTR_U_FIRST}
+              WHEN rk = n_touch THEN p_value * {ATTR_U_LAST}
+              ELSE p_value * {ATTR_U_MID} / (n_touch - 2) END AS credit
+  FROM ranked
+)
+SELECT touch_type, pos_class, count(*) AS n_touches,
+       {duck_rnd(duck_dsum('credit'), 2)} AS attributed_value
+FROM credited
+GROUP BY touch_type, pos_class
+ORDER BY touch_type, pos_class
+"""
+
+QUERIES["ev_attribution_position"] = ev_attribution_position
+ORACLES["ev_attribution_position"] = ORACLE_ATTRIBUTION_POSITION

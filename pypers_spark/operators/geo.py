@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypers_spark.functions.hashing import duck_md5_int64, md5_int64
@@ -368,3 +368,136 @@ ORDER BY nn_bucket
 
 QUERIES["gs_dbscan_core"] = gs_dbscan_core
 ORACLES["gs_dbscan_core"] = ORACLE_DBSCAN_CORE
+
+
+# --- gs_knn_join (r8) ---------------------------------------------------------
+
+KNN_K = 3
+KNN_BUCKET_KM = 5.0  # histogram step for the k-NN-radius readout
+
+
+def gs_knn_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Grid-blocked k-nearest-neighbor join: each point's k={KNN_K}
+    nearest neighbors AMONG ITS 3×3 CELL NEIGHBORHOOD (the standard
+    grid-kNN semantics — candidates beyond the adjacent cells are by
+    construction ≥ one cell width away, and CELL_DEG is sized so the
+    true kNN radius fits inside it for all but boundary stragglers,
+    which the readout buckets separately). Readout: histogram of the
+    kNN radius (distance to the k-th neighbor) in {KNN_BUCKET_KM} km
+    buckets, with bucket −1 collecting points whose neighborhood held
+    fewer than k candidates.
+
+    Scale shape: identical candidate generation to gs_radius_join (one
+    equi-join on the probed cell — never all-pairs); the per-point
+    top-k is a rank-1..k window over cell-bounded candidate lists, and
+    the readout is one hash aggregation. This is the spatial analogue
+    of ann_knn_graph_cells with the grid as the blocking key.
+    """
+    pts = _points(t)
+    cy, cx = _cell(F.col("lat"), F.col("lon"))
+    right = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cy.alias("cell_y"),
+        cx.alias("cell_x"),
+    )
+    probes = pts.select(
+        F.col("pid").alias("pid_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cy + F.lit(dy)).alias("cell_y"),
+                        (cx + F.lit(dx)).alias("cell_x"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "pid_a",
+        "lat_a",
+        "lon_a",
+        F.col("p.cell_y").alias("cell_y"),
+        F.col("p.cell_x").alias("cell_x"),
+    )
+    dist = rnd(
+        _haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+        6,
+    )
+    cand = (
+        probes.join(right, ["cell_y", "cell_x"])
+        .filter(F.col("pid_a") != F.col("pid_b"))
+        .select("pid_a", "pid_b", dist.alias("dist_km"))
+    )
+    w = Window.partitionBy("pid_a").orderBy("dist_km", "pid_b")
+    knn = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
+    per_pt = knn.groupBy("pid_a").agg(
+        F.count("*").alias("n_nbrs"), F.max("dist_km").alias("dk")
+    )
+    bucket = (
+        F.when(F.col("n_nbrs") < KNN_K, F.lit(-1))
+        .otherwise(F.floor(F.col("dk") / F.lit(KNN_BUCKET_KM)))
+        .cast("bigint")
+    )
+    return (
+        per_pt.groupBy(bucket.alias("knn_bucket"))
+        .agg(
+            F.count("*").alias("n_points"),
+            rnd(F.min("dk"), 4).alias("min_dk_km"),
+            rnd(F.max("dk"), 4).alias("max_dk_km"),
+        )
+        .orderBy("knn_bucket")
+    )
+
+
+ORACLE_KNN_JOIN = f"""
+WITH pts AS ({_DUCK_POINTS}),
+located AS (
+  SELECT pid, lat, lon,
+         CAST(floor(lat / {CELL_DEG}) AS BIGINT) AS cell_y,
+         CAST(floor(lon / {CELL_DEG}) AS BIGINT) AS cell_x
+  FROM pts
+),
+probes AS (
+  SELECT pid AS pid_a, lat AS lat_a, lon AS lon_a,
+         cell_y + dy AS cell_y, cell_x + dx AS cell_x
+  FROM located,
+       unnest([-1, 0, 1]) AS ty(dy),
+       unnest([-1, 0, 1]) AS tx(dx)
+),
+cand AS (
+  SELECT pid_a, pid_b, {_DUCK_DIST} AS dist_km
+  FROM probes p
+  JOIN (SELECT pid AS pid_b, lat AS lat_b, lon AS lon_b, cell_y, cell_x
+        FROM located) r
+    ON p.cell_y = r.cell_y AND p.cell_x = r.cell_x AND p.pid_a != r.pid_b
+),
+knn AS (
+  SELECT pid_a, dist_km,
+         row_number() OVER (PARTITION BY pid_a ORDER BY dist_km, pid_b) AS rk
+  FROM cand
+),
+per_pt AS (
+  SELECT pid_a, count(*) AS n_nbrs, max(dist_km) AS dk
+  FROM knn WHERE rk <= {KNN_K}
+  GROUP BY pid_a
+)
+SELECT CASE WHEN n_nbrs < {KNN_K} THEN -1
+            ELSE CAST(floor(dk / {KNN_BUCKET_KM!r}) AS BIGINT) END AS knn_bucket,
+       count(*) AS n_points,
+       {duck_rnd('min(dk)', 4)} AS min_dk_km,
+       {duck_rnd('max(dk)', 4)} AS max_dk_km
+FROM per_pt
+GROUP BY 1
+ORDER BY knn_bucket
+"""
+
+QUERIES["gs_knn_join"] = gs_knn_join
+ORACLES["gs_knn_join"] = ORACLE_KNN_JOIN

@@ -856,3 +856,91 @@ LIMIT {LINKPRED_TOP_K}
 
 QUERIES["gr_link_predict"] = gr_link_predict
 ORACLES["gr_link_predict"] = _oracle_link_predict()
+
+
+# --- gr_adamic_adar (r8) -------------------------------------------------------
+#
+# Adamic–Adar link prediction over the same τ=0.3 near-dup graph as
+# gr_link_predict: score(a,b) = Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)) — common
+# neighbors weighted by the INFORMATION of the bridge (a hub that
+# touches everything is weak evidence; a rare shared neighbor is
+# strong). Same wedge-join candidate generation (Σ_m deg(m)²-bounded,
+# never all-pairs); the per-pair sum goes through dsum so double
+# accumulation order can't move it, and a wedge center always has
+# deg ≥ 2 (it bridges two distinct nodes), so 1/ln(deg) is total.
+
+
+def gr_adamic_adar(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-{LINKPRED_TOP_K} non-edges by Adamic–Adar score."""
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    pairs = tracked_persist(
+        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
+        "graph.aa_pairs",
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("m"))
+    e2 = edges.select(F.col("id_a").alias("m"), F.col("id_b").alias("b"))
+    dm = deg.select(F.col("id_a").alias("m"), F.col("deg").alias("deg_m"))
+    scored = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .join(dm, "m")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            rnd(dsum(F.lit(1.0) / F.log(F.col("deg_m").cast("double"))), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+    cand = scored.join(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    ).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b"), "n_common", "aa_score"
+    )
+    return cand.orderBy(
+        F.desc("aa_score"), F.desc("n_common"), "id_a", "id_b"
+    ).limit(LINKPRED_TOP_K)
+
+
+def _oracle_adamic_adar() -> str:
+    from pypers_spark.operators.similarity import COS_T03, _oracle_dd_emb
+
+    pair_sql = _oracle_dd_emb(COS_T03).replace("ORDER BY label, id_a, id_b", "")
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT id_a, count(*) AS deg FROM edges GROUP BY id_a),
+scored AS (
+  SELECT e1.id_a AS a, e2.id_b AS b, count(*) AS n_common,
+         {duck_rnd(duck_dsum('1.0 / ln(CAST(dm.deg AS DOUBLE))'), 6)} AS aa_score
+  FROM edges e1
+  JOIN edges e2 ON e1.id_b = e2.id_a
+  JOIN deg dm ON dm.id_a = e1.id_b
+  WHERE e1.id_a < e2.id_b
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT s.* FROM scored s
+  ANTI JOIN pairs p ON s.a = p.id_a AND s.b = p.id_b
+)
+SELECT a AS id_a, b AS id_b, n_common, aa_score
+FROM cand
+ORDER BY aa_score DESC, n_common DESC, id_a, id_b
+LIMIT {LINKPRED_TOP_K}
+"""
+
+
+QUERIES["gr_adamic_adar"] = gr_adamic_adar
+ORACLES["gr_adamic_adar"] = _oracle_adamic_adar()

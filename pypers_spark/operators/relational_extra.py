@@ -19,7 +19,7 @@ Scale notes (100 TB intent):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
@@ -1042,3 +1042,146 @@ ORDER BY c_custkey
 
 QUERIES["op_column_mask"] = op_column_mask
 ORACLES["op_column_mask"] = ORACLE_COLUMN_MASK
+
+
+# --- op_gap_fill (r8) ---------------------------------------------------------
+#
+# Forward-fill imputation — the LOCF (last observation carried forward)
+# primitive every feature pipeline needs: carry each user's most recent
+# purchase value onto every subsequent event, then roll the filled
+# column up per event type. The window frame is running (rows unbounded
+# preceding → current), so Spark executes it as one sort-based window
+# per user partition — no self-join, no driver loop; at 100 TB the only
+# shuffle is the hash partition on user_id and per-user event lists are
+# bounded.
+
+
+def op_gap_fill(t: dict[str, DataFrame]) -> DataFrame:
+    """LOCF forward-fill of the last purchase value over each user's
+    event timeline; readout per event type: events, events with a
+    filled value (a prior purchase existed), and the exact sum/mean of
+    the filled column."""
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("last_purchase_value").alias("n_filled"),
+            rnd(dsum(F.coalesce(F.col("last_purchase_value"), F.lit(0.0))), 2).alias(
+                "filled_sum"
+            ),
+            rnd(
+                dsum(F.coalesce(F.col("last_purchase_value"), F.lit(0.0)))
+                / F.count("last_purchase_value"),
+                4,
+            ).alias("filled_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_GAP_FILL = f"""
+WITH filled AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(last_purchase_value) AS n_filled,
+       {duck_rnd(duck_dsum('coalesce(last_purchase_value, 0.0)'), 2)} AS filled_sum,
+       {duck_rnd(duck_dsum('coalesce(last_purchase_value, 0.0)') + ' / count(last_purchase_value)', 4)} AS filled_mean
+FROM filled
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["op_gap_fill"] = op_gap_fill
+ORACLES["op_gap_fill"] = ORACLE_GAP_FILL
+
+
+# --- op_sequence_islands (r8) ---------------------------------------------------
+#
+# Gaps-and-islands: group each user's distinct active DAYS into maximal
+# runs of consecutive dates with the classic date − row_number() island
+# key (pure integer arithmetic, identical in both engines). The readout
+# is the island-length histogram — the "how long do usage streaks run"
+# distribution, and the canonical interview-question shape every
+# warehouse needs as a library primitive.
+
+
+def op_sequence_islands(t: dict[str, DataFrame]) -> DataFrame:
+    """Consecutive-active-day islands per user → island-length
+    histogram (islands, users with at least one island of that length,
+    and the total days covered).
+
+    Scale shape: one distinct over (user, day) — a hash aggregation —
+    then one sort-based window per user partition for the row_number,
+    and two more hash aggregations for islands and the histogram. All
+    shuffles are keyed on user_id or the bounded island length; nothing
+    is quadratic in history length.
+    """
+    ev = t["events"]
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island_key",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    islands = grp.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return (
+        islands.groupBy("island_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.count_distinct("user_id").alias("n_users"),
+            (F.count(F.lit(1)) * F.col("island_len")).cast("bigint").alias("total_days"),
+        )
+        .orderBy("island_len")
+    )
+
+
+ORACLE_SEQUENCE_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island_key
+  FROM days
+),
+islands AS (
+  SELECT user_id, island_key, count(*) AS island_len
+  FROM grp GROUP BY user_id, island_key
+)
+SELECT island_len,
+       count(*) AS n_islands,
+       count(DISTINCT user_id) AS n_users,
+       CAST(count(*) * island_len AS BIGINT) AS total_days
+FROM islands
+GROUP BY island_len
+ORDER BY island_len
+"""
+
+QUERIES["op_sequence_islands"] = op_sequence_islands
+ORACLES["op_sequence_islands"] = ORACLE_SEQUENCE_ISLANDS

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypers_spark.functions.rounding import DECIMAL_T, dsum, duck_dsum, duck_rnd, rnd
-from pypers_spark.functions.vectors import cosine_similarity, dot, duck_cosine
+from pypers_spark.functions.vectors import cosine_similarity, dot, duck_cosine, duck_dot
 
 N_PLANES = 8
 EMB_DIM = 64
@@ -1871,3 +1871,149 @@ LIMIT {TOP_K}
 
 QUERIES["ann_sq8"] = ann_sq8
 ORACLES["ann_sq8"] = ORACLE_ANN_SQ8
+
+
+# --- ann_mips (r8): maximum-inner-product top-k via norm augmentation --------
+#
+# The MIPS→cosine reduction (Shrivastava & Li, NeurIPS 2014 "ALSH"):
+# augment every base vector x with an extra coordinate sqrt(M² − ‖x‖²)
+# where M = max base norm, and the query with 0 — then
+# cos(x̂, q̂) = (x·q) / (M·‖q‖), i.e. cosine order on the augmented
+# vectors IS inner-product order on the originals. That is what lets an
+# inner-product workload (recommender scores, un-normalized retrieval
+# embeddings) ride the existing cosine-LSH/IVF infrastructure at 100 TB:
+# M is one scalar aggregate (broadcast), the augmentation is a map-side
+# column, and every bucketing path above stays valid.
+
+
+def ann_mips(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-{TOP_K} by inner product against QUERY_VEC_ID, scored through
+    the augmented-cosine transform (both the raw inner product and the
+    equivalent augmented cosine are emitted; the orders coincide by
+    construction — the gate pins the transform's correctness)."""
+    emb = t["embeddings"]
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    # M² = max squared base norm — one scalar aggregate, broadcast.
+    m2 = base.agg(
+        F.max(dot(F.col("embedding"), F.col("embedding"))).alias("m2")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            "label",
+            dot(F.col("embedding"), F.col("q_emb")).alias("ip"),
+            F.col("m2"),
+            dot(F.col("q_emb"), F.col("q_emb")).alias("qn2"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            rnd(F.col("ip"), 4).alias("inner_product"),
+            rnd(
+                F.col("ip") / (F.sqrt(F.col("m2")) * F.sqrt(F.col("qn2"))), 6
+            ).alias("aug_cos"),
+        )
+    )
+    return scored.orderBy(F.desc("inner_product"), "vec_id").limit(TOP_K)
+
+
+ORACLE_ANN_MIPS = f"""
+WITH q AS (
+  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+m AS (
+  SELECT max({duck_dot('embedding', 'embedding')}) AS m2
+  FROM embeddings WHERE vec_id != {QUERY_VEC_ID}
+)
+SELECT vec_id, label,
+       {duck_rnd(duck_dot('embedding', 'q_emb'), 4)} AS inner_product,
+       {duck_rnd(
+           duck_dot('embedding', 'q_emb')
+           + ' / (sqrt(m2) * sqrt(' + duck_dot('q_emb', 'q_emb') + '))', 6
+       )} AS aug_cos
+FROM embeddings, q, m
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY inner_product DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["ann_mips"] = ann_mips
+ORACLES["ann_mips"] = ORACLE_ANN_MIPS
+
+
+# --- ann_maxsim (r8): multi-vector late-interaction retrieval ----------------
+
+MAXSIM_TOP_K = 10
+
+
+def ann_maxsim(t: dict[str, DataFrame]) -> DataFrame:
+    """ColBERT-style MaxSim retrieval with the label group as the
+    multi-vector document: doc score = max cosine between the query and
+    any of the doc's vectors; top-{MAXSIM_TOP_K} docs with the winning
+    vector id.
+
+    Scale shape: one scan scoring every vector against the broadcast
+    query (the same brute-force kernel as ann_topk_cosine — or any ANN
+    serving path above it), then a per-doc max which is a hash
+    aggregation on the doc key with map-side combine: the late
+    interaction costs ONE extra shuffle over single-vector retrieval,
+    never a per-doc loop. Winner selection is a rank-1 window per doc
+    keyed on bit-identical doubles, so the argmax is deterministic.
+    """
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_raw"), "vec_id")
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_vecs", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "label",
+            "n_vecs",
+            F.col("vec_id").alias("best_vec_id"),
+            rnd(F.col("cos_raw"), 4).alias("maxsim"),
+        )
+    )
+    return best.orderBy(F.desc("maxsim"), "label").limit(MAXSIM_TOP_K)
+
+
+ORACLE_ANN_MAXSIM = f"""
+WITH q AS (
+  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT vec_id, label, {duck_cosine('embedding', 'q_emb')} AS cos_raw
+  FROM embeddings, q
+  WHERE vec_id != {QUERY_VEC_ID}
+),
+ranked AS (
+  SELECT label, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY label ORDER BY cos_raw DESC, vec_id) AS rk,
+         count(*) OVER (PARTITION BY label) AS n_vecs
+  FROM scored
+)
+SELECT label, n_vecs, vec_id AS best_vec_id, {duck_rnd('cos_raw', 4)} AS maxsim
+FROM ranked
+WHERE rk = 1
+ORDER BY maxsim DESC, label
+LIMIT {MAXSIM_TOP_K}
+"""
+
+QUERIES["ann_maxsim"] = ann_maxsim
+ORACLES["ann_maxsim"] = ORACLE_ANN_MAXSIM

@@ -424,3 +424,200 @@ def test_column_mask_is_k_anonymous(spark, sf_dir, tables):
         assert (r["band"] is None) == bool(r["suppressed"])
     n_names = tables["customer"].select("c_name").distinct().count()
     assert len({(r["name_mask"]) for r in rows}) == n_names
+
+
+# --- round-8 second wave: MIPS/MaxSim, grid kNN, attribution, LOCF, islands ---
+
+
+def test_mips_matches_bruteforce_inner_product(spark, sf_dir, tables):
+    """The augmented-cosine ranking must equal brute-force inner-product
+    ranking (the reduction is order-preserving by construction)."""
+    import numpy as np
+
+    from pypers_spark.operators.similarity import QUERY_VEC_ID, TOP_K, ann_mips
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in tables["embeddings"].collect()
+    }
+    q = vecs[QUERY_VEC_ID]
+    ips = sorted(
+        ((float(v @ q), vid) for vid, v in vecs.items() if vid != QUERY_VEC_ID),
+        key=lambda p: (-round(p[0], 4), p[1]),
+    )
+    rows = ann_mips(tables).collect()
+    assert len(rows) == TOP_K
+    assert [r["vec_id"] for r in rows] == [vid for _, vid in ips[:TOP_K]]
+    # augmented cosine must be monotone in the inner product
+    aug = [r["aug_cos"] for r in rows]
+    assert aug == sorted(aug, reverse=True)
+
+
+def test_maxsim_is_per_label_max_cosine(spark, sf_dir, tables):
+    """Every returned doc score must equal the max cosine of that
+    label's vectors vs the query, with the lowest-id argmax."""
+    import numpy as np
+
+    from pypers_spark.operators.similarity import QUERY_VEC_ID, ann_maxsim
+
+    rows_emb = tables["embeddings"].collect()
+    vecs = {r["vec_id"]: (r["label"], np.asarray(r["embedding"], dtype=np.float64)) for r in rows_emb}
+    q = vecs[QUERY_VEC_ID][1]
+    qn = float(np.sqrt(q @ q))
+    best: dict = {}
+    n_vecs: dict = {}
+    for vid, (lab, v) in vecs.items():
+        if vid == QUERY_VEC_ID:
+            continue
+        n = float(np.sqrt(v @ v)) * qn
+        cos = float(v @ q) / n if n > 0 else 0.0
+        n_vecs[lab] = n_vecs.get(lab, 0) + 1
+        if lab not in best or (cos, -vid) > (best[lab][0], -best[lab][1]):
+            best[lab] = (cos, vid)
+    for r in ann_maxsim(tables).collect():
+        cos, vid = best[r["label"]]
+        assert r["best_vec_id"] == vid
+        assert abs(r["maxsim"] - round(cos, 4)) < 1e-6
+        assert r["n_vecs"] == n_vecs[r["label"]]
+
+
+def test_knn_join_buckets_against_bruteforce(spark, sf_dir, tables):
+    """The kNN-radius histogram must reproduce a per-point brute force
+    restricted to the 3x3 cell neighborhood (the operator's contract)."""
+    import math
+    from collections import Counter
+
+    from pypers_spark.operators.geo import (
+        CELL_DEG,
+        EARTH_R_KM,
+        KNN_BUCKET_KM,
+        KNN_K,
+        _points,
+        gs_knn_join,
+    )
+
+    pts = {r["pid"]: (r["lat"], r["lon"]) for r in _points(tables).collect()}
+    cells: dict = {}
+    for pid, (la, lo) in pts.items():
+        cells.setdefault(
+            (math.floor(la / CELL_DEG), math.floor(lo / CELL_DEG)), []
+        ).append(pid)
+
+    def hav(a, b):
+        la1, lo1 = pts[a]
+        la2, lo2 = pts[b]
+        rad = math.pi / 180.0
+        dlat, dlon = (la2 - la1) * rad / 2, (lo2 - lo1) * rad / 2
+        s = (
+            math.sin(dlat) ** 2
+            + math.cos(la1 * rad) * math.cos(la2 * rad) * math.sin(dlon) ** 2
+        )
+        d = 2 * EARTH_R_KM * math.asin(math.sqrt(s))
+        return math.floor(d * 1e6 + 0.5) / 1e6
+
+    expected = Counter()
+    for pid, (la, lo) in pts.items():
+        cy, cx = math.floor(la / CELL_DEG), math.floor(lo / CELL_DEG)
+        cand = [
+            o
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            for o in cells.get((cy + dy, cx + dx), [])
+            if o != pid
+        ]
+        if not cand:
+            continue
+        dists = sorted((hav(pid, o), o) for o in cand)[:KNN_K]
+        dk = dists[-1][0]
+        b = -1 if len(dists) < KNN_K else math.floor(dk / KNN_BUCKET_KM)
+        expected[b] += 1
+    got = {r["knn_bucket"]: r["n_points"] for r in gs_knn_join(tables).collect()}
+    assert got == dict(expected)
+
+
+def test_attribution_position_conserves_purchase_value(spark, sf_dir, tables):
+    """Summed credits across all position classes must equal the summed
+    value of purchases that had >= 1 touch in the window (each purchase
+    distributes exactly 100% of its value)."""
+    from pyspark.sql import functions as F
+
+    from pypers_spark.operators.events_extra import (
+        ATTR_WINDOW_DAYS,
+        ev_attribution_position,
+    )
+
+    ev = tables["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("p_ts"), "value"
+    )
+    v = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts")
+    )
+    touched = (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"))
+        )
+        .select("pid", "value")
+        .distinct()
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    rows = ev_attribution_position(tables).collect()
+    total = sum(r["attributed_value"] for r in rows)
+    assert abs(total - touched) < 0.05 * max(1.0, abs(touched)) or abs(total - touched) < 1.0
+    classes = {(r["touch_type"], r["pos_class"]) for r in rows}
+    assert classes <= {(t, c) for t in ("view", "click") for c in ("first", "mid", "last")}
+
+
+def test_gap_fill_purchase_rows_always_filled(spark, sf_dir, tables):
+    """A purchase event always has a filled value (its own), so
+    n_filled == n_events for the purchase row; all counts bounded."""
+    from pypers_spark.operators.relational_extra import op_gap_fill
+
+    rows = {r["event_type"]: r for r in op_gap_fill(tables).collect()}
+    assert rows["purchase"]["n_filled"] == rows["purchase"]["n_events"]
+    for r in rows.values():
+        assert 0 <= r["n_filled"] <= r["n_events"]
+
+
+def test_sequence_islands_day_conservation(spark, sf_dir, tables):
+    """Island lengths must partition the distinct (user, day) set:
+    sum(island_len * n_islands) == total distinct active user-days."""
+    from pyspark.sql import functions as F
+
+    from pypers_spark.operators.relational_extra import op_sequence_islands
+
+    total_days = (
+        tables["events"].select("user_id", F.to_date("ts").alias("d")).distinct().count()
+    )
+    rows = op_sequence_islands(tables).collect()
+    assert sum(r["island_len"] * r["n_islands"] for r in rows) == total_days
+    assert all(r["total_days"] == r["island_len"] * r["n_islands"] for r in rows)
+
+
+def test_adamic_adar_against_adjacency_bruteforce(spark, sf_dir, tables):
+    """AA scores must equal the per-node adjacency-set brute force with
+    the same 1e-6 term quantization, and predicted pairs are non-edges."""
+    import math
+
+    from pypers_spark.operators.graph import gr_adamic_adar
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in _embedding_cos_pairs(tables, COS_T03).select("id_a", "id_b").collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in gr_adamic_adar(tables).collect():
+        a, b = r["id_a"], r["id_b"]
+        assert (a, b) not in edges and (b, a) not in edges
+        common = adj[a] & adj[b]
+        assert r["n_common"] == len(common)
+        acc = sum(math.floor(1.0 / math.log(float(len(adj[m]))) * 1e6 + 0.5) for m in common)
+        expect = math.floor((acc / 1e6) * 1e6 + 0.5) / 1e6
+        assert abs(r["aa_score"] - expect) < 1e-9
