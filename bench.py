@@ -209,6 +209,7 @@ HEADLINE = (
     "op_gap_fill",
     "op_sequence_islands",
     "gr_adamic_adar",
+    "mm_scene_cut",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

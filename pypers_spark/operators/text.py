@@ -1148,3 +1148,92 @@ ORDER BY media_id
 
 QUERIES["mm_audio_energy"] = mm_audio_energy
 ORACLES["mm_audio_energy"] = _oracle_mm_audio_energy()
+
+
+# --- mm_scene_cut (r8) ---------------------------------------------------------
+#
+# Scene-cut detection over the sampled frame sequence: per frame a
+# luminance proxy (exact integer byte-sum, length-normalized via
+# integer division so the short final frame doesn't read as a fake
+# cut), per media the lag-diff along frame order, a cut wherever the
+# normalized brightness jumps ≥ SCENE_CUT_T. The readout is the
+# cuts-per-media histogram plus the summed peak jump — the shot
+# boundary census a video curation pipeline runs after frame sampling.
+#
+# Scale shape: frame_lumas is the sanctioned Arrow mapInPandas decode
+# stage (one pass, fan-out distributed); everything after is a lag
+# window per media (frame lists are ≤4 rows) and two hash aggregations.
+# Integer arithmetic end-to-end — bit-identical across engines.
+
+SCENE_CUT_T = 2500  # threshold on the per-mille-normalized luma jump
+
+
+def mm_scene_cut(t: dict[str, DataFrame]) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pypers_spark.multimodal import frame_lumas, media_table
+
+    lum = frame_lumas(media_table(t["documents"])).withColumn(
+        "luma_q", F.expr("(luma_sum * 1000) div frame_len")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    diffs = lum.withColumn(
+        "jump", F.abs(F.col("luma_q") - F.lag("luma_q").over(w))
+    )
+    per_media = diffs.groupBy("media_id").agg(
+        F.sum(F.when(F.col("jump") >= SCENE_CUT_T, 1).otherwise(0)).alias("n_cuts"),
+        F.coalesce(F.max("jump"), F.lit(0)).alias("max_jump"),
+    )
+    return (
+        per_media.groupBy("n_cuts")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("max_jump").cast("bigint").alias("sum_max_jump"),
+        )
+        .orderBy("n_cuts")
+    )
+
+
+def _oracle_mm_scene_cut() -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(4, length(text)))) AS i,
+         greatest(1, length(text) // 4) AS step
+  FROM documents
+),
+f AS (
+  SELECT doc_id AS media_id, i AS frame_idx,
+         substr(text, (i * step)::INT + 1, 32) AS frame
+  FROM pos
+),
+lum AS (
+  SELECT media_id, frame_idx,
+         (list_sum(list_transform(range(1, length(frame) + 1),
+                                  x -> ord(substr(frame, x::INT, 1)))) * 1000)
+           // length(frame) AS luma_q
+  FROM f
+),
+diffs AS (
+  SELECT media_id,
+         abs(luma_q - lag(luma_q) OVER (PARTITION BY media_id ORDER BY frame_idx))
+           AS jump
+  FROM lum
+),
+per_media AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN jump >= {SCENE_CUT_T} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts,
+         coalesce(max(jump), 0) AS max_jump
+  FROM diffs
+  GROUP BY media_id
+)
+SELECT n_cuts, count(*) AS n_media, CAST(sum(max_jump) AS BIGINT) AS sum_max_jump
+FROM per_media
+GROUP BY n_cuts
+ORDER BY n_cuts
+"""
+
+
+QUERIES["mm_scene_cut"] = mm_scene_cut
+ORACLES["mm_scene_cut"] = _oracle_mm_scene_cut()

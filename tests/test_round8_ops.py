@@ -621,3 +621,28 @@ def test_adamic_adar_against_adjacency_bruteforce(spark, sf_dir, tables):
         acc = sum(math.floor(1.0 / math.log(float(len(adj[m]))) * 1e6 + 0.5) for m in common)
         expect = math.floor((acc / 1e6) * 1e6 + 0.5) / 1e6
         assert abs(r["aa_score"] - expect) < 1e-9
+
+
+def test_scene_cut_against_python_recomputation(spark, sf_dir, tables):
+    """The cuts-per-media histogram must equal a per-doc Python
+    recomputation of the frame slicing + integer luma pipeline."""
+    from collections import Counter
+
+    from pypers_spark.operators.text import SCENE_CUT_T, mm_scene_cut
+
+    expected = Counter()
+    for r in tables["documents"].select("doc_id", "text").collect():
+        raw = r["text"].encode()
+        if not raw:
+            continue
+        step = max(1, len(raw) // 4)
+        lumas = []
+        for i in range(min(4, len(raw))):
+            fr = raw[i * step : i * step + 32]
+            lumas.append((sum(fr) * 1000) // len(fr))
+        cuts = sum(
+            1 for a, b in zip(lumas, lumas[1:]) if abs(b - a) >= SCENE_CUT_T
+        )
+        expected[cuts] += 1
+    got = {r["n_cuts"]: r["n_media"] for r in mm_scene_cut(tables).collect()}
+    assert got == dict(expected)
