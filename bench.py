@@ -210,6 +210,7 @@ HEADLINE = (
     "op_sequence_islands",
     "gr_adamic_adar",
     "mm_scene_cut",
+    "pipe_ann",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

