@@ -211,6 +211,7 @@ HEADLINE = (
     "gr_adamic_adar",
     "mm_scene_cut",
     "pipe_ann",
+    "st_late_data",
 )
 
 # Quadratic-in-block CALIBRATION variants (r5 verdict "What's wrong #2"):

@@ -589,3 +589,111 @@ ORDER BY d, bucket
 
 QUERIES["st_cms_cells"] = st_cms_cells
 ORACLES["st_cms_cells"] = _oracle_st_cms()
+
+
+# --- st_late_data (r8): append-mode watermark lateness gate -------------------
+#
+# The one streaming semantics surface the gate did not yet pin:
+# APPEND-mode emission + late-row DROP under a watermark. Three staged
+# micro-batches with a controlled arrival order — batch 0 carries the
+# RECENT half of the corpus (including the global max event time, so
+# the watermark jumps to max_ts − delay after it commits), batch 1 is
+# EMPTY (measured on this Spark: the watermark used for late-row
+# FILTERING lags the displayed watermark by one batch — the empty
+# batch lets max_ts − delay become the filtering watermark), batch 2
+# replays the OLD half as late stragglers, every one of which is now
+# dropped (its event time sits ~10 days below the watermark, far from
+# any <=-vs-< boundary). Append mode then emits exactly the windows
+# whose end ≤ watermark, populated ONLY by batch-0 rows; still-open
+# windows sit in state and never emit before availableNow terminates.
+# That closed-form emission set is what the DuckDB oracle reproduces —
+# so watermark advance, late-drop, and append-emission semantics are
+# all value-checked, not just row-counted.
+
+LATE_SPLIT_DAYS = 10  # batch 0 = events within the last N days
+LATE_WM = "1 hour"
+
+
+def st_late_data(t: dict[str, DataFrame]) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    spark = t["events"].sparkSession
+    events = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - __import__("datetime").timedelta(days=LATE_SPLIT_DAYS)
+
+    base = tempfile.mkdtemp(prefix="st_late_data_")
+    src = f"{base}/src"
+    os.makedirs(src)
+
+    def _stage(df, name: str, mtime: float) -> None:
+        tmp = f"{base}/_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        dst = f"{src}/{name}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    # Batch order is by (modification time, path) in the file source —
+    # pin both so the recent half ALWAYS arrives first, then the empty
+    # watermark-settling batch, then the late stragglers.
+    _stage(events.filter(F.col("ts") >= F.lit(cutoff)), "00_recent", 1_000_000.0)
+    _stage(events.limit(0), "01_gap", 1_000_010.0)
+    _stage(events.filter(F.col("ts") < F.lit(cutoff)), "02_late", 1_000_020.0)
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", LATE_WM)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(dsum(F.col("value")), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"st_late_data_{next(_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).orderBy("hour_start", "event_type").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# Emission set in closed form: a window emits iff its END ≤ the final
+# watermark (max_ts − 1 h, set by batch 0); its contents are batch-0
+# rows only (ts ≥ max_ts − 10 days) because every batch-1 row landing
+# in such a window is late-dropped.
+ORACLE_ST_LATE_DATA = f"""
+WITH bounds AS (SELECT max(ts) AS max_ts FROM events)
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, {duck_rnd(duck_dsum('value'), 2)} AS total_value
+FROM events, bounds
+WHERE ts >= max_ts - INTERVAL {LATE_SPLIT_DAYS} DAY
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 1 HOUR
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+QUERIES["st_late_data"] = st_late_data
+ORACLES["st_late_data"] = ORACLE_ST_LATE_DATA

@@ -663,3 +663,32 @@ def test_pipe_ann_matches_unpipelined_serving(spark, sf_dir, tables):
         assert r["n_results"] <= r["n_queries"] * BATCH_TOP_K
         assert 0 <= r["n_home_cell"] <= r["n_queries"]
         assert -1.0 <= r["avg_cos"] <= 1.0
+
+
+def test_st_late_data_append_semantics(spark, sf_dir, tables):
+    """Append-mode drain must emit exactly the closed windows (end <=
+    max_ts - 1h) populated only by recent-half rows: late stragglers
+    dropped, open windows held in state and never emitted."""
+    import datetime
+
+    from pypers_spark.operators.streaming_batch import (
+        LATE_SPLIT_DAYS,
+        st_late_data,
+    )
+
+    ev = tables["events"]
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(days=LATE_SPLIT_DAYS)
+    wm = max_ts - datetime.timedelta(hours=1)
+    expected = {}
+    for r in ev.select("ts", "event_type").collect():
+        ts = r["ts"]
+        win_start = ts.replace(minute=0, second=0, microsecond=0)
+        if ts >= cutoff and win_start + datetime.timedelta(hours=1) <= wm:
+            k = (win_start, r["event_type"])
+            expected[k] = expected.get(k, 0) + 1
+    got = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in st_late_data(tables).collect()
+    }
+    assert got == expected
