@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pypers_spark.functions.hashing import duck_md5_int64, md5_int64
@@ -434,12 +434,23 @@ def gs_knn_join(t: dict[str, DataFrame]) -> DataFrame:
     cand = (
         probes.join(right, ["cell_y", "cell_x"])
         .filter(F.col("pid_a") != F.col("pid_b"))
-        .select("pid_a", "pid_b", dist.alias("dist_km"))
+        .select("pid_a", dist.alias("dist_km"))
     )
-    w = Window.partitionBy("pid_a").orderBy("dist_km", "pid_b")
-    knn = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
-    per_pt = knn.groupBy("pid_a").agg(
-        F.count("*").alias("n_nbrs"), F.max("dist_km").alias("dk")
+    # Per-point k-th-nearest distance as ONE hash aggregation instead
+    # of a rank window: dk is the k-th smallest distance WITH
+    # multiplicity, which doesn't depend on any neighbor-id tie-break —
+    # so the aggregation collects bare doubles (the candidate list is
+    # bounded by the 3x3 neighborhood population) and slices their
+    # sorted form. Measured at sf0.1: 3.5s (window sort of the 9-cell
+    # candidate product) → 2.3s; the count-only floor for the same
+    # shuffle is 0.95s, so the remaining gap is the bounded per-cell
+    # list build, linear in candidates.
+    n_cap = F.least(F.count("*"), F.lit(KNN_K)).cast("int")
+    per_pt = cand.groupBy("pid_a").agg(
+        n_cap.alias("n_nbrs"),
+        F.element_at(
+            F.slice(F.array_sort(F.collect_list("dist_km")), 1, KNN_K), n_cap
+        ).alias("dk"),
     )
     bucket = (
         F.when(F.col("n_nbrs") < KNN_K, F.lit(-1))
