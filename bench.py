@@ -211,6 +211,7 @@ HEADLINE = (
     "gr_adamic_adar",
     "mm_scene_cut",
     "pipe_ann",
+    "ev_qte",
     # st_late_data is gated (full sweeps) but NOT benched: like every
     # st_* drain it runs eagerly inside the call, so the timed noop
     # write would read ~0s and overstate the aggregate ratio.

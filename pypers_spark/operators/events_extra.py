@@ -2899,3 +2899,111 @@ ORDER BY touch_type, pos_class
 
 QUERIES["ev_attribution_position"] = ev_attribution_position
 ORACLES["ev_attribution_position"] = ORACLE_ATTRIBUTION_POSITION
+
+
+# --- ev_qte (r8): quantile treatment effects ----------------------------------
+#
+# Mean lift (ev_ab_lift) hides WHERE an experiment moves the
+# distribution; the quantile treatment effect — QTE(p) = Q_treat(p) −
+# Q_control(p) — is the standard distributional readout (Athey &
+# Imbens' heterogeneous-effect diagnostics; every large experimentation
+# platform ships one). Variant is the same deterministic md5 hash split
+# as ev_ab_lift/ev_srm_check/ev_cuped, the metric is the per-user
+# purchase total, and the deciles come from the shuffle-bounded
+# exact-percentile plan GROUPED by variant — two window partitions,
+# never a single-buffer percentile aggregate.
+
+QTE_QS = tuple((q / 10.0, f"p{q}0") for q in range(1, 10))
+
+
+def ev_qte(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-decile treatment effect on per-user purchase totals."""
+    from pypers_spark.functions.hashing import md5_int64
+    from pypers_spark.functions.percentile import exact_percentiles
+
+    ev = t["events"]
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum(F.col("value")).alias("m"))
+        .withColumn(
+            "variant",
+            (
+                md5_int64(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+                % 2
+            ).cast("int"),
+        )
+    )
+    qs = exact_percentiles(
+        per_user, "m", list(QTE_QS), group_cols=["variant"], count_alias="n_users"
+    )
+    c = qs.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_control"),
+        *[F.col(a).alias(f"c_{a}") for _, a in QTE_QS],
+    )
+    tr = qs.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_treat"),
+        *[F.col(a).alias(f"t_{a}") for _, a in QTE_QS],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("decile"),
+                    rnd(F.col(f"c_{a}"), 4).alias("q_control"),
+                    rnd(F.col(f"t_{a}"), 4).alias("q_treat"),
+                    rnd(F.col(f"t_{a}") - F.col(f"c_{a}"), 4).alias("qte"),
+                )
+                for _, a in QTE_QS
+            ]
+        )
+    ).alias("r")
+    return (
+        c.crossJoin(tr)
+        .select("n_control", "n_treat", rows)
+        .select("n_control", "n_treat", "r.decile", "r.q_control", "r.q_treat", "r.qte")
+        .orderBy("decile")
+    )
+
+
+def _oracle_qte() -> str:
+    from pypers_spark.functions.hashing import duck_md5_int64
+
+    variant = (
+        f"({duck_md5_int64(chr(39) + 'ab:' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % 2)"
+    )
+    decile_rows = ",\n  ".join(
+        f"('{a}', {q})" for q, a in QTE_QS
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {duck_dsum('value')} AS m,
+         CAST({variant} AS INT) AS variant
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+qs AS (
+  SELECT variant, count(*) AS n_users,
+         {", ".join(f"quantile_cont(m, {q}) AS {a}" for q, a in QTE_QS)}
+  FROM per_user GROUP BY variant
+),
+deciles(decile, p) AS (VALUES {decile_rows})
+SELECT c.n_users AS n_control, t.n_users AS n_treat, d.decile,
+       {duck_rnd('''CASE d.decile {whens_c} END''', 4)} AS q_control,
+       {duck_rnd('''CASE d.decile {whens_t} END''', 4)} AS q_treat,
+       {duck_rnd('''(CASE d.decile {whens_t} END) - (CASE d.decile {whens_c} END)''', 4)} AS qte
+FROM (SELECT * FROM qs WHERE variant = 0) c,
+     (SELECT * FROM qs WHERE variant = 1) t,
+     deciles d
+ORDER BY d.decile
+""".replace(
+        "{whens_c}",
+        " ".join(f"WHEN '{a}' THEN c.{a}" for _, a in QTE_QS),
+    ).replace(
+        "{whens_t}",
+        " ".join(f"WHEN '{a}' THEN t.{a}" for _, a in QTE_QS),
+    )
+
+
+QUERIES["ev_qte"] = ev_qte
+ORACLES["ev_qte"] = _oracle_qte()

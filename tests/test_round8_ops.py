@@ -692,3 +692,37 @@ def test_st_late_data_append_semantics(spark, sf_dir, tables):
         for r in st_late_data(tables).collect()
     }
     assert got == expected
+
+
+def test_qte_matches_numpy_quantiles(spark, sf_dir, tables):
+    """QTE deciles must equal numpy's linear-interpolation quantiles of
+    the per-variant user metric (the same formula Spark's percentile
+    uses), and qte must equal their difference."""
+    import numpy as np
+
+    from pypers_spark.functions.hashing import md5_int64
+    from pypers_spark.operators.events_extra import QTE_QS, ev_qte
+
+    per_user = (
+        tables["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg((F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))) / F.lit(1e6)).alias("m"))
+        .withColumn(
+            "variant",
+            (md5_int64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).cast("int"),
+        )
+        .collect()
+    )
+    by_v = {0: [], 1: []}
+    for r in per_user:
+        by_v[r["variant"]].append(r["m"])
+    rows = ev_qte(tables).collect()
+    assert len(rows) == len(QTE_QS)
+    for row, (q, a) in zip(rows, QTE_QS):
+        qc = float(np.quantile(np.array(by_v[0]), q, method="linear"))
+        qt = float(np.quantile(np.array(by_v[1]), q, method="linear"))
+        assert row["decile"] == a
+        assert abs(row["q_control"] - round(qc, 4)) < 1e-6
+        assert abs(row["q_treat"] - round(qt, 4)) < 1e-6
+        assert abs(row["qte"] - (row["q_treat"] - row["q_control"])) < 1e-3
