@@ -1159,3 +1159,86 @@ def frame_lumas(
             )
 
     return media.mapInPandas(luma_batches, schema=FRAME_LUMA_SCHEMA)
+
+
+# --- Voice-activity segmentation (silence-run analysis) ------------------------
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("longest_silence", LongType()),
+        StructField("n_voiced", LongType()),
+    ]
+)
+
+
+def wav_vad_stats(payload: bytes) -> dict:
+    """Run-length voice-activity profile of a RIFF/WAVE payload: voiced
+    segments are maximal runs of |amp| > the per-depth silence
+    threshold; the longest silence run and total voiced-sample count
+    complete the clip-segmentation readout. Same chunk walk and
+    amplitude decode as :func:`wav_pcm_stats`; the run-length pass is
+    one vectorized np.diff over the silence mask."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            bits = struct.unpack("<HHIIHH", body[:16])[5]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if bits is None or data is None:
+        raise ValueError("truncated WAVE: missing fmt or data chunk")
+    if bits == 8:
+        amp = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        silence_t = SILENCE_ABS_8
+    else:
+        n = len(data) // 2
+        amp = np.frombuffer(data[: n * 2], dtype="<i2").astype(np.int64)
+        silence_t = SILENCE_ABS_16
+    voiced = np.abs(amp) > silence_t
+    if amp.size == 0:
+        n_seg = longest_sil = n_voiced = 0
+    else:
+        # Run boundaries: positions where the mask flips.
+        flips = np.flatnonzero(np.diff(voiced.astype(np.int8)))
+        starts = np.concatenate(([0], flips + 1))
+        ends = np.concatenate((flips + 1, [voiced.size]))
+        lens = ends - starts
+        kinds = voiced[starts]
+        n_seg = int(kinds.sum())
+        sil_lens = lens[~kinds]
+        longest_sil = int(sil_lens.max()) if sil_lens.size else 0
+        n_voiced = int(voiced.sum())
+    return {
+        "bits_per_sample": int(bits),
+        "n_samples": int(amp.size),
+        "n_segments": n_seg,
+        "longest_silence": longest_sil,
+        "n_voiced": n_voiced,
+    }
+
+
+def audio_vad(media: DataFrame) -> DataFrame:
+    """Arrow-batched voice-activity segmentation: payload bytes stay on
+    the scanning executor; only 6-column profile rows shuffle."""
+
+    def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [wav_vad_stats(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(vad_batches, schema=VAD_SCHEMA)

@@ -1237,3 +1237,94 @@ ORDER BY n_cuts
 
 QUERIES["mm_scene_cut"] = mm_scene_cut
 ORACLES["mm_scene_cut"] = _oracle_mm_scene_cut()
+
+
+# --- mm_audio_vad (r8) ---------------------------------------------------------
+
+
+def mm_audio_vad(t: dict[str, DataFrame]) -> DataFrame:
+    """Voice-activity segmentation over real RIFF/WAVE bytes: per
+    media, the number of VOICED segments (maximal runs of |amp| above
+    the per-depth silence threshold), the longest silence run, and the
+    voiced-sample total — the clip segmentation an audio curation
+    pipeline runs before chunking speech for transcription. The chunk
+    walk + vectorized run-length pass live in the Arrow mapInPandas
+    stage (:func:`pypers_spark.multimodal.audio_vad`); only 6-column
+    profile rows shuffle. The DuckDB oracle recomputes the runs with
+    the gaps-and-islands discipline over the unnested amplitude list —
+    so the sample decode AND the segmentation algebra are value-gated.
+    """
+    from pypers_spark.multimodal import audio_vad, wav_media_table
+
+    n_part = int(
+        t["documents"].sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    media = wav_media_table(t["documents"]).repartition(n_part, F.col("media_id"))
+    return audio_vad(media).orderBy("media_id")
+
+
+def _oracle_mm_audio_vad() -> str:
+    from pypers_spark.multimodal import SILENCE_ABS_8, SILENCE_ABS_16
+
+    amp8 = "unicode(substr(data, CAST(i AS INT), 1)) - 128"
+    s16 = (
+        "unicode(substr(data, CAST(2 * i - 1 AS INT), 1))"
+        " + 256 * unicode(substr(data, CAST(2 * i AS INT), 1))"
+    )
+    amp16 = f"CASE WHEN {s16} >= 32768 THEN {s16} - 65536 ELSE {s16} END"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + 8 * ((doc_id % 5) % 2) AS bits,
+         {WAV_DATA_BASE} + doc_id % {WAV_DATA_MOD} AS data_len,
+         text
+  FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
+),
+d AS (
+  SELECT media_id, bits, data_len,
+         substr(repeat(text, CAST(ceil(data_len * 1.0 / length(text)) AS INT)),
+                1, CAST(data_len AS INT)) AS data
+  FROM m
+),
+amps AS (
+  SELECT media_id, bits,
+         CASE WHEN bits = 8
+              THEN list_transform(range(1, CAST(data_len AS BIGINT) + 1),
+                                  i -> {amp8})
+              ELSE list_transform(range(1, data_len // 2 + 1),
+                                  i -> {amp16})
+         END AS amp,
+         CASE WHEN bits = 8 THEN {SILENCE_ABS_8} ELSE {SILENCE_ABS_16} END AS st
+  FROM d
+),
+pos AS (
+  SELECT media_id, bits, len(amp) AS n_samples, i,
+         (abs(amp[CAST(i AS INT)]) > st) AS voiced
+  FROM amps, unnest(range(1, CAST(len(amp) AS BIGINT) + 1)) AS u(i)
+),
+grps AS (
+  SELECT media_id, bits, n_samples, voiced,
+         i - row_number() OVER (PARTITION BY media_id, voiced ORDER BY i) AS grp
+  FROM pos
+),
+runs AS (
+  SELECT media_id, bits, n_samples, voiced, grp,
+         count(*) OVER (PARTITION BY media_id, voiced, grp) AS run_len
+  FROM grps
+)
+SELECT media_id,
+       CAST(bits AS INT) AS bits_per_sample,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(count(DISTINCT CASE WHEN voiced THEN grp END) AS BIGINT) AS n_segments,
+       CAST(coalesce(max(CASE WHEN NOT voiced THEN run_len END), 0) AS BIGINT)
+         AS longest_silence,
+       CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced
+FROM runs
+GROUP BY media_id, bits, n_samples
+ORDER BY media_id
+"""
+
+
+QUERIES["mm_audio_vad"] = mm_audio_vad
+ORACLES["mm_audio_vad"] = _oracle_mm_audio_vad()

@@ -726,3 +726,59 @@ def test_qte_matches_numpy_quantiles(spark, sf_dir, tables):
         assert abs(row["q_control"] - round(qc, 4)) < 1e-6
         assert abs(row["q_treat"] - round(qt, 4)) < 1e-6
         assert abs(row["qte"] - (row["q_treat"] - row["q_control"])) < 1e-3
+
+
+def test_audio_vad_against_python_rle(spark, sf_dir, tables):
+    """VAD segmentation must equal a per-doc pure-Python run-length
+    recomputation from the same WAV payload bytes."""
+    from pypers_spark.multimodal import wav_media_table, wav_vad_stats
+    from pypers_spark.operators.text import mm_audio_vad
+
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in wav_media_table(tables["documents"]).collect()
+    }
+    got = {r["media_id"]: r.asDict() for r in mm_audio_vad(tables).collect()}
+    assert set(got) == set(payloads)
+    for mid, p in payloads.items():
+        raw = p
+        # independent scalar RLE (no numpy): decode amps, walk runs
+        import struct
+
+        pos, bits, data = 12, None, None
+        while pos + 8 <= len(raw):
+            cid = raw[pos:pos + 4]
+            size = int.from_bytes(raw[pos + 4:pos + 8], "little")
+            body = raw[pos + 8:pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                bits = struct.unpack("<HHIIHH", body[:16])[5]
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if bits == 8:
+            amps = [b - 128 for b in data]
+            st = 16
+        else:
+            n = len(data) // 2
+            amps = [
+                int.from_bytes(data[2 * i:2 * i + 2], "little", signed=True)
+                for i in range(n)
+            ]
+            st = 4096
+        voiced = [abs(a) > st for a in amps]
+        n_seg = longest = cur = n_voiced = 0
+        prev = None
+        for v in voiced:
+            if v:
+                n_voiced += 1
+            if v and prev is not True:
+                n_seg += 1
+            if not v:
+                cur = cur + 1 if prev is False else 1
+                longest = max(longest, cur)
+            prev = v
+        g = got[mid]
+        assert g["n_samples"] == len(amps)
+        assert g["n_segments"] == n_seg, mid
+        assert g["longest_silence"] == longest, mid
+        assert g["n_voiced"] == n_voiced, mid
