@@ -1211,3 +1211,135 @@ FROM probe_agg
 
 QUERIES["sk_bloom_fpr"] = sk_bloom_fpr
 ORACLES["sk_bloom_fpr"] = _oracle_bloom_fpr()
+
+
+# --- sk_hll_union (r8): the sketch MERGE gate ----------------------------------
+#
+# Mergeability is the entire 100 TB argument for sketches — "aggregate
+# each shard, max-merge the registers, estimate once" — but the gate so
+# far only checked single-pass sketches. This operator runs the merge
+# itself: per-event_type PARTIAL register tables (the shard sketches),
+# max-merged into one register vector, compared REGISTER-BY-REGISTER to
+# the sketch built in one global pass. n_register_mismatch must be 0 in
+# both engines (max is associative — the merge is lossless by algebra,
+# and the gate proves the implementation honors it), and the union
+# estimate from the merged registers lands at the usual HLL error.
+
+
+def sk_hll_union(t: dict[str, DataFrame]) -> DataFrame:
+    """Max-merge of per-type partial HLL sketches vs the global sketch."""
+    ev = t["events"]
+    h = md5_int64(F.col("user_id"))
+    hashed = ev.select(
+        "event_type",
+        (h % HLLG_M).alias("bucket"),
+        F.shiftright(h, HLLG_P).alias("w"),
+    ).select("event_type", "bucket", hll_rho_g(F.col("w")).alias("rho"))
+    partial = hashed.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("m_partial")
+    )
+    merged = partial.groupBy("bucket").agg(F.max("m_partial").alias("m_merged"))
+    global_ = hashed.groupBy("bucket").agg(F.max("rho").alias("m_global"))
+    cmp = merged.join(global_, "bucket", "full").select(
+        F.coalesce(F.col("m_merged"), F.lit(0)).alias("m_merged"),
+        F.coalesce(F.col("m_global"), F.lit(0)).alias("m_global"),
+    )
+    mismatch = cmp.agg(
+        F.sum((F.col("m_merged") != F.col("m_global")).cast("bigint")).alias(
+            "n_register_mismatch"
+        )
+    )
+    spine = ev.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(HLLG_M - 1))).alias("bucket")
+    )
+    full = spine.join(F.broadcast(merged), "bucket", "left").select(
+        F.coalesce(F.col("m_merged"), F.lit(0)).alias("m_reg")
+    )
+    sketch = full.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLLG_RHO_MAX} - m_reg)")
+        ).alias("s"),
+        F.count(F.when(F.col("m_reg") == 0, 1)).alias("v_zero"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    raw = (
+        F.lit(HLLG_ALPHA)
+        * F.lit(float(HLLG_M * HLLG_M))
+        * F.lit(float(1 << HLLG_RHO_MAX))
+        / F.col("s").cast("double")
+    )
+    lin = F.lit(float(HLLG_M)) * F.log(
+        F.lit(float(HLLG_M)) / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLLG_M)) & (F.col("v_zero") > 0), lin
+    ).otherwise(raw)
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(mismatch))
+        .select(
+            F.lit(HLLG_M).alias("m"),
+            F.lit(5).alias("n_shards"),
+            F.col("n_register_mismatch"),
+            F.col("n_exact"),
+            rnd(est, 4).alias("est"),
+            rnd(
+                F.abs(est - F.col("n_exact").cast("double")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+ORACLE_HLL_UNION = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ({duck_md5_int64('user_id')}) % {HLLG_M} AS bucket,
+         ({duck_md5_int64('user_id')}) >> {HLLG_P} AS w
+  FROM events
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN {HLLG_RHO_MAX}
+              ELSE CAST(floor(log2(w & (-w)) + 0.5) AS BIGINT) + 1 END AS rho
+  FROM hashed
+),
+partial AS (
+  SELECT event_type, bucket, max(rho) AS m_partial FROM rho GROUP BY 1, 2
+),
+merged AS (SELECT bucket, max(m_partial) AS m_merged FROM partial GROUP BY 1),
+gsk AS (SELECT bucket, max(rho) AS m_global FROM rho GROUP BY 1),
+mism AS (
+  SELECT CAST(sum(CASE WHEN coalesce(m_merged, 0) != coalesce(m_global, 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_register_mismatch
+  FROM merged FULL JOIN gsk USING (bucket)
+),
+full_regs AS (
+  SELECT coalesce(m_merged, 0) AS m_reg
+  FROM (SELECT unnest(range(0, {HLLG_M})) AS bucket) s
+  LEFT JOIN merged USING (bucket)
+),
+sk AS (
+  SELECT sum(CAST(1 AS BIGINT) << ({HLLG_RHO_MAX} - m_reg)) AS s,
+         count(CASE WHEN m_reg = 0 THEN 1 END) AS v_zero
+  FROM full_regs
+),
+ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+SELECT {HLLG_M} AS m, 5 AS n_shards, n_register_mismatch, n_exact,
+       {duck_rnd(f'''CASE WHEN (CAST({HLLG_ALPHA} AS DOUBLE) * {float(HLLG_M * HLLG_M)}
+                      * {float(1 << HLLG_RHO_MAX)} / CAST(s AS DOUBLE)) <= {2.5 * HLLG_M}
+                      AND v_zero > 0
+                 THEN {float(HLLG_M)} * ln({float(HLLG_M)} / CAST(greatest(v_zero, 1) AS DOUBLE))
+                 ELSE CAST({HLLG_ALPHA} AS DOUBLE) * {float(HLLG_M * HLLG_M)}
+                      * {float(1 << HLLG_RHO_MAX)} / CAST(s AS DOUBLE) END''', 4)} AS est,
+       {duck_rnd(f'''abs((CASE WHEN (CAST({HLLG_ALPHA} AS DOUBLE) * {float(HLLG_M * HLLG_M)}
+                      * {float(1 << HLLG_RHO_MAX)} / CAST(s AS DOUBLE)) <= {2.5 * HLLG_M}
+                      AND v_zero > 0
+                 THEN {float(HLLG_M)} * ln({float(HLLG_M)} / CAST(greatest(v_zero, 1) AS DOUBLE))
+                 ELSE CAST({HLLG_ALPHA} AS DOUBLE) * {float(HLLG_M * HLLG_M)}
+                      * {float(1 << HLLG_RHO_MAX)} / CAST(s AS DOUBLE) END)
+                 - CAST(n_exact AS DOUBLE)) / n_exact''', 6)} AS rel_err
+FROM sk, ex, mism
+"""
+
+QUERIES["sk_hll_union"] = sk_hll_union
+ORACLES["sk_hll_union"] = ORACLE_HLL_UNION

@@ -782,3 +782,14 @@ def test_audio_vad_against_python_rle(spark, sf_dir, tables):
         assert g["n_segments"] == n_seg, mid
         assert g["longest_silence"] == longest, mid
         assert g["n_voiced"] == n_voiced, mid
+
+
+def test_hll_union_registers_match_and_estimate(spark, sf_dir, tables):
+    """The max-merge of shard sketches must equal the global sketch
+    exactly (zero register mismatches) and the union estimate must be
+    within HLL's expected error band for m=256 (~6.5%, take 3 sigma)."""
+    from pypers_spark.operators.sketches import sk_hll_union
+
+    r = sk_hll_union(tables).collect()[0]
+    assert r["n_register_mismatch"] == 0
+    assert r["rel_err"] < 3 * 1.04 / (256 ** 0.5)
