@@ -697,3 +697,146 @@ ORDER BY hour_start, event_type
 
 QUERIES["st_late_data"] = st_late_data
 ORACLES["st_late_data"] = ORACLE_ST_LATE_DATA
+
+
+# --- st_outer_join (r8): LEFT-OUTER stream-stream join in the value gate -------
+#
+# st_interval_join gates the inner join (emits eagerly on match, so a
+# finite drain is batch-equal regardless of trigger timing); the OUTER
+# variant's null-padded rows are exactly the part that DOES depend on
+# watermark progression — and the st_late_data staging discipline makes
+# that deterministic too: all events in micro-batch 0, then two empty
+# settling batches so the watermark (max_ts − 1h) is applied for state
+# eviction before the drain terminates. Closed-form emission: every
+# matched purchase×view pair (inner part, emitted eagerly in batch 0)
+# plus one null-padded row for every UNMATCHED purchase whose event
+# time sits below the final watermark — purchases in the last hour stay
+# in state and never emit. Measured eviction boundary: the GLOBAL
+# watermark under Spark's default min multiple-watermark policy —
+# wm = least(max view_ts, max purchase_ts) − 1h (each branch advances
+# its own watermark from its own maximum; the query takes the min) —
+# and an unmatched purchase emits its null exactly when p_ts < wm.
+# Bracketed empirically at both SFs (the two corpora disagree on WHICH
+# branch holds the global max, so together they pin the min policy);
+# microsecond-exact via the value match.
+
+OUTER_WM = "1 hour"
+OUTER_LAG = "1 hour"
+
+
+def st_outer_join(t: dict[str, DataFrame]) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    spark = t["events"].sparkSession
+    events = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+
+    base = tempfile.mkdtemp(prefix="st_outer_join_")
+    src = f"{base}/src"
+    os.makedirs(src)
+
+    def _stage(df, name: str, mtime: float) -> None:
+        tmp = f"{base}/_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{src}/{name}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    _stage(events, "00_all", 1_000_000.0)
+    _stage(events.limit(0), "01_gap", 1_000_010.0)
+    _stage(events.limit(0), "02_gap", 1_000_020.0)
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", OUTER_WM)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", OUTER_WM)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {OUTER_LAG}")
+        ),
+        "leftOuter",
+    )
+    name = f"st_outer_join_{next(_SINK_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select("user_id", "purchase_id", "purchase_ts", "purchase_value",
+                "view_id", "view_ts")
+        .orderBy("user_id", "purchase_id", "view_id")
+        .localCheckpoint()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+ORACLE_ST_OUTER = """
+WITH matched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         p.value AS purchase_value, v.event_id AS view_id, v.ts AS view_ts
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+),
+wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'view'),
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 1 HOUR AS w
+),
+nulls AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         p.value AS purchase_value,
+         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts
+  FROM events p, wm
+  WHERE p.event_type = 'purchase'
+    AND p.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM nulls
+ORDER BY user_id, purchase_id, view_id
+"""
+
+QUERIES["st_outer_join"] = st_outer_join
+ORACLES["st_outer_join"] = ORACLE_ST_OUTER

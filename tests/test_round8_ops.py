@@ -793,3 +793,36 @@ def test_hll_union_registers_match_and_estimate(spark, sf_dir, tables):
     r = sk_hll_union(tables).collect()[0]
     assert r["n_register_mismatch"] == 0
     assert r["rel_err"] < 3 * 1.04 / (256 ** 0.5)
+
+
+def test_st_outer_join_null_emission_boundary(spark, sf_dir, tables):
+    """Null-padded rows must appear exactly for unmatched purchases
+    below the global (min-policy) watermark, and every matched pair
+    must emit regardless of watermark position."""
+    import datetime
+
+    from pypers_spark.operators.streaming_batch import st_outer_join
+
+    ev = tables["events"]
+    max_v = ev.filter(F.col("event_type") == "view").agg(F.max("ts")).collect()[0][0]
+    max_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    wm = min(max_v, max_p) - datetime.timedelta(hours=1)
+    rows = st_outer_join(tables).collect()
+    nulls = [r for r in rows if r["view_id"] is None]
+    matched = [r for r in rows if r["view_id"] is not None]
+    assert all(r["purchase_ts"] < wm for r in nulls)
+    # batch recomputation of the inner part
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "user_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("ts").alias("vts"),
+        F.col("user_id").alias("vuid"),
+    )
+    inner = p.join(
+        v,
+        (F.col("user_id") == F.col("vuid"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert len(matched) == inner
