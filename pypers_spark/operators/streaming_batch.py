@@ -622,6 +622,16 @@ def st_late_data(t: dict[str, DataFrame]) -> DataFrame:
     spark = t["events"].sparkSession
     events = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
     max_ts = events.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:
+        # Empty source (partition pruned to nothing / fresh ingest dir):
+        # there is no watermark to advance and nothing to stage — the
+        # drain's result is the empty emission set with the drain schema.
+        return events.select(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.lit(0.0).alias("total_value"),
+        ).limit(0)
     cutoff = max_ts - __import__("datetime").timedelta(days=LATE_SPLIT_DAYS)
 
     base = tempfile.mkdtemp(prefix="st_late_data_")
