@@ -214,6 +214,7 @@ HEADLINE = (
     "ev_qte",
     "mm_audio_vad",
     "sk_hll_union",
+    "sk_cms_merge",
     # st_late_data is gated (full sweeps) but NOT benched: like every
     # st_* drain it runs eagerly inside the call, so the timed noop
     # write would read ~0s and overstate the aggregate ratio.

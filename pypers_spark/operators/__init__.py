@@ -78,6 +78,7 @@ _HOISTED = (
     # then tools/suggest_sample.py's never-driver-sampled backlog,
     # oldest coverage gaps first — so each driver round closes the
     # sampling gap instead of re-drawing verified keys.
+    "sk_cms_merge",
     "st_outer_join",
     "sk_hll_union",
     "mm_audio_vad",

@@ -1343,3 +1343,166 @@ FROM sk, ex, mism
 
 QUERIES["sk_hll_union"] = sk_hll_union
 ORACLES["sk_hll_union"] = ORACLE_HLL_UNION
+
+
+# --- sk_cms_merge (r8): the CMS merge gate -------------------------------------
+#
+# Companion to sk_hll_union: Count-Min sketches merge by CELL-WISE SUM
+# (counters are linear), and this gate runs the merge itself — per-shard
+# (doc_id mod N_SHARDS) cell tables summed and compared cell-by-cell to
+# the one-pass global sketch (n_cell_mismatch pinned 0 in both
+# engines), then the exact top-10 grams probed against the MERGED
+# sketch, where the one-sided CMS guarantee (est ≥ exact) must still
+# hold. Together the two gates cover both sketch-merge algebras a
+# 100 TB rollup uses: max-merge (HLL registers) and sum-merge (CMS /
+# counter matrices).
+
+CMSM_SHARDS = 4
+CMSM_TOP_K = 10
+
+
+def sk_cms_merge(t: dict[str, DataFrame]) -> DataFrame:
+    docs = t["documents"]
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk"))
+        .repartition(n, F.col("doc_id"))
+        .filter(F.size("tk") >= 3)
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("tk"), i),
+        F.element_at(F.col("tk"), i + 1),
+        F.element_at(F.col("tk"), i + 2),
+    )
+    occ = toks.select(
+        (F.col("doc_id") % CMSM_SHARDS).alias("shard"),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: gram(i))
+        ).alias("gram"),
+    ).withColumn("h", md5_int64(F.col("gram")))
+    cell = F.explode(_cms_probe_cols(F.col("h"))).alias("cell")
+    partial = (
+        occ.select("shard", cell)
+        .select("shard", F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .groupBy("shard", "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = partial.groupBy("d", "bucket").agg(F.sum("cnt").alias("m_cnt"))
+    global_ = (
+        occ.select(cell)
+        .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("g_cnt"))
+    )
+    mismatch = (
+        merged.join(global_, ["d", "bucket"], "full")
+        .agg(
+            F.sum(
+                (
+                    F.coalesce(F.col("m_cnt"), F.lit(0))
+                    != F.coalesce(F.col("g_cnt"), F.lit(0))
+                ).cast("bigint")
+            ).alias("n_cell_mismatch"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    top = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), "gram")
+        .limit(CMSM_TOP_K)
+        .withColumn("h", md5_int64(F.col("gram")))
+    )
+    probes = top.select(
+        "gram", "exact", F.explode(_cms_probe_cols(F.col("h"))).alias("cell")
+    )
+    ests = (
+        probes.join(
+            F.broadcast(merged),
+            (probes["cell.d"] == merged["d"])
+            & (probes["cell.bucket"] == merged["bucket"]),
+        )
+        .groupBy("gram")
+        .agg(F.max("exact").alias("exact"), F.min("m_cnt").alias("est"))
+        .agg(
+            F.sum("exact").alias("topk_sum_exact"),
+            F.sum(F.col("est") - F.col("exact")).alias("topk_sum_overest"),
+            F.min((F.col("est") >= F.col("exact")).cast("bigint")).alias(
+                "one_sided_holds"
+            ),
+        )
+    )
+    return (
+        mismatch.crossJoin(F.broadcast(ests)).select(
+            F.lit(CMS_DEPTH).alias("depth"),
+            F.lit(CMS_WIDTH).alias("width"),
+            F.lit(CMSM_SHARDS).alias("n_shards"),
+            "n_cell_mismatch",
+            "n_cells",
+            "topk_sum_exact",
+            "topk_sum_overest",
+            "one_sided_holds",
+        )
+    )
+
+
+ORACLE_CMS_MERGE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+),
+occ AS (
+  SELECT doc_id % {CMSM_SHARDS} AS shard,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+           AS gram
+  FROM toks WHERE len(tk) >= 3
+),
+hashed AS (SELECT shard, gram, {duck_md5_int64('gram')} AS h FROM occ),
+partial AS (
+  SELECT shard, d, {_duck_cms_buckets('h')} AS bucket, count(*) AS cnt
+  FROM hashed, unnest(range(0, {CMS_DEPTH})) AS r(d)
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT d, bucket, sum(cnt) AS m_cnt FROM partial GROUP BY 1, 2
+),
+glob_cells AS (
+  SELECT d, {_duck_cms_buckets('h')} AS bucket, count(*) AS g_cnt
+  FROM hashed, unnest(range(0, {CMS_DEPTH})) AS r(d)
+  GROUP BY 1, 2
+),
+mism AS (
+  SELECT CAST(sum(CASE WHEN coalesce(m_cnt, 0) != coalesce(g_cnt, 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cell_mismatch,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM merged FULL JOIN glob_cells USING (d, bucket)
+),
+top AS (
+  SELECT gram, count(*) AS exact, {duck_md5_int64('gram')} AS h
+  FROM hashed GROUP BY gram ORDER BY exact DESC, gram LIMIT {CMSM_TOP_K}
+),
+probes AS (
+  SELECT gram, exact, d, {_duck_cms_buckets('h')} AS bucket
+  FROM top, unnest(range(0, {CMS_DEPTH})) AS r(d)
+),
+per_gram AS (
+  SELECT p.gram, max(p.exact) AS exact, min(m.m_cnt) AS est
+  FROM probes p JOIN merged m ON p.d = m.d AND p.bucket = m.bucket
+  GROUP BY p.gram
+),
+ests AS (
+  SELECT CAST(sum(exact) AS BIGINT) AS topk_sum_exact,
+         CAST(sum(est - exact) AS BIGINT) AS topk_sum_overest,
+         CAST(min(CASE WHEN est >= exact THEN 1 ELSE 0 END) AS BIGINT)
+           AS one_sided_holds
+  FROM per_gram
+)
+SELECT {CMS_DEPTH} AS depth, {CMS_WIDTH} AS width, {CMSM_SHARDS} AS n_shards,
+       n_cell_mismatch, n_cells, topk_sum_exact, topk_sum_overest,
+       one_sided_holds
+FROM mism, ests
+"""
+
+QUERIES["sk_cms_merge"] = sk_cms_merge
+ORACLES["sk_cms_merge"] = ORACLE_CMS_MERGE

@@ -826,3 +826,14 @@ def test_st_outer_join_null_emission_boundary(spark, sf_dir, tables):
         & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert len(matched) == inner
+
+
+def test_cms_merge_cells_and_one_sided_bound(spark, sf_dir, tables):
+    """Sum-merged shard cells must equal the global sketch exactly, and
+    the CMS one-sided guarantee must hold on the merged sketch."""
+    from pypers_spark.operators.sketches import sk_cms_merge
+
+    r = sk_cms_merge(tables).collect()[0]
+    assert r["n_cell_mismatch"] == 0
+    assert r["one_sided_holds"] == 1
+    assert r["topk_sum_overest"] >= 0
