@@ -452,6 +452,19 @@ def gs_knn_join(t: dict[str, DataFrame]) -> DataFrame:
             F.slice(F.array_sort(F.collect_list("dist_km")), 1, KNN_K), n_cap
         ).alias("dk"),
     )
+    # Points with ZERO candidates produce no cand rows at all, so they
+    # never reach per_pt — left-join the point set back in so they land
+    # in bucket -1 alongside the 1..k-1 stragglers (dk stays NULL and
+    # drops out of the null-ignoring min/max below, on both engines).
+    per_pt = (
+        pts.select(F.col("pid").alias("pid_a"))
+        .join(per_pt, "pid_a", "left")
+        .select(
+            "pid_a",
+            F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
+            "dk",
+        )
+    )
     bucket = (
         F.when(F.col("n_nbrs") < KNN_K, F.lit(-1))
         .otherwise(F.floor(F.col("dk") / F.lit(KNN_BUCKET_KM)))
@@ -495,10 +508,16 @@ knn AS (
          row_number() OVER (PARTITION BY pid_a ORDER BY dist_km, pid_b) AS rk
   FROM cand
 ),
-per_pt AS (
+per_pt_inner AS (
   SELECT pid_a, count(*) AS n_nbrs, max(dist_km) AS dk
   FROM knn WHERE rk <= {KNN_K}
   GROUP BY pid_a
+),
+per_pt AS (
+  -- zero-candidate points re-enter here with n_nbrs = 0 / dk NULL,
+  -- mirroring the Spark side's left join back onto the point set
+  SELECT pts.pid AS pid_a, coalesce(i.n_nbrs, 0) AS n_nbrs, i.dk
+  FROM pts LEFT JOIN per_pt_inner i ON pts.pid = i.pid_a
 )
 SELECT CASE WHEN n_nbrs < {KNN_K} THEN -1
             ELSE CAST(floor(dk / {KNN_BUCKET_KM!r}) AS BIGINT) END AS knn_bucket,

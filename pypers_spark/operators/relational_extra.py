@@ -1082,9 +1082,15 @@ def op_gap_fill(t: dict[str, DataFrame]) -> DataFrame:
             rnd(dsum(F.coalesce(F.col("last_purchase_value"), F.lit(0.0))), 2).alias(
                 "filled_sum"
             ),
+            # Zero guard: an event_type whose rows never follow a
+            # purchase has n_filled = 0; 0.0/0 is NaN in Spark but
+            # engine-configurable in DuckDB — make both emit NULL.
             rnd(
-                dsum(F.coalesce(F.col("last_purchase_value"), F.lit(0.0)))
-                / F.count("last_purchase_value"),
+                F.when(
+                    F.count("last_purchase_value") > 0,
+                    dsum(F.coalesce(F.col("last_purchase_value"), F.lit(0.0)))
+                    / F.count("last_purchase_value"),
+                ),
                 4,
             ).alias("filled_mean"),
         )
@@ -1105,7 +1111,9 @@ SELECT event_type,
        count(*) AS n_events,
        count(last_purchase_value) AS n_filled,
        {duck_rnd(duck_dsum('coalesce(last_purchase_value, 0.0)'), 2)} AS filled_sum,
-       {duck_rnd(duck_dsum('coalesce(last_purchase_value, 0.0)') + ' / count(last_purchase_value)', 4)} AS filled_mean
+       {duck_rnd('CASE WHEN count(last_purchase_value) > 0 THEN '
+                 + duck_dsum('coalesce(last_purchase_value, 0.0)')
+                 + ' / count(last_purchase_value) END', 4)} AS filled_mean
 FROM filled
 GROUP BY event_type
 ORDER BY event_type

@@ -613,6 +613,34 @@ ORACLES["st_cms_cells"] = _oracle_st_cms()
 LATE_SPLIT_DAYS = 10  # batch 0 = events within the last N days
 LATE_WM = "1 hour"
 
+# The append-emission / late-drop timing below (one-batch filtering
+# lag, emission at window.end <= watermark, eviction at ts < watermark,
+# 'min' multiple-watermark reconciliation) was bracketed empirically on
+# this Spark line; a major engine upgrade must re-bracket before the
+# gate is trusted.
+_WM_TIMING_BRACKETED_ON = "4.1"
+
+# Watermark-driver offset: 37m17s past the corpus max event time. Never
+# a whole number of minutes past the hour, so the final watermark
+# (driver_ts − 1h) can NEVER coincide with an hour-aligned window end —
+# the <=-vs-< emission boundary becomes unobservable and the gate stops
+# depending on it.
+LATE_DRIVER_OFFSET_S = 37 * 60 + 17
+
+
+def _warn_if_unbracketed(spark) -> None:
+    if not spark.version.startswith(_WM_TIMING_BRACKETED_ON):
+        import warnings
+
+        warnings.warn(
+            "streaming watermark timing was bracketed on Spark "
+            f"{_WM_TIMING_BRACKETED_ON}.x but this session runs "
+            f"{spark.version}; re-bracket st_late_data/st_outer_join "
+            "before trusting the value gate",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
 
 def st_late_data(t: dict[str, DataFrame]) -> DataFrame:
     import os
@@ -632,7 +660,17 @@ def st_late_data(t: dict[str, DataFrame]) -> DataFrame:
             F.lit(0).cast("bigint").alias("n_events"),
             F.lit(0.0).alias("total_value"),
         ).limit(0)
-    cutoff = max_ts - __import__("datetime").timedelta(days=LATE_SPLIT_DAYS)
+    _warn_if_unbracketed(spark)
+    dt = __import__("datetime")
+    cutoff = max_ts - dt.timedelta(days=LATE_SPLIT_DAYS)
+    # Watermark-driver row: sits LATE_DRIVER_OFFSET_S past the corpus
+    # max, so the final watermark is never hour-aligned (see the
+    # constant's comment). Its own window always stays open (end >
+    # driver_ts > wm), so it never reaches the emitted output.
+    driver_ts = max_ts + dt.timedelta(seconds=LATE_DRIVER_OFFSET_S)
+    driver = spark.createDataFrame(
+        [(-1, driver_ts, -1, "__wm_driver__", 0.0)], schema=events.schema
+    )
 
     base = tempfile.mkdtemp(prefix="st_late_data_")
     src = f"{base}/src"
@@ -651,7 +689,11 @@ def st_late_data(t: dict[str, DataFrame]) -> DataFrame:
     # Batch order is by (modification time, path) in the file source —
     # pin both so the recent half ALWAYS arrives first, then the empty
     # watermark-settling batch, then the late stragglers.
-    _stage(events.filter(F.col("ts") >= F.lit(cutoff)), "00_recent", 1_000_000.0)
+    _stage(
+        events.filter(F.col("ts") >= F.lit(cutoff)).unionAll(driver),
+        "00_recent",
+        1_000_000.0,
+    )
     _stage(events.limit(0), "01_gap", 1_000_010.0)
     _stage(events.filter(F.col("ts") < F.lit(cutoff)), "02_late", 1_000_020.0)
 
@@ -691,16 +733,23 @@ def st_late_data(t: dict[str, DataFrame]) -> DataFrame:
 
 
 # Emission set in closed form: a window emits iff its END ≤ the final
-# watermark (max_ts − 1 h, set by batch 0); its contents are batch-0
-# rows only (ts ≥ max_ts − 10 days) because every batch-1 row landing
-# in such a window is late-dropped.
+# watermark (driver_ts − 1 h, where driver_ts = max_ts + the 37m17s
+# watermark-driver offset); its contents are batch-0 rows only
+# (ts ≥ max_ts − 10 days) because every batch-2 row landing in such a
+# window is late-dropped. Because the watermark is never hour-aligned
+# while window ends always are, <= and < agree — the oracle no longer
+# encodes the engine's exact boundary comparator.
 ORACLE_ST_LATE_DATA = f"""
-WITH bounds AS (SELECT max(ts) AS max_ts FROM events)
+WITH bounds AS (
+  SELECT max(ts) + INTERVAL {LATE_DRIVER_OFFSET_S} SECOND AS driver_ts,
+         max(ts) AS max_ts
+  FROM events
+)
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*) AS n_events, {duck_rnd(duck_dsum('value'), 2)} AS total_value
 FROM events, bounds
 WHERE ts >= max_ts - INTERVAL {LATE_SPLIT_DAYS} DAY
-  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 1 HOUR
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= driver_ts - INTERVAL 1 HOUR
 GROUP BY 1, 2
 ORDER BY hour_start, event_type
 """
@@ -740,6 +789,7 @@ def st_outer_join(t: dict[str, DataFrame]) -> DataFrame:
     import tempfile
 
     spark = t["events"].sparkSession
+    _warn_if_unbracketed(spark)
     events = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
 
     base = tempfile.mkdtemp(prefix="st_outer_join_")
@@ -795,14 +845,30 @@ def st_outer_join(t: dict[str, DataFrame]) -> DataFrame:
         "leftOuter",
     )
     name = f"st_outer_join_{next(_SINK_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The oracle's wm = least(branch maxima) − 1h encodes the 'min'
+    # multiple-watermark reconciliation. That is Spark's default, but a
+    # session override (multipleWatermarkPolicy=max) would silently flip
+    # the null-emission set — pin it for this query and restore after.
+    _POLICY_KEY = "spark.sql.streaming.multipleWatermarkPolicy"
+    try:
+        prior_policy = spark.conf.get(_POLICY_KEY)
+    except Exception:
+        prior_policy = None
+    spark.conf.set(_POLICY_KEY, "min")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior_policy is None:
+            spark.conf.unset(_POLICY_KEY)
+        else:
+            spark.conf.set(_POLICY_KEY, prior_policy)
     out = (
         spark.table(name)
         .select("user_id", "purchase_id", "purchase_ts", "purchase_value",

@@ -215,7 +215,13 @@ def mm_features_hist(t: dict[str, DataFrame]) -> DataFrame:
     """
     from pypers_spark.multimodal import extract_features, media_table
 
-    feats = extract_features(media_table(t["documents"]))
+    # ASCII guard: the oracle histograms CODE POINTS while the
+    # featurizer histograms UTF-8 payload BYTES — identical only when
+    # octet_length == length, so both engines gate on it.
+    ascii_docs = t["documents"].filter(
+        F.octet_length("text") == F.length("text")
+    )
+    feats = extract_features(media_table(ascii_docs))
     return (
         feats.select("media_id", F.posexplode("features").alias("dim", "v"))
         .select(
@@ -228,15 +234,19 @@ def mm_features_hist(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ORACLE_MM_FEATURES = f"""
-WITH pos AS (
-  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p FROM documents
+WITH ascii_docs AS (
+  SELECT * FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p FROM ascii_docs
 ),
 h AS (
   SELECT doc_id, unicode(substr(text, p, 1)) % 16 AS r, count(*) AS c
   FROM pos GROUP BY 1, 2
 ),
 dims AS (
-  SELECT doc_id, length(text) AS n, unnest(range(0, 16)) AS dim FROM documents
+  SELECT doc_id, length(text) AS n, unnest(range(0, 16)) AS dim FROM ascii_docs
 )
 SELECT dims.doc_id AS media_id, dim,
        {duck_rnd('coalesce(c, 0) * 1.0 / n', 4)} AS v
@@ -432,7 +442,15 @@ def mm_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
     """
     from pypers_spark.multimodal import media_table, sample_frames
 
-    frames = sample_frames(media_table(t["documents"]))
+    # ASCII guard (same predicate as wav_media_table): the oracle
+    # slices `text` by code points and md5s the character slice, while
+    # the Spark side slices UTF-8 payload BYTES — identical only for
+    # all-ASCII documents, so gate both engines on octet_length==length.
+    ascii_docs = t["documents"].filter(
+        (F.length("text") >= 1)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    frames = sample_frames(media_table(ascii_docs))
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
@@ -447,6 +465,7 @@ WITH pos AS (
          unnest(range(0, least(4, length(text)))) AS i,
          greatest(1, length(text) // 4) AS step
   FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
 ),
 f AS (
   SELECT doc_id AS media_id, i AS frame_idx,
@@ -662,7 +681,9 @@ def mm_chunk_bytes(t: dict[str, DataFrame]) -> DataFrame:
     bytes via DuckDB string ops (corpus is ASCII, bytes == chars) and
     must match chunk count, sizes, AND per-chunk md5.
     """
-    d = t["documents"]
+    # ASCII guard: the oracle chunks by CODE POINTS while this side
+    # chunks UTF-8 BYTES — gate both engines on octet_length == length.
+    d = t["documents"].filter(F.octet_length("text") == F.length("text"))
     payload = F.encode(F.col("text"), "utf-8")
     sized = d.select("doc_id", payload.alias("b")).withColumn(
         "n_bytes", F.octet_length("b")
@@ -696,6 +717,7 @@ WITH sized AS (
   SELECT doc_id, text, length(text) AS n_bytes,
          greatest(CAST(ceil(length(text) / {BYTE_CHUNK}.0) AS INT), 1) AS n_chunks
   FROM documents
+  WHERE octet_length(encode(text)) = length(text)
 )
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        CAST(length(substr(text, i * {BYTE_CHUNK} + 1, {BYTE_CHUNK})) AS INT)
@@ -1173,7 +1195,15 @@ def mm_scene_cut(t: dict[str, DataFrame]) -> DataFrame:
 
     from pypers_spark.multimodal import frame_lumas, media_table
 
-    lum = frame_lumas(media_table(t["documents"])).withColumn(
+    # ASCII guard (same predicate as wav_media_table): the oracle
+    # slices/weighs `text` by code points while the Spark side sums
+    # UTF-8 payload BYTES — the two only coincide when
+    # octet_length == length (all-ASCII), so gate both engines on it.
+    ascii_docs = t["documents"].filter(
+        (F.length("text") >= 1)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    lum = frame_lumas(media_table(ascii_docs)).withColumn(
         "luma_q", F.expr("(luma_sum * 1000) div frame_len")
     )
     w = Window.partitionBy("media_id").orderBy("frame_idx")
@@ -1206,6 +1236,7 @@ f AS (
   SELECT doc_id AS media_id, i AS frame_idx,
          substr(text, (i * step)::INT + 1, 32) AS frame
   FROM pos
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
 ),
 lum AS (
   SELECT media_id, frame_idx,

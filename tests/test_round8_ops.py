@@ -526,6 +526,9 @@ def test_knn_join_buckets_against_bruteforce(spark, sf_dir, tables):
             if o != pid
         ]
         if not cand:
+            # zero-candidate points land in bucket -1 too (r9 contract:
+            # the operator left-joins the point set back in)
+            expected[-1] += 1
             continue
         dists = sorted((hav(pid, o), o) for o in cand)[:KNN_K]
         dk = dists[-1][0]
@@ -667,11 +670,13 @@ def test_pipe_ann_matches_unpipelined_serving(spark, sf_dir, tables):
 
 def test_st_late_data_append_semantics(spark, sf_dir, tables):
     """Append-mode drain must emit exactly the closed windows (end <=
-    max_ts - 1h) populated only by recent-half rows: late stragglers
-    dropped, open windows held in state and never emitted."""
+    the driver-settled watermark, which the 37m17s watermark-driver row
+    keeps off hour alignment) populated only by recent-half rows: late
+    stragglers dropped, open windows held in state and never emitted."""
     import datetime
 
     from pypers_spark.operators.streaming_batch import (
+        LATE_DRIVER_OFFSET_S,
         LATE_SPLIT_DAYS,
         st_late_data,
     )
@@ -679,7 +684,11 @@ def test_st_late_data_append_semantics(spark, sf_dir, tables):
     ev = tables["events"]
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     cutoff = max_ts - datetime.timedelta(days=LATE_SPLIT_DAYS)
-    wm = max_ts - datetime.timedelta(hours=1)
+    wm = (
+        max_ts
+        + datetime.timedelta(seconds=LATE_DRIVER_OFFSET_S)
+        - datetime.timedelta(hours=1)
+    )
     expected = {}
     for r in ev.select("ts", "event_type").collect():
         ts = r["ts"]
