@@ -43,3 +43,25 @@ def test_every_registry_key_appears_in_survey():
     survey = (pathlib.Path(__file__).parent.parent / "SURVEY.md").read_text()
     missing = [k for k in REGISTRY if k not in survey]
     assert not missing, f"registry keys absent from SURVEY.md §2: {missing}"
+
+
+def test_operator_index_key_set_equals_registry():
+    """r8 verdict #1 (what's-wrong): docs/OPERATORS.md drifted to 288
+    keys when sk_cms_merge landed after the last index regen. Pin the
+    generated index's key SET (and its headline count) to the registry,
+    so a registry change without `python tools/gen_operator_index.py`
+    fails CI instead of shipping a stale user doc."""
+    from pypers_spark.operators import REGISTRY
+
+    index = (
+        pathlib.Path(__file__).parent.parent / "docs" / "OPERATORS.md"
+    ).read_text()
+    indexed = set(re.findall(r"^- \*\*`([a-z0-9_]+)`\*\*", index, re.M))
+    assert indexed == set(REGISTRY), (
+        f"docs/OPERATORS.md out of sync with the registry — run "
+        f"tools/gen_operator_index.py (missing: "
+        f"{sorted(set(REGISTRY) - indexed)}, stale: "
+        f"{sorted(indexed - set(REGISTRY))})"
+    )
+    m = re.search(r"All (\d+) registered", index)
+    assert m and int(m.group(1)) == len(REGISTRY)
