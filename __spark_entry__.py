@@ -41,7 +41,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL for each key in ``queries()``."""
-    from pypers_spark.operators import ORACLES
+    """DuckDB-equivalent ANSI SQL for each key in ``queries()``.
 
-    return dict(ORACLES)
+    Oracles that embed a literal parquet path (op_file_stats needs
+    ``read_parquet(..., filename=true)``, which the gate's
+    pre-registered views cannot express) are resolved here at call
+    time against ``SPARK_GRAFT_ORACLE_SF_DIR`` — defaulting to the
+    driver gate's sf0.01 directory, overridable by the full-sweep
+    tool for other scale factors.
+    """
+    import os
+
+    from pypers_spark.operators import DYNAMIC_ORACLES, ORACLES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    out = dict(ORACLES)
+    out.update({k: build(sf_dir) for k, build in DYNAMIC_ORACLES.items()})
+    return out

@@ -64,9 +64,14 @@ MODULES = (
 
 REGISTRY = {}
 ORACLES = {}
+# Oracles whose SQL embeds a literal path (e.g. read_parquet(filename=
+# true)) are registered as builders ``fn(sf_dir) -> sql`` here and
+# resolved by ``__spark_entry__.oracle_sql()`` at call time.
+DYNAMIC_ORACLES = {}
 for _m in MODULES:
     REGISTRY.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
+    DYNAMIC_ORACLES.update(getattr(_m, "DYNAMIC_ORACLES", {}))
 
 # Newest gate-risky entries whose home module sits outside the driver's
 # ~50-key sample window — hoisted to the front so their first driver run
@@ -78,6 +83,7 @@ _HOISTED = (
     # then tools/suggest_sample.py's never-driver-sampled backlog,
     # oldest coverage gaps first — so each driver round closes the
     # sampling gap instead of re-drawing verified keys.
+    "op_file_stats",
     "sk_cms_merge",
     "st_outer_join",
     "sk_hll_union",

@@ -455,9 +455,12 @@ def op_file_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-# NOT registry-gated: the DuckDB twin needs read_parquet(..., filename=true)
-# with a literal path, which the gate's pre-registered views cannot express —
-# tests/test_round4_ops.py value-matches it against DuckDB directly instead.
+# Registry-gated since r9 via DYNAMIC_ORACLES: the DuckDB twin needs
+# read_parquet(..., filename=true) with a literal path, which the gate's
+# pre-registered views cannot express as a static string — so this
+# builder is resolved at oracle_sql() CALL time with the gate's sf_dir
+# (the same interpolate-at-build-time pattern the PPM_* constants use).
+# tests/test_round4_ops.py additionally value-matches it directly.
 def duck_file_stats_sql(sf_dir: str) -> str:
     import os
 
@@ -476,6 +479,7 @@ GROUP BY 1 ORDER BY file_name
 
 
 QUERIES = {
+    "op_file_stats": op_file_stats,
     "op_date_spine": op_date_spine,
     "op_histogram": op_histogram,
     "op_string_agg": op_string_agg,
@@ -486,6 +490,13 @@ QUERIES = {
     "op_salted_agg": op_salted_agg,
     "op_salted_join": op_salted_join,
     "op_skew_report": op_skew_report,
+}
+
+# Oracles that need the gate's sf_dir interpolated at oracle_sql() call
+# time (literal paths the pre-registered views can't express):
+# key -> builder(sf_dir) -> SQL string.
+DYNAMIC_ORACLES = {
+    "op_file_stats": duck_file_stats_sql,
 }
 
 ORACLES = {
