@@ -61,6 +61,7 @@ class Batch:
         self.tasks: Dict[pathlib.Path, Task] = {}
         self.task_cls = task_cls
         self._running: Optional[asyncio.Task] = None
+        self._running_set: set = set()
         self._cancelled = False
 
     @property
@@ -124,6 +125,7 @@ class Batch:
         contexts: Optional[List[RunContext]] = None,
         status=None,
         fail_fast: bool = True,
+        max_concurrency: int = 1,
     ) -> bool:
         """Run the pending tasks (deterministic path order).
 
@@ -141,10 +143,27 @@ class Batch:
         a failed task are skipped (recorded as ``skipped`` status
         entries) — they would pick up the failed parent's missing or
         stale outputs and cascade. Cancellation always stops the batch.
+
+        ``max_concurrency > 1`` runs up to that many INDEPENDENT tasks
+        at once against the shared SparkSession — the Spark-native
+        answer to the reference's one-OS-process-per-task parallelism
+        (reference batch.py:132): each task's jobs are submitted from
+        its own thread under its own FAIR scheduler pool
+        (``spark.scheduler.pool`` local property), so the cluster
+        scheduler time-slices executors between concurrent tasks
+        instead of the OS time-slicing processes. Ancestor/descendant
+        tasks are still serialized (a child must observe its parent's
+        outputs), each task keeps its own derived status file, and
+        fail_fast stops NEW tasks after the first failure (in-flight
+        tasks drain).
         """
         self._cancelled = False
         contexts = self.pending if contexts is None else contexts
         contexts = sorted(contexts, key=lambda rc: rc.task.path.resolve())
+        if max_concurrency > 1:
+            return await self._run_concurrent(
+                contexts, status, fail_fast, max_concurrency
+            )
         n_failed = 0
         failed_paths: list = []
         for rc_idx, rc in enumerate(contexts):
@@ -215,13 +234,140 @@ class Batch:
                 self._running = None
         return n_failed == 0
 
+    async def _run_concurrent(
+        self,
+        contexts: List[RunContext],
+        status,
+        fail_fast: bool,
+        max_concurrency: int,
+    ) -> bool:
+        """Scheduler-shared parallel run (see ``run``'s docstring).
+
+        Every context gets a coroutine; a semaphore bounds how many hold
+        a run slot. Before taking a slot a task awaits the completion
+        events of its in-run ancestors (path-prefix relation), so
+        parent->child ordering is preserved without a global barrier,
+        and failure of an ancestor converts the descendant into the same
+        ``skipped`` status entry the sequential path records.
+        """
+        sem = asyncio.Semaphore(max_concurrency)
+        paths = [rc.task.path.resolve() for rc in contexts]
+        done = {p: asyncio.Event() for p in paths}
+        results: Dict[pathlib.Path, bool] = {}
+        state = {"failed": False}
+
+        async def run_one(rc_idx: int, rc: RunContext) -> None:
+            rc_path = rc.task.path.resolve()
+            ok = False
+            try:
+                ancestors = [p for p in paths if p in rc_path.parents]
+                for p in ancestors:
+                    await done[p].wait()
+                failed_anc = next(
+                    (p for p in ancestors if results.get(p) is False), None
+                )
+                if failed_anc is not None:
+                    status_mod.update(
+                        status,
+                        info="skipped",
+                        task=str(rc_path),
+                        reason=f"ancestor task failed: {failed_anc}",
+                    )
+                    return
+                async with sem:
+                    if self._cancelled or (state["failed"] and fail_fast):
+                        status_mod.update(
+                            status,
+                            info="skipped",
+                            task=str(rc_path),
+                            reason="batch stopped",
+                        )
+                        return
+                    task_status = status_mod.derive(status)
+                    status_mod.update(
+                        task_status,
+                        info="enter",
+                        task=str(rc_path),
+                        step=rc_idx,
+                        step_count=len(contexts),
+                    )
+
+                    def _run_in_thread(rc=rc, rc_idx=rc_idx, task_status=task_status):
+                        from pypers_spark.session import current_session
+
+                        spark = current_session()
+                        try:
+                            # Per-task FAIR pool: concurrent tasks'
+                            # jobs share executors by scheduler
+                            # weight instead of queueing FIFO behind
+                            # each other. Thread-pool threads are
+                            # reused, so set (never inherit) both
+                            # properties at entry and clear at exit.
+                            spark.sparkContext.setLocalProperty(
+                                "spark.scheduler.pool", f"batch-{rc_idx}"
+                            )
+                            spark.sparkContext.setLocalProperty(
+                                "spark.jobGroup.id", str(rc.task.path)
+                            )
+                        except Exception:
+                            pass
+                        try:
+                            return rc.run(status=task_status)
+                        finally:
+                            try:
+                                spark.sparkContext.setLocalProperty(
+                                    "spark.scheduler.pool", None
+                                )
+                            except Exception:
+                                pass
+
+                    fut = asyncio.ensure_future(asyncio.to_thread(_run_in_thread))
+                    self._running_set.add(fut)
+                    try:
+                        await fut
+                    finally:
+                        self._running_set.discard(fut)
+                    ok = True
+            except asyncio.CancelledError:
+                status_mod.update(
+                    status,
+                    info="interrupted",
+                    task=str(rc_path),
+                    traceback=traceback.format_exc(),
+                    stage=None,
+                )
+            except Exception as exc:
+                status_mod.update(
+                    status,
+                    info="error",
+                    task=str(rc_path),
+                    traceback=traceback.format_exc(),
+                    stage=exc.stage.id if isinstance(exc, StageError) else None,
+                )
+            finally:
+                results[rc_path] = ok
+                if not ok:
+                    state["failed"] = True
+                done[rc_path].set()
+
+        futures = [
+            asyncio.ensure_future(run_one(i, rc)) for i, rc in enumerate(contexts)
+        ]
+        try:
+            await asyncio.gather(*futures, return_exceptions=True)
+        finally:
+            self._running_set.clear()
+        return not self._cancelled and all(results.get(p, False) for p in paths)
+
     async def cancel(self) -> None:
-        """Cancel the currently running task (if any)."""
+        """Cancel the currently running task(s) (if any)."""
         self._cancelled = True
-        if self._running is not None:
+        pending = [f for f in ([self._running] + list(self._running_set)) if f]
+        if pending:
             from pyspark.sql import SparkSession
 
             spark = SparkSession.getActiveSession()
             if spark is not None:
                 spark.sparkContext.cancelAllJobs()
-            self._running.cancel()
+            for f in pending:
+                f.cancel()

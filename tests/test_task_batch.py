@@ -472,3 +472,149 @@ def test_batch_cancel_interrupts_run(tmp_path, sf_dir):
     assert dt < 3.0  # did not wait out the 5 s stage
     flat = json.dumps(data)
     assert "interrupted" in flat
+
+
+class SparkJobStage(Stage):
+    """A stage that holds the wall for ~sleep_s AND submits a real Spark
+    job, so a concurrent batch exercises multi-threaded job submission
+    under per-task FAIR pools, not just Python-side sleeps."""
+
+    outputs = ("out",)
+
+    def process(self, pipeline, config, status=None, **inputs):
+        import time as _time
+
+        from pypers_spark.session import current_session
+
+        spark = current_session()
+        t_end = _time.time() + config.get("sleep_s", 1.0)
+        n = 0
+        while _time.time() < t_end:
+            n = spark.range(10_000).count()  # one small job per lap
+            _time.sleep(0.05)
+        return {"out": spark.range(n)}
+
+
+def test_batch_concurrent_run_wall_and_status_isolation(tmp_path, sf_dir, spark):
+    """SURVEY §2.A A13 / r8 verdict #3: Batch-level parallelism under ONE
+    SparkSession. Three independent tasks, each holding ~1.2 s of wall
+    while submitting Spark jobs, run through Batch.run(max_concurrency=3)
+    with per-task FAIR pools. The gate: wall ≈ max(task walls), NOT the
+    sum (the reference gets this with one OS process per task —
+    reference batch.py:132; the Spark answer is scheduler sharing), and
+    each task's status entries land in its OWN derived status file."""
+    import time
+
+    from pypers_spark import status as status_mod
+
+    sleep_s = 1.2
+    for phase in ("seq", "conc"):
+        for name in ("t_a", "t_b", "t_c"):
+            write_spec(
+                tmp_path / phase / name,
+                {
+                    "runnable": True,
+                    "input_ids": [1],
+                    "pipeline": ["tests.test_task_batch.SparkJobStage"],
+                    "config": {"spark-job-stage": {"sleep_s": sleep_s}},
+                },
+            )
+
+    # Sequential baseline first (also warms the Spark job machinery so
+    # the concurrent measurement isn't dominated by first-job setup).
+    seq_batch = Batch()
+    seq_batch.load(tmp_path / "seq")
+    assert len(seq_batch.pending) == 3
+    with status_mod.create() as status:
+        t0 = time.time()
+        assert asyncio.run(seq_batch.run(status=status))
+        seq_wall = time.time() - t0
+    assert seq_wall >= 3 * sleep_s  # sanity: sequential pays the sum
+
+    batch = Batch()
+    batch.load(tmp_path / "conc")
+    assert len(batch.pending) == 3
+    import pathlib as _pl
+
+    with status_mod.create() as status:
+        t0 = time.time()
+        ok = asyncio.run(batch.run(status=status, max_concurrency=3))
+        wall = time.time() - t0
+        raw = json.loads(status.filepath.read_text())
+        entries = _flat_status(raw)
+        expand_contents = {
+            e["expand"]: _flat_status(json.loads(_pl.Path(e["expand"]).read_text()))
+            for e in raw
+            if isinstance(e, dict) and "expand" in e
+        }
+    assert ok
+    # Concurrency gate: wall ≈ max(task walls), not the sum. The
+    # sequential run of the SAME three tasks is the baseline; demand
+    # the concurrent wall beats it by well over one whole task.
+    assert wall < 0.6 * seq_wall, (
+        f"concurrent wall {wall:.2f}s vs sequential {seq_wall:.2f}s — "
+        "tasks did not overlap"
+    )
+    # All three tasks entered and none was skipped or errored.
+    entered = {e["task"] for e in entries if isinstance(e, dict) and e.get("info") == "enter"}
+    assert len(entered) == 3
+    assert not any(
+        isinstance(e, dict) and e.get("info") in ("error", "skipped", "interrupted")
+        for e in entries
+    )
+    # Status isolation: each task's 'enter' lives in its own derived
+    # (expand) status file — the parent file holds one expand pointer
+    # per task, and no derived file mentions two different task paths.
+    assert len(expand_contents) == 3
+    per_file_tasks = []
+    for f, sub in expand_contents.items():
+        tasks = {e["task"] for e in sub if isinstance(e, dict) and "task" in e}
+        assert len(tasks) == 1, f"status file {f} interleaves tasks: {tasks}"
+        per_file_tasks.append(next(iter(tasks)))
+    assert len(set(per_file_tasks)) == 3
+
+
+def test_batch_concurrent_ancestor_ordering_and_skip(tmp_path, sf_dir, spark):
+    """Concurrent mode must still serialize parent -> child and convert a
+    failed ancestor's descendants into 'skipped' entries, like the
+    sequential fail_fast=False path."""
+    from pypers_spark import status as status_mod
+
+    write_spec(
+        tmp_path / "bad",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": "/nonexistent/nowhere.parquet"}},
+        },
+    )
+    write_spec(
+        tmp_path / "bad" / "child",
+        {"config": {"scan-docs": {"path": f"{sf_dir}/documents.parquet"}}},
+    )
+    write_spec(
+        tmp_path / "ok",
+        {
+            "runnable": True,
+            "input_ids": [1],
+            "pipeline": ["tests.test_task_batch.ScanDocs"],
+            "config": {"scan-docs": {"path": f"{sf_dir}/documents.parquet"}},
+        },
+    )
+    batch = Batch()
+    batch.load(tmp_path)
+    with status_mod.create() as status:
+        ok = asyncio.run(
+            batch.run(status=status, fail_fast=False, max_concurrency=3)
+        )
+        entries = _flat_status(json.loads(status.filepath.read_text()))
+    assert not ok
+    skipped = [
+        e for e in entries if isinstance(e, dict) and e.get("info") == "skipped"
+    ]
+    assert any("child" in e["task"] for e in skipped)
+    assert any(
+        isinstance(e, dict) and e.get("info") == "enter" and "ok" in e["task"]
+        for e in entries
+    )
