@@ -69,10 +69,17 @@ def exact_percentiles(
     """
     group_cols = list(group_cols)
     value = F.col(value_col)
-    counts = (
-        df.filter(value.isNotNull())
-        .groupBy(*group_cols, value_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
+    filtered = df.filter(value.isNotNull())
+    if group_cols:
+        # Pre-cluster on the group keys: HashPartitioning(group_cols)
+        # satisfies the groupBy(group_cols, value)'s ClusteredDistribution
+        # AND the windows' partitionBy(group_cols), so the whole
+        # percentile plan runs on ONE exchange instead of two. The
+        # window stage already serializes each group into one partition,
+        # so this costs no parallelism the plan had anywhere to spend.
+        filtered = filtered.repartition(*group_cols)
+    counts = filtered.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
     )
     w_cum = Window.partitionBy(*group_cols).orderBy(value_col)
     w_all = Window.partitionBy(*group_cols)
