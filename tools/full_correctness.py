@@ -61,22 +61,37 @@ def main() -> None:
             "err": None,
             # wall of the full Spark-vs-oracle compare for this key (a
             # committed per-key cost record for every registry key, not
-            # just the bench headline set — r7 verdict item #4)
+            # just the bench headline set — r7 verdict item #4); split
+            # into the two engines since r9 (r8 verdict item #6) so the
+            # heaviest rows read as what they are — e.g. dd_soft_weights'
+            # 411 s was almost entirely its recursive-CTE DuckDB oracle,
+            # not Spark cost.
             "wall_sec": None,
+            "spark_wall_sec": None,
+            "oracle_wall_sec": None,
         }
         tk = time.perf_counter()
         try:
             sdf = qs[k](spark, sf_dir)
             if k not in osql:
+                ts = time.perf_counter()
                 n = sdf.count()
+                row["spark_wall_sec"] = round(time.perf_counter() - ts, 2)
                 row.update(
                     rows_match=n >= 0, schema_match=True, hash_match=None,
                     spark_rows=n, err="no-oracle",
                 )
             else:
+                to = time.perf_counter()
                 ddf = con.sql(osql[k]).df()
+                row["oracle_wall_sec"] = round(time.perf_counter() - to, 2)
+                ts = time.perf_counter()
                 probs = compare(sdf, ddf)
                 sp_n = qs[k](spark, sf_dir).count()
+                # compare() collects the Spark result + the count pass;
+                # canonicalization is pandas-side but small next to the
+                # engine walls, so this is the honest Spark-side cost.
+                row["spark_wall_sec"] = round(time.perf_counter() - ts, 2)
                 row.update(
                     spark_rows=sp_n,
                     oracle_rows=len(ddf),
