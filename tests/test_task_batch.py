@@ -529,7 +529,11 @@ def test_batch_concurrent_run_wall_and_status_isolation(tmp_path, sf_dir, spark)
         t0 = time.time()
         assert asyncio.run(seq_batch.run(status=status))
         seq_wall = time.time() - t0
-    assert seq_wall >= 3 * sleep_s  # sanity: sequential pays the sum
+    # Sanity: sequential pays (nearly) the sum, not the max. The bound
+    # is 2x, not 3x, because the stage's sleep loop can underrun its
+    # target by a lap and wall-clock reads drift under suite load —
+    # the proof of concurrency is the ratio gate below, not this check.
+    assert seq_wall >= 2 * sleep_s
 
     batch = Batch()
     batch.load(tmp_path / "conc")
