@@ -40,23 +40,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in REGISTRY.items()}
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each key in ``queries()``.
 
     Oracles that embed a literal parquet path (op_file_stats needs
     ``read_parquet(..., filename=true)``, which the gate's
     pre-registered views cannot express) are resolved here at call
-    time against ``SPARK_GRAFT_ORACLE_SF_DIR`` — defaulting to the
-    driver gate's sf0.01 directory, overridable by the full-sweep
-    tool for other scale factors.
+    time. Pass ``sf_dir`` explicitly (the comparator tools do) so the
+    dynamic oracles are guaranteed to read the SAME tables the Spark
+    side ran against; the ``SPARK_GRAFT_ORACLE_SF_DIR`` env var is the
+    fallback for zero-arg callers (the driver gate), defaulting to the
+    gate's sf0.01 directory.
     """
     import os
 
     from pypers_spark.operators import DYNAMIC_ORACLES, ORACLES
 
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
     out = dict(ORACLES)
     out.update({k: build(sf_dir) for k, build in DYNAMIC_ORACLES.items()})
     return out

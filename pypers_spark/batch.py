@@ -205,7 +205,18 @@ class Batch:
                         )
                     except Exception:
                         pass
-                    return rc.run(status=task_status)
+                    try:
+                        return rc.run(status=task_status)
+                    finally:
+                        # to_thread reuses worker threads — clear the
+                        # attribution so later work from this thread
+                        # doesn't inherit a stale job group.
+                        try:
+                            spark.sparkContext.setLocalProperty(
+                                "spark.jobGroup.id", None
+                            )
+                        except Exception:
+                            pass
 
                 self._running = asyncio.ensure_future(asyncio.to_thread(_run_in_thread))
                 await self._running
@@ -314,12 +325,21 @@ class Batch:
                         try:
                             return rc.run(status=task_status)
                         finally:
-                            try:
-                                spark.sparkContext.setLocalProperty(
-                                    "spark.scheduler.pool", None
-                                )
-                            except Exception:
-                                pass
+                            # Clear BOTH properties: to_thread reuses
+                            # worker threads, and a stale jobGroup.id
+                            # would mis-attribute (and expose to
+                            # collateral cancelJobGroup) later work
+                            # submitted from the same thread.
+                            for prop in (
+                                "spark.scheduler.pool",
+                                "spark.jobGroup.id",
+                            ):
+                                try:
+                                    spark.sparkContext.setLocalProperty(
+                                        prop, None
+                                    )
+                                except Exception:
+                                    pass
 
                     fut = asyncio.ensure_future(asyncio.to_thread(_run_in_thread))
                     self._running_set.add(fut)

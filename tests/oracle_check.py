@@ -69,14 +69,13 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
 
 
 def check_query(spark, con, name: str, sf_dir: str) -> list[str]:
-    import os
-
     import __spark_entry__ as e
 
     q = e.queries()[name]
-    # dynamic oracles (op_file_stats) interpolate the gate's sf_dir
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    sql = e.oracle_sql().get(name)
+    # dynamic oracles (op_file_stats) interpolate the gate's sf_dir —
+    # passed explicitly so the oracle is pinned to the SAME tables the
+    # Spark side reads (no process-global env mutation).
+    sql = e.oracle_sql(sf_dir).get(name)
     if sql is None:
         df = q(spark, sf_dir)
         n = df.count()

@@ -474,6 +474,14 @@ def test_batch_cancel_interrupts_run(tmp_path, sf_dir):
     assert "interrupted" in flat
 
 
+# Enter/exit wall intervals recorded by SparkJobStage invocations, so
+# the concurrency test can gate on OVERLAP EVIDENCE (two task intervals
+# intersecting) instead of wall-clock ratios alone, which flake under
+# CI load (r9 advice). Module-global is fine: batch threads share this
+# process.
+SPARK_JOB_INTERVALS: list[tuple[float, float]] = []
+
+
 class SparkJobStage(Stage):
     """A stage that holds the wall for ~sleep_s AND submits a real Spark
     job, so a concurrent batch exercises multi-threaded job submission
@@ -487,11 +495,13 @@ class SparkJobStage(Stage):
         from pypers_spark.session import current_session
 
         spark = current_session()
-        t_end = _time.time() + config.get("sleep_s", 1.0)
+        t_enter = _time.time()
+        t_end = t_enter + config.get("sleep_s", 1.0)
         n = 0
         while _time.time() < t_end:
             n = spark.range(10_000).count()  # one small job per lap
             _time.sleep(0.05)
+        SPARK_JOB_INTERVALS.append((t_enter, _time.time()))
         return {"out": spark.range(n)}
 
 
@@ -540,6 +550,7 @@ def test_batch_concurrent_run_wall_and_status_isolation(tmp_path, sf_dir, spark)
     assert len(batch.pending) == 3
     import pathlib as _pl
 
+    SPARK_JOB_INTERVALS.clear()
     with status_mod.create() as status:
         t0 = time.time()
         ok = asyncio.run(batch.run(status=status, max_concurrency=3))
@@ -552,10 +563,23 @@ def test_batch_concurrent_run_wall_and_status_isolation(tmp_path, sf_dir, spark)
             if isinstance(e, dict) and "expand" in e
         }
     assert ok
-    # Concurrency gate: wall ≈ max(task walls), not the sum. The
-    # sequential run of the SAME three tasks is the baseline; demand
-    # the concurrent wall beats it by well over one whole task.
-    assert wall < 0.6 * seq_wall, (
+    # PRIMARY concurrency gate (r9 advice): direct overlap evidence.
+    # Each stage recorded its (enter, exit) wall interval; at some
+    # instant at least two of the three task intervals must be active
+    # simultaneously. This holds whenever tasks actually overlapped,
+    # however badly GC/scheduler stalls inflate the total wall.
+    intervals = list(SPARK_JOB_INTERVALS)
+    assert len(intervals) == 3
+    peak = max(
+        sum(1 for a, b in intervals if a <= t < b)
+        for t, _ in intervals
+    )
+    assert peak >= 2, f"no two task intervals overlap: {intervals}"
+    # SECONDARY (looser) wall bound: concurrent wall must still beat
+    # the sequential baseline by a visible margin — 0.75x, not the
+    # old 0.6x, so a loaded box can't flake a genuinely-overlapping
+    # run (the overlap gate above is the real proof).
+    assert wall < 0.75 * seq_wall, (
         f"concurrent wall {wall:.2f}s vs sequential {seq_wall:.2f}s — "
         "tasks did not overlap"
     )

@@ -40,9 +40,10 @@ def main() -> None:
     spark = get_session("pypers_spark-full-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
-    # dynamic oracles (op_file_stats) interpolate the sweep's sf_dir
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    qs, osql = e.queries(), e.oracle_sql()
+    # dynamic oracles (op_file_stats) interpolate the sweep's sf_dir —
+    # passed explicitly so the oracle reads the sweep's own tables even
+    # if the env var points elsewhere.
+    qs, osql = e.queries(), e.oracle_sql(sf_dir)
     if only:
         unknown = only - set(qs)
         if unknown:
