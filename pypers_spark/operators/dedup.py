@@ -1196,40 +1196,53 @@ def dd_lsh_curve(t: dict[str, DataFrame]) -> DataFrame:
     τ; this is the a-priori half — where each config's collision curve
     crosses its τ knee (s* ≈ (1/b)^(1/r): (4,4) → 0.71, (8,2) → 0.35).
     Powers are integer-exponent multiply chains (no pow(), which isn't
-    bit-reproducible across libms); the whole table is computed from a
-    literal explode — zero reads, zero shuffles, 76 rows at any corpus
-    size. Takes `t` for registry-signature uniformity only.
+    bit-reproducible across libms). The chains are evaluated DRIVER-side
+    in Python — IEEE-754 binary64 left-fold multiplies, bit-identical to
+    the DuckDB oracle's — and shipped as one 76-row literal DataFrame;
+    only the final half-up rounding stays in Spark so both engines round
+    through their own (matched) ROUND. The previous form built the
+    chains as a nested Column expression: ~2.4 s of py4j plan
+    construction plus ~3.5 s of whole-stage-codegen compile for a
+    closed-form, input-independent table (r9 verdict item #4). Takes
+    `t` for registry-signature uniformity only.
     """
     from pypers_spark.session import get_session
 
+    def py_pow_chain(x: float, n: int) -> float:
+        out = x
+        for _ in range(n - 1):
+            out = out * x
+        return out
+
     spark = get_session()
     s_vals = [round(0.05 * (i + 1), 2) for i in range(LSH_CURVE_STEPS)]
-    rows = spark.range(1).select(
-        F.explode(F.array(*[F.lit(float(s)) for s in s_vals])).alias("s")
-    )
-    grid = rows.select(
-        "s",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"))
-                    for b, r in LSH_CONFIGS
-                ]
-            )
-        ).alias("cfg"),
-    ).select("s", "cfg.bands", "cfg.rows_per_band")
-    p = None
-    for b, r in LSH_CONFIGS:
-        term = 1 - _pow_chain(1 - _pow_chain(F.col("s"), r), b)
-        p = (
-            F.when((F.col("bands") == b) & (F.col("rows_per_band") == r), term)
-            if p is None
-            else p.when((F.col("bands") == b) & (F.col("rows_per_band") == r), term)
+    # Literal inline(array(...)) keeps the 76 rows entirely JVM-side (a
+    # createDataFrame from Python tuples would route through pickled
+    # RDD slices — one Python-worker roundtrip per slice) AND costs ONE
+    # py4j call: building the same grid as 76 F.struct/F.lit trees paid
+    # ~0.8 s of driver-side py4j roundtrips per invocation. Doubles are
+    # shipped as repr() strings CAST to DOUBLE — shortest-roundtrip
+    # decimal, so the JVM parses back the exact same binary64.
+    structs = ", ".join(
+        "named_struct('bands', {b}, 'rows_per_band', {r}, "
+        "'s', CAST('{s!r}' AS DOUBLE), 'p_raw', CAST('{p!r}' AS DOUBLE))".format(
+            b=b,
+            r=r,
+            s=float(s),
+            p=1 - py_pow_chain(1 - py_pow_chain(float(s), r), b),
         )
+        for s in s_vals
+        for b, r in LSH_CONFIGS
+    )
+    # range(..., numPartitions=1): the whole table lives in ONE
+    # partition, so sortWithinPartitions IS the global order and the
+    # orderBy range-exchange (sampling job + shuffle — ~0.8 s of pure
+    # job tax for 76 rows) disappears.
+    grid = spark.range(0, 1, 1, 1).selectExpr(f"inline(array({structs}))")
     return grid.select(
         "bands", "rows_per_band", rnd(F.col("s"), 2).alias("s"),
-        rnd(p, 6).alias("p_candidate"),
-    ).orderBy("bands", "s")
+        rnd(F.col("p_raw"), 6).alias("p_candidate"),
+    ).sortWithinPartitions("bands", "s")
 
 
 def _duck_lsh_curve_sql() -> str:
