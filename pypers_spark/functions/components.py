@@ -30,17 +30,22 @@ Invariants that make the jump sound:
   node holds its component min), giving a one-scalar convergence test:
   the only ``collect()`` in the loop is that aggregated scalar.
 
-Per round: two shuffles (the neighbor-min groupBy and the self-join
-jump) instead of the plain loop's one — paid back exponentially in
-round count. At 100 TB each round's shuffles are keyed on node id and
-the persisted label table is (node, lbl) int64 pairs only.
+Per round: the neighbor-min groupBy plus the self-join jump — more
+shuffles than the plain loop's one, paid back exponentially in round
+count. At 100 TB each round's shuffles are keyed on node id and the
+persisted label table is (node, lbl) int64 pairs only.
 
-Lineage is truncated every round via
-:func:`pypers_spark.functions.checkpoint.iter_checkpoint`: the label
-table is referenced FOUR times per round (twice building the hop,
-twice in the jump self-join), so without truncation the logical plan
-tree quadruples per round and Catalyst analysis time goes exponential
-(caching alone does not shrink the tree the analyzer must walk). On
+Lineage is truncated ONCE per round via
+:func:`pypers_spark.functions.checkpoint.iter_checkpoint`, on the
+round's final (post-jump) label table: the label table is referenced
+four times inside a round (twice building the hop, and the jump
+self-join doubles that), so without truncation the logical plan tree
+quadruples per round and Catalyst analysis time goes exponential
+(caching alone does not shrink the tree the analyzer must walk). With
+truncation, the per-round tree is a constant-size four-leaf plan; the
+intermediate hop is deliberately NOT materialized — its duplicate
+evaluation inside the jump costs one extra node-keyed exchange,
+cheaper than a second per-round materialization barrier. On
 the local rig that is an eager ``localCheckpoint``; with
 ``$SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR`` set (a real cluster's HDFS/S3
 dir) it becomes reliable ``checkpoint()``, so a lost executor
@@ -107,7 +112,15 @@ def min_label_components(
         # Pointer jump: lbl ← lbl(lbl). Every lbl value is a node id in
         # the table (see module invariants), so the left join always
         # matches; coalesce guards the isolated-node degenerate case.
-        hop = iter_checkpoint(hop)
+        # The hop is NOT checkpointed mid-round: the jump's self-join
+        # references the hop subtree twice, but `labels` was truncated
+        # at the end of the previous round, so the per-round plan stays
+        # a constant-size tree (4 labels leaves) — and one
+        # materialization per round instead of two cut the sf0.1
+        # organic-graph loop from ~9.3 s to ~6 s (the saved
+        # localCheckpoint job was pure scheduling tax; the duplicated
+        # hop shuffles are tiny next to it, and at cluster scale they
+        # trade one barrier for one extra node-keyed exchange).
         parent = hop.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )

@@ -88,7 +88,11 @@ def main() -> None:
                 row["oracle_wall_sec"] = round(time.perf_counter() - to, 2)
                 ts = time.perf_counter()
                 probs = compare(sdf, ddf)
-                sp_n = qs[k](spark, sf_dir).count()
+                # Count the ALREADY-BUILT DataFrame: rebuilding via
+                # qs[k]() would re-run eager iterative operators (the
+                # connected-components loop executes at build time) a
+                # second time and double their recorded wall.
+                sp_n = sdf.count()
                 # compare() collects the Spark result + the count pass;
                 # canonicalization is pandas-side but small next to the
                 # engine walls, so this is the honest Spark-side cost.
