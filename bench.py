@@ -263,16 +263,45 @@ def main() -> None:
     # per-run values and the max-min spread are emitted for audit so
     # round-over-round comparisons can discount noisy timings.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_start = round(os.getloadavg()[0], 2)
     runs: dict[str, list[float]] = {name: [] for name in all_names}
+    loads: dict[str, list[float]] = {name: [] for name in all_names}
     for _ in range(n_runs):
         for name in all_names:
             df = qs[name](spark, SF_DIR)
+            loads[name].append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
+
+    # Contention defense (r9 verdict item #3): a key whose best-of-N
+    # spread exceeds 50% of its median was measured under interference
+    # (the r9 adjudication found single keys inflated 2-3x by box
+    # load) — give it up to RETRY extra runs so the min has a fair shot
+    # at a quiet lap. Retried keys and their extra samples stay in the
+    # detail file so the audit trail shows which mins came from retries.
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    retried: dict[str, int] = {}
+    for name in all_names:
+        for _ in range(max_retries):
+            med = _median(runs[name])
+            if med <= 0 or (max(runs[name]) - min(runs[name])) / med <= 0.5:
+                break
+            df = qs[name](spark, SF_DIR)
+            loads[name].append(round(os.getloadavg()[0], 2))
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+            retried[name] = retried.get(name, 0) + 1
+
     times = {name: min(runs[name]) for name in HEADLINE}
     cal_times = {name: min(runs[name]) for name in CALIBRATION}
     spread = {n: round(max(rs) - min(rs), 3) for n, rs in runs.items()}
+    load_end = round(os.getloadavg()[0], 2)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
     # Full per-query detail goes to BENCH_DETAILS.json; stdout gets a
@@ -281,6 +310,13 @@ def main() -> None:
     # so BENCH_r04.json recorded "parsed": null and the round's perf
     # number was only human-readable.  The compact line below stays well
     # under any tail-capture window.
+    # The 32-cpu box: load_avg above ~8 means other work is stealing
+    # enough cores that aggregate walls inflate measurably (r9: 125.2s
+    # at load 10.9 vs 108.5s at 9.1 on the same key set, a uniform
+    # 1.14x per-key shift). The flag makes a loaded run self-describing
+    # instead of needing round-over-round decomposition by hand.
+    load_flag_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_FLAG", "8"))
+    contended = max(load_start, load_end) > load_flag_threshold
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
@@ -288,7 +324,12 @@ def main() -> None:
         "queries": times,
         "runs": {n: runs[n] for n in HEADLINE},
         "spread": {n: spread[n] for n in HEADLINE},
-        "load_avg": round(os.getloadavg()[0], 2),
+        "load_avg": load_end,
+        "load_avg_start": load_start,
+        "load_avg_per_key": loads,
+        "contended": contended,
+        "load_flag_threshold": load_flag_threshold,
+        "retried_keys": retried,
         "sf": sf,
         # Documented-demo calibration variants, timed OUTSIDE the
         # headline aggregate; production_twin maps each to its gated
@@ -360,6 +401,10 @@ def main() -> None:
         "calibration_total_sec": detail["calibration"]["total_sec"],
         "details": "BENCH_DETAILS.json",
         "sf": sf,
+        "load_avg_start": load_start,
+        "load_avg_end": load_end,
+        "contended": contended,
+        "n_retried": len(retried),
     }
     for k in ("baseline_total_sec", "vs_baseline"):
         if k in detail:
