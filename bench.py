@@ -157,6 +157,8 @@ HEADLINE = (
     # and the compressed-format (GIF/LZW) decode gate
     "dd_minhash_lsh_prod",
     "mm_gif_meta",
+    # round-10: the PNG (DEFLATE + scanline filters) decode gate
+    "mm_png_meta",
     # round-6 analytics wave: survival/AUC/Gini/streak/changepoint
     # measurement layer + bitmap exact-distinct + entropy
     "ev_survival_km",

@@ -18,6 +18,11 @@ from pypers_spark.multimodal import (
     GIF_N_COLORS,
     GIF_W_BASE,
     GIF_W_MOD,
+    PNG_H_BASE,
+    PNG_H_MOD,
+    PNG_N_COLORS,
+    PNG_W_BASE,
+    PNG_W_MOD,
     PPM_H_BASE,
     PPM_H_MOD,
     PPM_W_BASE,
@@ -372,6 +377,63 @@ FROM ppm ORDER BY media_id
 """
 
 
+def mm_png_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """Multimodal decode of the SECOND compressed format: deterministic
+    paletted PNGs are built per document (real zlib DEFLATE plus
+    per-row adaptive scanline filters —
+    :func:`pypers_spark.multimodal.png_media_table`), then decoded
+    through the same ``set_decoder`` injection point as mm_decode_meta,
+    with the real PNG reader (chunk walk + CRC32 verification + inflate
+    + filter reconstruction, :func:`pypers_spark.multimodal.png_decoder`)
+    as the fallback.
+
+    Each row's filter type is (doc_id + row) % 5, so every fixture
+    image exercises ALL FIVE PNG filters (None/Sub/Up/Average/Paeth);
+    content_sha digests the RECONSTRUCTED palette indices, which the
+    oracle recomputes from the doc_id pixel rule with no zlib and no
+    filter code — the value match proves the DEFLATE stream inflated
+    and the prediction chain (left/up/up-left state across rows)
+    reconstructed bit-exactly.
+    """
+    from pypers_spark.multimodal import (
+        decode_media,
+        png_decoder,
+        png_media_table,
+        registered_decoder,
+    )
+
+    decoded = decode_media(
+        png_media_table(t["documents"]),
+        decoder=registered_decoder() or png_decoder,
+    )
+    return decoded.select(
+        "media_id", "width", "height", "n_channels", "content_sha"
+    ).orderBy("media_id")
+
+
+# Oracle rebuilds the EXPECTED DECODE OUTPUT from the PNG_* doc_id
+# arithmetic: dimensions, and the pixel digest as md5 over the digit
+# string of (7*doc_id + 3*i) % PNG_N_COLORS — the exact raw rows that
+# png_media_table filters+deflates and png_decoder must recover.
+ORACLE_MM_PNG = f"""
+WITH m AS (
+  SELECT doc_id, {PNG_W_BASE} + doc_id % {PNG_W_MOD} AS w,
+         {PNG_H_BASE} + doc_id % {PNG_H_MOD} AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         string_agg(CAST((7 * doc_id + 3 * i) % {PNG_N_COLORS} AS VARCHAR), ''
+                    ORDER BY i) AS s
+  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM m)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+       3::INT AS n_channels, md5(s) AS content_sha
+FROM px ORDER BY media_id
+"""
+
+
 def mm_resize_meta(t: dict[str, DataFrame]) -> DataFrame:
     """Multimodal resize over REAL pixels: decode the in-plan P6 PPM
     payloads, 2x2 box-filter downsample (floor-mean per channel, floor
@@ -572,6 +634,7 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_meta": mm_decode_meta,
     "mm_gif_meta": mm_gif_meta,
+    "mm_png_meta": mm_png_meta,
     "mm_features_hist": mm_features_hist,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_meta": mm_resize_meta,
@@ -587,6 +650,7 @@ ORACLES = {
     "mm_binary_meta": ORACLE_MM_BINARY,
     "mm_decode_meta": ORACLE_MM_DECODE,
     "mm_gif_meta": ORACLE_MM_GIF,
+    "mm_png_meta": ORACLE_MM_PNG,
     "mm_features_hist": ORACLE_MM_FEATURES,
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "mm_resize_meta": ORACLE_MM_RESIZE,
