@@ -77,94 +77,89 @@ for _m in MODULES:
 # ~50-key sample window — hoisted to the front so their first driver run
 # is value-checked, not just judge-checked.
 _HOISTED = (
-    # Driver-sample steering (r7 verdict item #6): the per-round
-    # driver value-checks the first ~50 registry keys in insertion
-    # order. Round-8-new keys lead (least cross-round evidence),
-    # then tools/suggest_sample.py's never-driver-sampled backlog,
-    # oldest coverage gaps first — so each driver round closes the
-    # sampling gap instead of re-drawing verified keys.
-    "op_file_stats",
-    "sk_cms_merge",
-    "st_outer_join",
-    "sk_hll_union",
-    "mm_audio_vad",
-    "ev_qte",
-    "st_late_data",
-    "pipe_ann",
-    "mm_scene_cut",
-    "ann_mips",
-    "ann_maxsim",
-    "gs_knn_join",
-    "ev_attribution_position",
-    "op_gap_fill",
-    "op_sequence_islands",
-    "gr_adamic_adar",
-    "mm_phash_bucket_stats",
-    "pipe_lakehouse",
-    "ann_sq8",
-    "op_changelog_compact",
-    "ev_cuped",
-    "gr_link_predict",
-    "op_column_mask",
-    "mm_audio_energy",
-    "ev_time_to_convert",
-    "ev_calibration_bins",
-    "gs_dbscan_core",
-    "sk_bloom_fpr",
-    "txt_boilerplate_scrub",
-    "mm_phash_pairs",
-    "ev_rfm_segments",
-    "txt_curriculum_stages",
-    "op_histogram_equidepth",
-    "op_adaptive_join",
-    "op_mom_change",
-    "q22_sales_opportunity",
-    "q19_disc_revenue",
-    "q17_small_quantity",
-    "q21_waiting_supplier",
-    "q20_dominant_supplier",
-    "q16_supplier_cnt",
-    "q12_late_lines",
-    "q11_important_stock",
-    "q2_min_cost_supplier",
-    "op_unpivot",
-    "op_map_funcs",
-    "op_array_funcs",
-    "op_json_funcs",
-    "ev_range_window",
-    "ev_props_extract",
-    "ev_retention",
-    "ev_funnel",
-    "ev_asof_join",
-    "ev_sessionize",
-    "ev_sliding_topk",
-    "ev_tumbling_window",
-    "ev_srm_check",
-    "ev_anomaly_seasonal",
-    "ev_cohort_retention",
-    "ev_attribution_linear",
-    "ev_funnel_windowed",
-    "ev_asof_tolerance",
-    "ev_session_window",
-    "ev_rolling_wau",
-    "ev_zscore_outliers",
-    "txt_readability",
-    "txt_quality_prune",
-    "mm_resize_meta",
-    "mm_audio_meta",
-    "gr_k_core",
-    "gr_triangle_count",
-    "gr_degree_stats",
-    "gr_pagerank_t03",
-    "pipe_entity_resolution",
-    "dd_source_overlap_kmv",
-    "dd_threshold_curve",
-    "dd_minhash_apply",
-    "dd_minhash_drop_list",
-    "ann_graph_search",
-    "ann_knn_graph_cells",
-    "ann_ivf_pq",
+    # Driver-sample steering (r7 verdict item #6, refreshed per round):
+    # the per-round driver value-checks the first ~50 registry keys in
+    # insertion order. The round-10 list is exactly the
+    # never-driver-sampled backlog from tools/suggest_sample.py after
+    # the r9 sample (75 keys), newest registrations first, with the
+    # round-10-new mm_png_meta leading — so the r10 driver run closes
+    # the gap to ≤25 and every key is driver-sampled at least once by
+    # r11.
+    "mm_png_meta",
+    "op_zorder",
+    "op_skew_report",
+    "op_salted_join",
+    "ev_markov_stationary",
+    "ev_seasonal_baseline",
+    "ev_feature_matrix",
+    "ev_delta_rollup",
+    "ev_ab_lift",
+    "ev_cumulative_users",
+    "ev_top_paths",
+    "ev_ewma",
+    "txt_pii_scrub",
+    "mm_chunk_bytes",
+    "gr_modularity",
+    "dd_containment_idx",
+    "dd_containment",
+    "dd_bloom_admit",
+    "dd_lsh_curve",
+    "ann_knn_graph",
+    "ann_pq_refine",
+    "ann_pq",
+    "ann_ivf_nprobe",
+    "dd_semantic_dedup",
+    "dd_cluster_t03",
+    "dd_embedding_cos_t03",
+    "op_pps_sample",
+    "ann_kmeans_update",
+    "dd_span_scrub",
+    "txt_ngram_novelty",
+    "txt_bigram_score",
+    "st_upsert_drain",
+    "st_sliding_counts",
+    "st_interval_join",
+    "st_stream_dedup",
+    "st_session_counts",
+    "dd_chunk_cdc",
+    "pipe_training",
+    "txt_split_holdout",
+    "txt_mix_apply",
+    "txt_clf_score",
+    "txt_chunk",
+    "sk_moments",
+    "op_scd2_lookup",
     "ann_pq_adc",
+    "ann_ivf_pq",
+    "ann_knn_graph_cells",
+    "ann_graph_search",
+    "dd_minhash_drop_list",
+    "dd_minhash_apply",
+    "dd_threshold_curve",
+    "dd_source_overlap_kmv",
+    "pipe_entity_resolution",
+    "gr_pagerank_t03",
+    "gr_degree_stats",
+    "gr_triangle_count",
+    "gr_k_core",
+    "mm_audio_meta",
+    "mm_resize_meta",
+    "txt_quality_prune",
+    "txt_readability",
+    "ev_zscore_outliers",
+    "ev_rolling_wau",
+    "ev_session_window",
+    "ev_asof_tolerance",
+    "ev_funnel_windowed",
+    "ev_attribution_linear",
+    "ev_cohort_retention",
+    "ev_anomaly_seasonal",
+    "ev_srm_check",
+    "ev_tumbling_window",
+    "ev_sliding_topk",
+    "ev_sessionize",
+    "ev_asof_join",
+    "ev_funnel",
 )
 REGISTRY = {k: REGISTRY[k] for k in _HOISTED} | {
     k: v for k, v in REGISTRY.items() if k not in _HOISTED
