@@ -76,8 +76,17 @@ def get_session(app_name: str = "pypers_spark", master: str | None = None) -> Sp
         # either way.
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.ui.retainedExecutions", "25")
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "100")
+        # Retention override for measurement tools (tools/spill_check.py
+        # reads cumulative per-stage spill deltas through the UI REST
+        # API, so a long run must not evict stage records mid-read).
+        .config(
+            "spark.ui.retainedJobs",
+            os.environ.get("SPARK_GRAFT_UI_RETAINED", "100"),
+        )
+        .config(
+            "spark.ui.retainedStages",
+            os.environ.get("SPARK_GRAFT_UI_RETAINED", "100"),
+        )
     )
     if master is not None:
         builder = builder.master(master)
