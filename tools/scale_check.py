@@ -49,13 +49,15 @@ DESIGN_LAWS = {
     # 2^1.5 ≈ 2.83. A sub-2 step is mathematically unattainable without
     # changing the algorithm (the sub-n^1.5 serving path is ann_ivf_pq).
     # r9 solo adjudication: 10x→20x step 1.92, comfortably inside the
-    # law (the r8 2.91 and the r9 shared-session 4.02 were sweep
-    # noise). The 50x point (43.98 s) steps 4.99 from 20x against the
-    # law's (50/20)^1.5 = 3.95 — its cold first run took 695 s, so the
-    # 50x fixture (3 M vectors × sqrt(n) centroids) sits in the
-    # memory-spill regime on this rig; the structural n^1.5 trend is
-    # the 1.92 step measured where the rig is not saturated.
-    "ann_knn_graph_cells": {"step_2x_bound": 2.83, "law": "Theta(n^1.5), K=sqrt(n) balance; 50x point spill-inflated (cold run 695s)"},
+    # law. The r9 50x exceedance (step 4.99 vs the law's 3.95,
+    # annotated "spill-inflated") was ADJUDICATED BY MEASUREMENT in r10
+    # (tools/spill_check.py, SPILL_r10.json): with the page cache
+    # warmed before run 1 and per-run spill read from the UI REST
+    # stage metrics, the steps are 2.61 (law 2.83) and 3.72 (law 3.95)
+    # — ON the n^1.5 law — and executor spill is ZERO bytes at every
+    # factor. The r9 exceedance was cold-page-cache I/O (the 695 s
+    # first run re-reading 750 MB of replicas), not memory spill.
+    "ann_knn_graph_cells": {"step_2x_bound": 2.83, "law": "Theta(n^1.5), K=sqrt(n) balance; r10 spill-instrumented steps 2.61/3.72 vs laws 2.83/3.95, zero spill bytes (SPILL_r10.json)"},
     # Replica cloning makes every copy a true near-dup of its source, so
     # candidate-pair volume grows with duplicate DENSITY — a property of
     # the replica fixture, not the plan (real corpora don't 20x their
