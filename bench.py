@@ -303,7 +303,33 @@ def main() -> None:
     times = {name: min(runs[name]) for name in HEADLINE}
     cal_times = {name: min(runs[name]) for name in CALIBRATION}
     spread = {n: round(max(rs) - min(rs), 3) for n, rs in runs.items()}
+    # Retry comparability (r10 advisory): retried keys draw their min
+    # from a LARGER sample than earlier rounds' fixed best-of-3, a
+    # one-directional change that can only lower the headline total.
+    # Record the pre-retry best-of-n_runs total alongside so
+    # round-over-round comparisons can use either basis.
+    pre_retry_total = round(
+        sum(min(runs[name][:n_runs]) for name in HEADLINE), 3
+    )
     load_end = round(os.getloadavg()[0], 2)
+
+    # Job-dispatch floor (r10 verdict item #6): the fixed local[32]
+    # scheduling+noop-commit cost a plan of ~zero work still pays,
+    # measured directly — best-of-5 noop write of a 1-row range. Per-key
+    # floor_share = floor/wall makes >2x ratios on small absolute walls
+    # self-describing (a 0.5s key at 60% floor is dispatch tax, not an
+    # algorithmic gap).
+    floor_runs = []
+    for _ in range(5):
+        df0 = spark.range(1)
+        t0 = time.perf_counter()
+        df0.write.format("noop").mode("overwrite").save()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_sec = round(min(floor_runs), 3)
+    floor_share = {
+        n: round(min(floor_sec / t, 1.0), 3) if t > 0 else 1.0
+        for n, t in times.items()
+    }
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
     # Full per-query detail goes to BENCH_DETAILS.json; stdout gets a
@@ -332,6 +358,14 @@ def main() -> None:
         "contended": contended,
         "load_flag_threshold": load_flag_threshold,
         "retried_keys": retried,
+        "retry_note": (
+            "mins for retried_keys come from a larger sample than the "
+            "fixed best-of-%d of earlier rounds; pre_retry_total_sec is "
+            "the best-of-%d-only basis" % (n_runs, n_runs)
+        ),
+        "pre_retry_total_sec": pre_retry_total,
+        "floor_sec": floor_sec,
+        "floor_share": floor_share,
         "sf": sf,
         # Documented-demo calibration variants, timed OUTSIDE the
         # headline aggregate; production_twin maps each to its gated
@@ -407,6 +441,8 @@ def main() -> None:
         "load_avg_end": load_end,
         "contended": contended,
         "n_retried": len(retried),
+        "pre_retry_total_sec": pre_retry_total,
+        "floor_sec": floor_sec,
     }
     for k in ("baseline_total_sec", "vs_baseline"):
         if k in detail:

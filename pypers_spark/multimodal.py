@@ -548,6 +548,10 @@ def gif_media_table(documents: DataFrame) -> DataFrame:
 # set_decoder in production.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Dimension cap validated before the IDAT inflate: bounds the maximum
+# decompressed allocation at PNG_MAX_DIM*(PNG_MAX_DIM+1) bytes (~64 MB)
+# even for an adversarial DEFLATE stream (r10 advisory).
+PNG_MAX_DIM = 8192
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -685,6 +689,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             depth, color = data[8], data[9]
             if (depth, color) != (8, 3):
                 raise ValueError("only 8-bit paletted PNG supported")
+            # Decompression-bomb defense (r10 advisory): validate the
+            # declared dimensions BEFORE inflating so an untrusted
+            # payload routed through set_decoder cannot force a huge
+            # allocation; the inflate below is then bounded by them.
+            if not (0 < width <= PNG_MAX_DIM and 0 < height <= PNG_MAX_DIM):
+                raise ValueError(
+                    f"PNG dimensions {width}x{height} exceed cap {PNG_MAX_DIM}"
+                )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -692,8 +704,13 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + n
     if width < 0 or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (width + 1):
+    # Bounded inflate: ask for exactly the expected scanline payload +1
+    # sentinel byte; a stream that would expand past it is rejected
+    # without ever allocating the excess.
+    expect = height * (width + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expect + 1)
+    if len(raw) != expect or dec.unconsumed_tail or dec.decompress(b"", 1):
         raise ValueError("PNG scanline payload size mismatch")
     pixels = bytearray()
     prior = bytes(width)

@@ -81,3 +81,44 @@ def test_png_decoder_injection_contract(spark, tables):
         mm.set_decoder(None)
     row = mm_png_meta(tables).limit(1).collect()[0]
     assert row["width"] > 0 and row["content_sha"] != "injected"
+
+
+def test_png_decode_bomb_defense():
+    # r10 advisory: dimensions are validated BEFORE the IDAT inflate and
+    # the inflate itself is bounded — an adversarial payload can neither
+    # declare huge dims nor expand a small declaration into a huge
+    # allocation (decompression bomb).
+    import zlib
+
+    import pytest
+
+    from pypers_spark.multimodal import PNG_MAX_DIM, PNG_SIG, decode_png
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    def ihdr(w: int, h: int) -> bytes:
+        return w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+
+    huge = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr(PNG_MAX_DIM + 1, 4))
+        + chunk(b"IDAT", zlib.compress(b"\0" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceed cap"):
+        decode_png(huge)
+
+    bomb = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr(4, 4))
+        + chunk(b"IDAT", zlib.compress(b"\0" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(bomb)

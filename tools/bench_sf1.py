@@ -55,11 +55,13 @@ def pick_heaviest(n: int) -> list[str]:
     return [k for k, _ in sorted(times.items(), key=lambda kv: -kv[1])[:n]]
 
 
-def timed_oracle(con, sql: str) -> tuple[float | None, bool]:
-    """(wall_sec of warm run, timed_out). Warm once, time the second run;
-    either run is interrupted at ORACLE_TIMEOUT_S and reported as a
-    lower bound."""
-    result = {"wall": None, "timed_out": False}
+def timed_oracle(con, sql: str) -> tuple[float | None, bool, str | None]:
+    """(wall_sec of warm run, timed_out, error). Warm once, time the
+    second run; either run is interrupted at ORACLE_TIMEOUT_S and
+    reported as a lower bound. A DuckDB ERROR (as opposed to an
+    interrupt we issued) is NOT a timeout: it comes back as the third
+    element so the caller records it instead of clamping duck_sec to
+    the cap and inflating duck_total."""
 
     def run() -> float:
         t0 = time.perf_counter()
@@ -67,6 +69,7 @@ def timed_oracle(con, sql: str) -> tuple[float | None, bool]:
         return time.perf_counter() - t0
 
     def with_timeout(fn):
+        """(value | None, err | None); value None + err None == timeout."""
         out: dict = {}
 
         def target():
@@ -81,17 +84,20 @@ def timed_oracle(con, sql: str) -> tuple[float | None, bool]:
         if th.is_alive():
             con.interrupt()
             th.join(60)
-            return None
-        return out.get("v")
+            return None, None
+        return out.get("v"), out.get("err")
 
-    warm = with_timeout(run)
+    warm, err = with_timeout(run)
+    if err is not None:
+        return None, False, err
     if warm is None:
-        result["wall"], result["timed_out"] = ORACLE_TIMEOUT_S, True
-        return result["wall"], result["timed_out"]
-    timed = with_timeout(run)
+        return ORACLE_TIMEOUT_S, True, None
+    timed, err = with_timeout(run)
+    if err is not None:
+        return None, False, err
     if timed is None:
-        return ORACLE_TIMEOUT_S, True
-    return round(timed, 3), False
+        return ORACLE_TIMEOUT_S, True, None
+    return round(timed, 3), False, None
 
 
 def main() -> None:
@@ -133,6 +139,18 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_DETAILS.json")) as fh:
         sf01_ratio = json.load(fh).get("ratios", {})
 
+    # Job-dispatch floor on this session (bench.py item #6 discipline):
+    # best-of-5 noop write of a 1-row range — the fixed cost any plan
+    # pays. Per-key floor_share makes >2x ratios on small absolute
+    # walls self-describing.
+    floor_runs = []
+    for _ in range(5):
+        df0 = spark.range(1)
+        t0 = time.perf_counter()
+        df0.write.format("noop").mode("overwrite").save()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_sec = round(min(floor_runs), 3)
+
     rows: dict[str, dict] = {}
     load_start = round(os.getloadavg()[0], 2)
     for k in keys:
@@ -142,7 +160,7 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             spark_runs.append(round(time.perf_counter() - t0, 3))
-        duck_wall, timed_out = timed_oracle(con, osql[k])
+        duck_wall, timed_out, duck_err = timed_oracle(con, osql[k])
         spark_wall = min(spark_runs)
         rows[k] = {
             "spark_sec": spark_wall,
@@ -151,14 +169,23 @@ def main() -> None:
             "duck_timed_out": timed_out,
             "ratio_sf1": round(spark_wall / duck_wall, 3) if duck_wall else None,
             "ratio_sf01": sf01_ratio.get(k),
+            "floor_share": round(min(floor_sec / spark_wall, 1.0), 3)
+            if spark_wall > 0
+            else 1.0,
         }
+        if duck_err is not None:
+            # A DuckDB ERROR is not a timeout (r10 advisory): record it
+            # and exclude the key from duck_total instead of clamping
+            # duck_sec to the cap.
+            rows[k]["error"] = duck_err
         if timed_out:
             rows[k]["note"] = (
                 f"oracle interrupted at {ORACLE_TIMEOUT_S}s — duck_sec is a "
                 "lower bound, ratio an upper bound"
             )
         print(f"{k}: spark={spark_wall}s duck={duck_wall}s"
-              f"{' (TIMEOUT)' if timed_out else ''}", flush=True)
+              f"{' (TIMEOUT)' if timed_out else ''}"
+              f"{' (ORACLE ERROR)' if duck_err else ''}", flush=True)
 
     improved = sum(
         1
@@ -168,8 +195,9 @@ def main() -> None:
         and (r["ratio_sf1"] < r["ratio_sf01"] or r["duck_timed_out"])
     )
     comparable = sum(1 for r in rows.values() if r["ratio_sf01"] is not None)
-    spark_total = round(sum(r["spark_sec"] for r in rows.values()), 2)
-    duck_total = round(sum(r["duck_sec"] for r in rows.values()), 2)
+    ok_rows = [r for r in rows.values() if r["duck_sec"] is not None]
+    spark_total = round(sum(r["spark_sec"] for r in ok_rows), 2)
+    duck_total = round(sum(r["duck_sec"] for r in ok_rows), 2)
     out = {
         "sf": 1.0,
         "fixture": (
@@ -183,6 +211,8 @@ def main() -> None:
         ),
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
+        "floor_sec": floor_sec,
+        "n_oracle_errors": sum(1 for r in rows.values() if "error" in r),
         "n_keys": len(rows),
         "n_ratio_improved_vs_sf01": improved,
         "n_comparable": comparable,

@@ -57,14 +57,21 @@ def _warm_page_cache(sf_dir: str) -> float:
 
 
 def _stage_metrics(app_host: str) -> dict[str, int]:
-    """Cumulative spill/shuffle bytes across all completed stages."""
+    """Cumulative spill/shuffle bytes across ALL stages (any status).
+
+    No status filter (r10 advisory): reading only status=complete could
+    miss a stage still draining when metrics are read, under-reporting
+    that run's delta and over-reporting the next. The noop-write action
+    the caller issues is synchronous, so by read time stages are
+    settled; reading every status makes that independent of UI lag.
+    """
     apps = json.load(
         urllib.request.urlopen(f"{app_host}/api/v1/applications", timeout=10)
     )
     app_id = apps[0]["id"]
     stages = json.load(
         urllib.request.urlopen(
-            f"{app_host}/api/v1/applications/{app_id}/stages?status=complete",
+            f"{app_host}/api/v1/applications/{app_id}/stages",
             timeout=30,
         )
     )
