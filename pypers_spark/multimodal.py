@@ -90,6 +90,25 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise a narrow pre-payload DataFrame to the session's default
+    parallelism before a Python payload stage.
+
+    A small documents scan is often ONE input split (a single parquet
+    file under maxPartitionBytes), which would serialize every
+    downstream ``mapInPandas`` codec stage onto one Python worker — at
+    sf1 that made mm_gif_meta ~4x slower than its 32-core potential.
+    The repartition shuffles only the tiny pre-payload rows (doc_id +
+    source), never synthesized payloads, and is a no-op when the scan
+    already has enough splits (the 100 TB case, where payload tables
+    arrive with thousands of partitions).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def media_table(documents: DataFrame) -> DataFrame:
     """Build a media table from the documents table (payload = utf-8 text).
 
@@ -97,7 +116,7 @@ def media_table(documents: DataFrame) -> DataFrame:
     image/audio bytes); schema and code paths are identical.
     """
     payload = F.encode(F.col("text"), "utf-8")
-    return documents.select(
+    return _spread(documents).select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.lit("application/octet-stream").alias("mime_type"),
@@ -514,7 +533,7 @@ def gif_media_table(documents: DataFrame) -> DataFrame:
     like production ingest, is Python-side; DECODE is what the gate
     measures). Dimensions and pixels are pure doc_id arithmetic.
     """
-    src = documents.select("doc_id", "source")
+    src = _spread(documents.select("doc_id", "source"))
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -756,7 +775,7 @@ def png_media_table(documents: DataFrame) -> DataFrame:
     with per-row adaptive filters. Encoding runs in Arrow-batched
     ``mapInPandas`` (like production ingest); DECODE is what the value
     gate measures."""
-    src = documents.select("doc_id", "source")
+    src = _spread(documents.select("doc_id", "source"))
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -955,7 +974,7 @@ def ppm_media_table(documents: DataFrame) -> DataFrame:
         F.lit("\n255\n"), pix_str,
     )
     payload = F.encode(payload_str, "utf-8")
-    return documents.filter(
+    return _spread(documents).filter(
         (F.length("text") >= 1)
         & (F.octet_length("text") == F.length("text"))
     ).select(
@@ -1054,7 +1073,7 @@ def wav_media_table(documents: DataFrame) -> DataFrame:
         data_bytes,
         data_pad,
     )
-    return documents.filter(
+    return _spread(documents).filter(
         (F.length("text") >= 1)
         & (F.octet_length("text") == F.length("text"))
     ).select(

@@ -337,6 +337,22 @@ def _band_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(
+    t: dict[str, DataFrame], n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """The PRE-VERIFY candidate-pair DataFrame of the banded LSH family
+    — exactly the set whose size the cap-knee growth law
+    Θ(Σ min(k·g, W)²) predicts (tools/scale_check.py DESIGN_LAWS).
+
+    Exposed so the scale adjudication (tools/scale_adjudicate.py) can
+    COUNT the volume per replica factor and turn the law from a
+    narrative into a measured predictor of the wall step (r10 verdict
+    item #1). Same plan subtree the production queries execute; the
+    count adds one aggregation on top.
+    """
+    return _band_candidates(_bands_of(_signature_table(t), n_hashes, n_bands))
+
+
 def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     """MinHash + LSH near-dup pairs, Jaccard-verified.
 
@@ -1972,7 +1988,8 @@ def dd_source_overlap(t: dict[str, DataFrame]) -> DataFrame:
     """
     posts = (
         corpus(t)
-        .select("source", F.explode(_spread_grams(F.col("text"))).alias("g"))
+        .select("source", F.split(normalize_text(F.col("text")), " ").alias("tk"))
+        .select("source", F.explode(_spread_grams(F.col("tk"))).alias("g"))
         .distinct()
     )
     sizes = posts.groupBy("source").agg(F.count("*").alias("n_grams"))
@@ -1998,10 +2015,15 @@ def dd_source_overlap(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _spread_grams(text_col):
-    """Distinct word-3-gram STRINGS of a text column (not hashed — the
-    vocabulary table is source-cardinality-bounded)."""
-    tk = F.split(normalize_text(text_col), " ")
+def _spread_grams(tk):
+    """Distinct word-3-gram STRINGS of a BOUND token-array column (not
+    hashed — the vocabulary table is source-cardinality-bounded).
+
+    ``tk`` must be a projected column (``F.col``), never an inline
+    ``F.split(...)`` expression: Catalyst re-evaluates an inline
+    argument for every element of the transform's sequence (each gram
+    would re-tokenize the whole document — measured ~6x the operator's
+    wall at sf0.1)."""
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
     )
@@ -2070,7 +2092,8 @@ def dd_source_overlap_kmv(t: dict[str, DataFrame]) -> DataFrame:
     """
     posts = (
         corpus(t)
-        .select("source", F.explode(_spread_grams(F.col("text"))).alias("g"))
+        .select("source", F.split(normalize_text(F.col("text")), " ").alias("tk"))
+        .select("source", F.explode(_spread_grams(F.col("tk"))).alias("g"))
         .distinct()
     )
     hs = posts.select("source", md5_int64(F.col("g")).alias("h")).distinct()

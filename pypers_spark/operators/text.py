@@ -917,6 +917,64 @@ def _phash_rep_bands(ph: DataFrame) -> DataFrame:
     )
 
 
+def _phash_within_pairs(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """Hamming-0 pairs: equality self-join within identical-hash groups."""
+    return (
+        pa.join(pb, "phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+
+def _phash_cross_candidates(ph: DataFrame) -> DataFrame:
+    """Cross-hash candidates over representatives: capped
+    aggregate-and-expand per band bucket (C(w,2) ordered hash pairs)."""
+    buckets = (
+        _phash_rep_bands(ph)
+        .groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("phash")).alias("hs"))
+        .filter(
+            (F.size("hs") >= 2) & (F.size("hs") <= F.lit(PHP_MAX_BUCKET_WIDTH))
+        )
+    )
+    hash_pairs = F.flatten(
+        F.transform(
+            F.col("hs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("hs"), i + 2, F.size("hs")),
+                lambda y: F.struct(x.alias("ph_a"), y.alias("ph_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(hash_pairs).alias("p"))
+        .select("p.ph_a", "p.ph_b")
+        .distinct()
+    )
+
+
+def mm_phash_candidate_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """The pair volume the mm_phash_pairs growth law predicts, as ONE
+    countable DataFrame: the Θ(Σ k²) Hamming-0 within-group media pairs
+    unioned with the capped cross-hash candidate hash pairs.
+
+    Used by tools/scale_adjudicate.py to COUNT the law's predicted
+    volume per replica factor (r10 verdict item #1); shares the exact
+    plan subtrees mm_phash_pairs executes.
+    """
+    ph = _phash_table(t)
+    pa = ph.select(F.col("media_id").alias("id_a"), "phash")
+    pb = ph.select(F.col("media_id").alias("id_b"), "phash")
+    within = _phash_within_pairs(pa, pb).select(
+        F.col("id_a").cast("string").alias("a"),
+        F.col("id_b").cast("string").alias("b"),
+    )
+    cross = _phash_cross_candidates(ph).select(
+        F.col("ph_a").alias("a"), F.col("ph_b").alias("b")
+    )
+    return within.unionByName(cross)
+
+
 def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Perceptual near-dup PAIR MINING over the dHash table — the
     image-side analogue of dd_simhash's banded Hamming search. The
@@ -949,40 +1007,10 @@ def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
     bucket and the join is co-located.
     """
     ph = _phash_table(t)
-
-    # Hamming-0 pairs: equality self-join within identical-hash groups.
     pa = ph.select(F.col("media_id").alias("id_a"), "phash")
     pb = ph.select(F.col("media_id").alias("id_b"), "phash")
-    within = (
-        pa.join(pb, "phash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
-    )
-
-    # Cross-hash candidates over representatives: capped
-    # aggregate-and-expand per band bucket (C(w,2) ordered hash pairs).
-    buckets = (
-        _phash_rep_bands(ph)
-        .groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_list("phash")).alias("hs"))
-        .filter(
-            (F.size("hs") >= 2) & (F.size("hs") <= F.lit(PHP_MAX_BUCKET_WIDTH))
-        )
-    )
-    hash_pairs = F.flatten(
-        F.transform(
-            F.col("hs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("hs"), i + 2, F.size("hs")),
-                lambda y: F.struct(x.alias("ph_a"), y.alias("ph_b")),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(hash_pairs).alias("p"))
-        .select("p.ph_a", "p.ph_b")
-        .distinct()
-    )
+    within = _phash_within_pairs(pa, pb)
+    cand = _phash_cross_candidates(ph)
 
     def _nib(col: str, i: int) -> F.Column:
         return F.conv(F.substring(col, i + 1, 1), 16, 10).cast("int")

@@ -60,6 +60,18 @@ def get_session(app_name: str = "pypers_spark", master: str | None = None) -> Sp
         # nothing when unused.
         .config("spark.scheduler.mode", os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan fan-out for compute-heavy compressed inputs: Spark sizes
+        # splits as min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/defaultParallelism)), so the 4 MB default open cost
+        # serializes a snappy-parquet text corpus (5.8 MB on disk at
+        # sf1, ~10x that decompressed, ~100x that in per-row string
+        # work) onto 1-2 cores. 256 KB lets small-but-dense files use
+        # the full machine; on a real cluster with many multi-GB files
+        # the split size is governed by maxPartitionBytes as before.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # The Python<->JVM collect handshake defaults to 15 s; on a

@@ -25,6 +25,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Per-key wall adjudications (r10 verdict item #4): keys whose sweep
+# wall is dominated by a one-time shared-artifact build or plan
+# compile, not per-row compute — the note rides in the artifact so the
+# number is self-describing. Steady-state walls measured best-of-3 in
+# a warm session at sf0.1.
+WALL_NOTES = {
+    "ann_graph_search": (
+        "single-shot wall pays the shared cell-kNN graph build "
+        "(tracked_persist 'similarity.gs_edges'; first caller in the "
+        "alphabetical sweep) plus its codegen JIT; steady-state serving "
+        "wall is 0.86s best-of-3 at sf0.1"
+    ),
+    "ann_knn_graph": (
+        "documented quadratic-in-block calibration demo (production "
+        "twin ann_knn_graph_cells); wall is the label-block pairwise "
+        "build, steady-state 2.6s best-of-3 at sf0.1"
+    ),
+}
+
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
@@ -108,6 +127,8 @@ def main() -> None:
         except Exception as exc:  # a crash is a red row, not a crash of the sweep
             row["err"] = f"{type(exc).__name__}: {exc}"[:500]
         row["wall_sec"] = round(time.perf_counter() - tk, 2)
+        if k in WALL_NOTES:
+            row["wall_note"] = WALL_NOTES[k]
         out[k] = row
         status = "ok" if row["hash_match"] in (True, None) and row["rows_match"] else "FAIL"
         print(f"{k}: {status}", flush=True)

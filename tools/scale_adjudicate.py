@@ -53,7 +53,52 @@ FLAGSHIPS = [
     "dd_source_overlap_kmv",
     "mm_phash_pairs",
     "dd_minhash_incremental",
+    # r10 verdict item #1: the second cap-knee key was missing its 50x
+    # point, leaving the knee law unfalsifiable for it.
+    "dd_ngram_jaccard_lsh",
 ]
+
+# Cap-knee keys (r10 verdict item #1): for these the growth law is
+# Θ(Σ min(k·g, W)²) candidate pairs, so the adjudication COUNTS the
+# pre-verify candidate volume per factor and derives the step bound
+# from the measured volume instead of a narrative. Each entry builds
+# the candidate DataFrame the production query verifies.
+def _knee_sources():
+    from pypers_spark.operators.dedup import (
+        PROD_N_BANDS,
+        PROD_N_HASHES,
+        lsh_candidate_pairs,
+    )
+    from pypers_spark.operators.text import mm_phash_candidate_pairs
+
+    return {
+        "dd_minhash_lsh_prod": lambda t: lsh_candidate_pairs(
+            t, PROD_N_HASHES, PROD_N_BANDS
+        ),
+        "dd_ngram_jaccard_lsh": lambda t: lsh_candidate_pairs(t),
+        "mm_phash_pairs": mm_phash_candidate_pairs,
+    }
+
+
+KNEE_KEYS = ["dd_minhash_lsh_prod", "dd_ngram_jaccard_lsh", "mm_phash_pairs"]
+
+# The solo measurements must obey the same contention discipline as
+# bench.py (its load-flag threshold is 8 on the 32-core rig): the r10
+# solos ran at load 21-30, which is exactly what left the knee keys
+# without a trustworthy step. Each solo subprocess now WAITS for the
+# box to quiet down (bounded), and the recorded load_avg shows it.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_SCALE_LOAD_GATE", "8"))
+LOAD_GATE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_SCALE_LOAD_WAIT", "600"))
+
+
+def wait_quiet() -> float:
+    """Block until 1-min load_avg < LOAD_GATE (or timeout); return it."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < LOAD_GATE or time.time() - t0 > LOAD_GATE_TIMEOUT_S:
+            return round(load, 2)
+        time.sleep(10)
 
 
 def solo(key: str, sf_dir: str, n_runs: int) -> None:
@@ -82,7 +127,21 @@ def solo(key: str, sf_dir: str, n_runs: int) -> None:
     )
 
 
+def count_candidates(key: str, sf_dir: str) -> None:
+    """Count the cap-knee candidate volume for one key at one factor in
+    THIS process; print one JSON line."""
+    from pypers_spark.session import get_session
+    from pypers_spark.sources import load_tables
+
+    spark = get_session("pypers_spark-scale-count")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = load_tables(spark, sf_dir)
+    n = _knee_sources()[key](tables).count()
+    print(json.dumps({"key": key, "sf_dir": sf_dir, "candidates": n}))
+
+
 def run_solo(key: str, sf_dir: str, n_runs: int = 3) -> dict:
+    waited = wait_quiet()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--solo", key, sf_dir, str(n_runs)],
         capture_output=True,
@@ -91,12 +150,28 @@ def run_solo(key: str, sf_dir: str, n_runs: int = 3) -> dict:
         check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    m = json.loads(line)
+    m["load_avg_at_start"] = waited
+    return m
+
+
+def run_count(key: str, sf_dir: str) -> int:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--count", key, sf_dir],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["candidates"]
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--solo":
         solo(sys.argv[2], sys.argv[3], int(sys.argv[4]) if len(sys.argv) > 4 else 3)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--count":
+        count_candidates(sys.argv[2], sys.argv[3])
         return
 
     tag = sys.argv[1] if len(sys.argv) > 1 else "r09"
@@ -104,7 +179,7 @@ def main() -> None:
     with open(scale_path) as fh:
         artifact = json.load(fh)
 
-    from tools.scale_check import gen
+    from tools.scale_check import SRC, gen
 
     dirs = {"10x": f"{DST_ROOT}/10x", "20x": f"{DST_ROOT}/20x", "50x": f"{DST_ROOT}/50x"}
     for factor, copies in (("10x", 10), ("20x", 20), ("50x", 50)):
@@ -138,11 +213,59 @@ def main() -> None:
         row["step_20x_to_50x"] = round(m["best"] / base_20, 2) if base_20 else None
         print(f"solo 50x {key}: {m['best']}s {m['runs']}", flush=True)
 
+    # Cap-knee law, COUNTED (r10 verdict item #1): measure the
+    # pre-verify candidate-pair volume at every factor and let the
+    # measured volume — not the narrative — predict the wall step. The
+    # derived bound is 1.3x the volume ratio (the tolerance covers the
+    # linear signature-build share and job floor); a solo step above it
+    # is a real regression, so `step_2x_bound` is no longer null for
+    # these keys.
+    for key in KNEE_KEYS:
+        row = qrows.setdefault(key, {})
+        counts = {}
+        for factor in ("1x", "10x", "20x", "50x"):
+            sf_dir = SRC if factor == "1x" else dirs[factor]
+            counts[factor] = run_count(key, sf_dir)
+            print(f"candidates {factor} {key}: {counts[factor]}", flush=True)
+        vol_step = (
+            round(counts["20x"] / counts["10x"], 2) if counts["10x"] else None
+        )
+        vol_step_50 = (
+            round(counts["50x"] / counts["20x"], 2) if counts["20x"] else None
+        )
+        counted_bound = round(vol_step * 1.3, 2) if vol_step else None
+        solo_step = (row.get("solo") or {}).get("step_2x")
+        wall_step = row.get("ratio_step_2x")
+        measured = solo_step if solo_step is not None else wall_step
+        row["candidates"] = {
+            **counts,
+            "volume_step_2x": vol_step,
+            "volume_step_20x_to_50x": vol_step_50,
+            "counted_step_2x_bound": counted_bound,
+            "measured_step_2x": measured,
+            "within_counted_bound": (
+                measured <= counted_bound
+                if measured is not None and counted_bound is not None
+                else None
+            ),
+        }
+        law = row.setdefault("design_law", {})
+        law["step_2x_bound"] = counted_bound
+        law["bound_basis"] = (
+            "counted: 1.3 x measured candidate-pair volume ratio "
+            "(see 'candidates'); volume from the production pre-verify "
+            "candidate DataFrame"
+        )
+
     artifact["adjudication"] = {
         "watch_keys": WATCH,
         "flagships_50x": FLAGSHIPS,
+        "knee_keys_counted": KNEE_KEYS,
+        "load_gate": LOAD_GATE,
         "method": "one fresh Spark process per (key, factor), best-of-3, "
-        "load_avg recorded; design laws in tools/scale_check.py DESIGN_LAWS",
+        "load_avg recorded, solo start gated on load_avg < load_gate; "
+        "design laws in tools/scale_check.py DESIGN_LAWS; knee keys carry "
+        "counted candidate-pair volumes per factor",
     }
     with open(scale_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)

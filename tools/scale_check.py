@@ -68,7 +68,7 @@ DESIGN_LAWS = {
     # it capped buckets DROP with accounting, so the 50x solo wall
     # (15.8 s) comes in BELOW the 20x one (24.5 s). The cap is the
     # 100 TB safety property, measured end-to-end.
-    "dd_minhash_lsh_prod": {"step_2x_bound": None, "law": "fixture: replica dup density; Theta(sum min(k*g, W)^2) pairs, W=64 — 20x sits at the cap knee, 50x past it is FASTER"},
+    "dd_minhash_lsh_prod": {"step_2x_bound": None, "law": "fixture: replica dup density; Theta(sum min(k*g, W)^2) pairs, W=64 — 20x sits at the cap knee, 50x past it is FASTER; bound COUNTED per run by tools/scale_adjudicate.py (1.3 x measured candidate-volume ratio)"},
     "txt_winnowing": {"step_2x_bound": None, "law": "fixture: replica dup density"},
     # Pair MINING output is Θ(Σ k²) over duplicate-group sizes k by
     # definition — replica cloning collides copies onto identical
@@ -78,7 +78,7 @@ DESIGN_LAWS = {
     # so only the emitted-row volume grows with dup multiplicity — the
     # r7 21.9×/step-3.57 composite was candidate-stage blowup and
     # should now be gone. Bound per the r7 verdict's "done" criterion.
-    "mm_phash_pairs": {"step_2x_bound": 2.2, "law": "r8 collapse: output Theta(sum k^2), candidate stage linear in distinct hashes"},
+    "mm_phash_pairs": {"step_2x_bound": 2.2, "law": "r8 collapse: output Theta(sum k^2), candidate stage linear in distinct hashes; bound re-derived per run by tools/scale_adjudicate.py from the counted pair volume"},
     # r9 adjudication of the r8 step-ratio exceedances (r8 verdict #1):
     # every key whose 10x→20x step measured > 2.0 carries its growth
     # mechanism here, and SCALE_r09's solo best-of-3 reruns are the
@@ -97,7 +97,7 @@ DESIGN_LAWS = {
     # cloning sets k = copy count, so pair volume grows quadratically
     # in copies until buckets saturate at W, then linearly. Same
     # fixture property as dd_minhash_lsh_prod.
-    "dd_ngram_jaccard_lsh": {"step_2x_bound": None, "law": "fixture: replica dup density (Theta(sum min(k*g,W)^2) candidates, W=64 cap; 20x sits at the cap knee like dd_minhash_lsh_prod)"},
+    "dd_ngram_jaccard_lsh": {"step_2x_bound": None, "law": "fixture: replica dup density (Theta(sum min(k*g,W)^2) candidates, W=64 cap; 20x sits at the cap knee like dd_minhash_lsh_prod); bound COUNTED per run by tools/scale_adjudicate.py (1.3 x measured candidate-volume ratio)"},
     # Batch probes the df-capped base band index: candidates per batch
     # doc ≤ bands × W, so the asymptotic step is 2.0 (O(batch));
     # replica cloning inflates collisions toward the cap first — the
