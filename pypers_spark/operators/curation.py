@@ -35,22 +35,31 @@ class IngestDocuments(Stage):
 
 
 class ExactDedup(Stage):
-    """Drop exact duplicates (normalized-text md5, first writer wins)."""
+    """Drop exact duplicates (normalized-text md5, first writer wins).
+
+    min_by aggregation, not a row_number window (r11, guide §2.3):
+    the aggregate does MAP-SIDE partial aggregation — only one
+    candidate row per fingerprint per input partition crosses the
+    exchange, and no per-group sort runs on the reduce side. The
+    row_number form shuffled and sorted EVERY row. doc_id is unique,
+    so "min_by doc_id" is exactly the window's rank-1 row.
+    """
 
     consumes = ("docs",)
     outputs = ("deduped",)
 
     def process(self, pipeline, config, status=None, docs=None, **inputs):
-        from pyspark.sql import Window
-
         from pypers_spark.functions.text import normalize_text
 
-        w = Window.partitionBy("fp").orderBy("doc_id")
+        cols = docs.columns
         deduped = (
-            docs.withColumn("fp", F.md5(normalize_text(F.col("text"))))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("fp", "rn")
+            docs.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
+            .agg(
+                F.min_by(
+                    F.struct(*[F.col(c) for c in cols]), F.col("doc_id")
+                ).alias("row")
+            )
+            .select("row.*")
         )
         return {"deduped": deduped}
 

@@ -94,6 +94,11 @@ def txt_winnowing(t: dict[str, DataFrame]) -> DataFrame:
     # (measured 25 s vs 0.5 s for the explode at sf0.1). "Full window"
     # is instead count(*)==W over the SAME frame as the min: one Window
     # node computes both, no extra sort, no array re-evaluation.
+    # r11 NOTE: an all-in-array form (sliding array_min over slices,
+    # bound via a one-element-array lambda) removes both shuffles but
+    # measured 17.1 s vs this form's 1.8 s at sf0.1 — per-window
+    # slice+min runs in the interpreted higher-order-function path,
+    # ~10x the streamed Window operator. Kept the explode+window form.
     grams = norm.select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
     ).select("doc_id", "pos", md5_int64(F.col("gram")).alias("h"))
@@ -1049,36 +1054,58 @@ def dd_span_scrub(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("dmin") != F.col("dmax"))
         .select("doc_id", "pos")
     )
-    covered = marked.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))).alias("idx")
-    ).distinct()
-    tokens = with_toks.select(
-        "doc_id", F.posexplode(F.col("toks")).alias("idx", "token")
+    # r11 (guide §2.3): aggregate the covered indices to ONE small
+    # array per document and rebuild the scrubbed text IN-ARRAY.
+    # Tokens never cross an exchange: the r10 form posexploded every
+    # token, anti-joined on (doc_id, idx) and re-assembled with
+    # array_sort(collect_list(...)) — three token-level shuffles that
+    # this form replaces with one covered-index aggregation (rows
+    # bounded by marked positions, not tokens). array_except is the
+    # hash-based ordered complement, linear in tokens + covered.
+    covered_arr = (
+        marked.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("cov"))
     )
-    kept = tokens.join(covered, ["doc_id", "idx"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "token"))),
-                    lambda s: s["token"],
-                ),
-            )
-        ).alias("scrubbed_md5"),
+    toks_col = F.col("toks")
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size(toks_col) - 1),
+        F.coalesce(F.col("cov"), F.array().cast("array<integer>")),
     )
-    totals = with_toks.select("doc_id", F.size("toks").alias("n_tok"))
+    # Bind kept_idx as a lambda variable (one evaluation) — its three
+    # consumers (count, removed-count, md5 rebuild) would otherwise
+    # each re-run the array_except.
+    res = F.element_at(
+        F.transform(
+            F.array(kept_idx),
+            lambda ki: F.struct(
+                F.size(ki).alias("k"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(ki, lambda i: F.element_at(toks_col, i + 1)),
+                    )
+                ).alias("m"),
+            ),
+        ),
+        1,
+    )
     return (
-        totals.join(rebuilt, "doc_id", "left")
+        with_toks.join(covered_arr, "doc_id", "left")
+        .select("doc_id", F.size(toks_col).alias("n_tok"), res.alias("res"))
         .select(
             "doc_id",
             "n_tok",
-            F.coalesce(F.col("n_tok_kept"), F.lit(0)).alias("n_tok_kept"),
-            (F.col("n_tok") - F.coalesce(F.col("n_tok_kept"), F.lit(0))).alias(
+            F.col("res.k").cast("bigint").alias("n_tok_kept"),
+            (F.col("n_tok") - F.col("res.k")).cast("bigint").alias(
                 "n_tok_removed"
             ),
-            F.coalesce(F.col("scrubbed_md5"), F.md5(F.lit(""))).alias("scrubbed_md5"),
+            F.col("res.m").alias("scrubbed_md5"),
         )
         .orderBy("doc_id")
     )

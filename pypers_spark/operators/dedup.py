@@ -126,13 +126,21 @@ FROM corpus GROUP BY 1 ORDER BY keep_id
 
 
 def dd_exact_keep(t: dict[str, DataFrame]) -> DataFrame:
-    """Exact dedup keeping the full surviving row (first writer wins)."""
-    c = corpus(t).withColumn("fp", F.md5(normalize_text(F.col("text"))))
-    w = Window.partitionBy("fp").orderBy("doc_id")
+    """Exact dedup keeping the full surviving row (first writer wins).
+
+    min_by aggregation, not a row_number window (r11, guide §2.3):
+    partial aggregation ships one candidate per fingerprint per map
+    partition and skips the per-group sort; doc_id is unique, so the
+    winner is identical to the window's rank-1 row."""
+    c = corpus(t)
     return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+        c.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_chars"), F.col("doc_id")
+            ).alias("row")
+        )
+        .select("row.*")
         .orderBy("doc_id")
     )
 

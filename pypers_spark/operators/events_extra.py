@@ -1843,14 +1843,20 @@ def ev_cooccurrence(t: dict[str, DataFrame]) -> DataFrame:
     matrix behind session-based recommendation.
 
     Sessions come from the same lag→flag→running-sum assignment as
-    ev_sessionize (one user_id shuffle); the within-session pair
-    explosion is bounded by the distinct-type count (≤ 5·4/2 pairs per
-    session regardless of session length), so the self-join is
-    block-bounded exactly like op_market_basket's order baskets.
+    ev_sessionize (one user_id shuffle); r11 (guide §2.3/§2.4): the
+    per-session DISTINCT TYPE SET is collected in-row right after the
+    window (collect_set over the same user_id partitioning — no second
+    exchange), persisted once, and the pair table is a bounded IN-ROW
+    expansion over the sorted set (≤ 5·4/2 pairs per session) — the
+    op_market_basket shape. The r10 form re-ran the whole
+    window+distinct subtree for each of its three readouts and paid a
+    (user_id, session_id) self-join for the pairs.
     """
+    from pypers_spark.functions.caching import tracked_persist
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = CO_GAP_MIN * 60
-    sess = (
+    sess_types = tracked_persist(
         t["events"]
         .withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
@@ -1865,18 +1871,24 @@ def ev_cooccurrence(t: dict[str, DataFrame]) -> DataFrame:
             "session_id",
             F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .select("user_id", "session_id", "event_type")
-        .distinct()
+        .groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types")),
+        "events.cooccur_session_types",
     )
-    n_sessions = sess.select("user_id", "session_id").distinct().agg(
-        F.count("*").alias("n_sessions")
+    n_sessions = sess_types.agg(F.count("*").alias("n_sessions"))
+    supp = (
+        sess_types.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("supp"))
     )
-    supp = sess.groupBy("event_type").agg(F.count("*").alias("supp"))
-    a = sess.select("user_id", "session_id", F.col("event_type").alias("type_a"))
-    b = sess.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pair_expr = F.expr(
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
     pairs = (
-        a.join(b, ["user_id", "session_id"])
-        .filter(F.col("type_a") < F.col("type_b"))
+        sess_types.select(F.explode(pair_expr).alias("p"))
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("pair_supp"))
     )

@@ -508,33 +508,62 @@ def txt_rake(t: dict[str, DataFrame]) -> DataFrame:
     word — co-occurrence weight); phrase score = Σ member word scores;
     top-{RAKE_TOP_K} distinct phrases corpus-wide.
 
-    Plan: one explode + gaps-and-islands (pos − row_number) builds the
-    phrase table in a single doc_id-keyed window shuffle; word scores
-    are one hash-agg over the exploded phrase members; the phrase score
-    re-join is member-keyed with the word-score table broadcast (its
-    cardinality is the vocabulary, not the corpus). The final phrase
-    score sums word-score doubles through the 1e-6 int quantization so
-    shuffle order can't move it — the same dsum discipline as every
-    revenue aggregate.
+    Plan (r11, guide §2.3/§2.4): phrase extraction happens IN-ARRAY per
+    document — separator positions (stopwords / empty tokens) are a
+    filter over the token index sequence, and each maximal
+    separator-free run becomes one phrase via an index slice — so
+    tokens never cross an exchange (the r10 form posexploded every
+    token through a doc_id row_number window and re-assembled runs with
+    array_sort(collect_list(...))). Word scores are one hash-agg over
+    the exploded phrase members; the phrase score re-join is
+    member-keyed with the word-score table broadcast (its cardinality
+    is the vocabulary, not the corpus). The final phrase score sums
+    word-score doubles through the 1e-6 int quantization so shuffle
+    order can't move it — the same dsum discipline as every revenue
+    aggregate.
     """
     from pypers_spark.functions.text import STOPWORDS_EN
 
     docs = t["documents"]
-    toks = docs.select(
-        "doc_id", F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "token")
-    ).filter(F.col("token") != "")
-    nonstop = toks.filter(~F.col("token").isin(*STOPWORDS_EN))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = nonstop.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    phrases = runs.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
+    # Token array bound BELOW the exchange (the _signature_table
+    # lesson) so the lambdas reference a materialized column.
+    toks = docs.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = toks.repartition(n_part, F.col("doc_id"))
+    tk = F.col("tk")
+    seps = F.filter(
+        F.sequence(F.lit(1), F.size(tk)),
+        lambda i: (F.element_at(tk, i) == "")
+        | F.element_at(tk, i).isin(*STOPWORDS_EN),
+    )
+    # Runs between consecutive separators (0 and n+1 as sentinels): the
+    # run (s, e) covers tokens s+1 .. e-1 and is a phrase when
+    # non-empty. ``seps`` is bound as a lambda variable so the per-token
+    # separator scan evaluates once (the txt_winnowing binding trick).
+    phrase_structs = F.element_at(
+        F.transform(
+            F.array(seps),
+            lambda sp: F.filter(
+                F.zip_with(
+                    F.concat(F.array(F.lit(0)), sp),
+                    F.concat(sp, F.array(F.size(tk) + 1)),
+                    lambda s, e: F.when(
+                        e - s >= 2,
+                        F.struct(
+                            F.concat_ws(
+                                " ", F.slice(tk, s + 1, e - s - 1)
+                            ).alias("phrase"),
+                            (e - s - 1).cast("bigint").alias("n_words"),
+                        ),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
             ),
-        ).alias("phrase"),
-        F.count("*").alias("n_words"),
+        ),
+        1,
+    )
+    phrases = toks.select(F.explode(phrase_structs).alias("p")).select(
+        "p.phrase", "p.n_words"
     )
     members = phrases.select(
         "phrase", "n_words", F.explode(F.split(F.col("phrase"), " ")).alias("token")

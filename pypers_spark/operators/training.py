@@ -761,14 +761,30 @@ def dd_chunk_exact(t: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("fp"),
     )
-    fp_counts = chunks.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    return _chunk_dup_readout(chunks)
+
+
+def _chunk_dup_readout(chunks: DataFrame) -> DataFrame:
+    """Per-source chunk-dedup report off ONE pass over the (fp, source)
+    chunk stream (r11, guide §2.3): pre-aggregate to (fp, source)
+    counts — map-side partial aggregation collapses local duplicates
+    before the exchange — then a count window over fp supplies the
+    corpus-wide copy count. The r10 form computed the tokenize→md5
+    chunk chain TWICE (once for the chunk rows, once for the broadcast
+    fp_counts side of a self-join)."""
+    from pyspark.sql import Window
+
+    cnt = chunks.groupBy("fp", "source").agg(F.count("*").alias("cnt"))
+    n_copies = F.sum("cnt").over(Window.partitionBy("fp"))
     return (
-        chunks.join(fp_counts, "fp")
+        cnt.withColumn("n_copies", n_copies)
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.count_distinct("fp").alias("n_unique"),
-            F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_in_dup_groups"),
+            F.sum("cnt").alias("n_chunks"),
+            F.count("*").alias("n_unique"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_in_dup_groups"),
         )
         .select(
             "source",
@@ -910,66 +926,64 @@ def dd_chunk_cdc(t: dict[str, DataFrame]) -> DataFrame:
     chunk bounds; the pure-modulus form keeps the Spark plan and the
     DuckDB oracle byte-identical.
 
-    Plan shape: posexplode → map-side boundary flag (one md5 per token,
-    whole-stage codegen) → per-document cumulative boundary count (a
-    window PARTITIONED BY doc_id — bounded by document length, fully
-    distributed) → chunk fingerprint aggregation → the corpus-wide
-    fp_counts hash aggregation. Same readout as dd_chunk_exact so the
-    two chunkers' dup-yield is directly comparable per source.
+    Plan shape (r11, guide §2.3/§2.4): the whole chunking happens
+    IN-ARRAY per document — boundary positions are a filter over the
+    token index sequence (one md5 per token, whole-stage codegen),
+    chunk fingerprints are md5s over index slices between consecutive
+    boundaries — so tokens never leave their document row. Only chunk
+    FINGERPRINTS reach an exchange. The r10 form posexploded every
+    token through a doc_id window (cumulative boundary count) and
+    re-assembled chunks with array_sort(collect_list(...)) — two full
+    token-level shuffles that this form does not pay. Same readout as
+    dd_chunk_exact so the two chunkers' dup-yield is directly
+    comparable per source.
     """
-    from pyspark.sql import Window
-
     from pypers_spark.operators.dedup import corpus
 
-    toks = corpus(t).select(
-        "doc_id",
-        "source",
-        F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "tok"),
+    # Token array bound BELOW the exchange (the _signature_table
+    # lesson): the boundary lambda references ``tk`` as a materialized
+    # column, never an inline tokenize expression.
+    toks = corpus(t, repartition=False).select(
+        "doc_id", "source", tokenize_ws(F.col("text")).alias("tk")
     )
-    boundary = (
-        md5_int64(F.concat(F.lit("cdc:"), F.col("tok"))) % CDC_MOD == 0
-    ).cast("long")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    n_part = int(toks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = toks.repartition(n_part, F.col("doc_id"))
+    tk = F.col("tk")
+    # 1-based positions whose token hash marks a chunk boundary (the
+    # chunk breaks AFTER the boundary token — the r10 window counted a
+    # token's flag only into LATER positions' cumulative ids).
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.size(tk)),
+        lambda i: md5_int64(F.concat(F.lit("cdc:"), F.element_at(tk, i)))
+        % CDC_MOD
+        == 0,
     )
-    chunked = toks.select(
-        "doc_id",
-        "source",
-        "pos",
-        "tok",
-        F.coalesce(F.sum(boundary).over(w_prev), F.lit(0)).alias("cid"),
-    )
-    chunks = chunked.groupBy("doc_id", "source", "cid").agg(
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
+    # Bind ``bpos`` as a lambda variable (one-element-array transform —
+    # the txt_winnowing binding trick) so the per-token md5 filter is
+    # evaluated ONCE, not once per consumer expression.
+    # Trailing boundary at the last token: start = n+1 > end = n — an
+    # empty chunk the windowed form never produced; the when() guard
+    # drops it (filter on the zipped null).
+    fps = F.element_at(
+        F.transform(
+            F.array(bpos),
+            lambda bp: F.filter(
+                F.zip_with(
+                    F.concat(F.array(F.lit(1)), F.transform(bp, lambda p: p + 1)),
+                    F.concat(bp, F.array(F.size(tk))),
+                    lambda s, e: F.when(
+                        e >= s, F.md5(F.concat_ws(" ", F.slice(tk, s, e - s + 1)))
+                    ),
                 ),
-            )
-        ).alias("fp")
+                lambda fp: fp.isNotNull(),
+            ),
+        ),
+        1,
     )
-    fp_counts = chunks.groupBy("fp").agg(F.count("*").alias("n_copies"))
-    return (
-        chunks.join(fp_counts, "fp")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.count_distinct("fp").alias("n_unique"),
-            F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_in_dup_groups"),
-        )
-        .select(
-            "source",
-            "n_chunks",
-            "n_unique",
-            "n_in_dup_groups",
-            (F.col("n_chunks") - F.col("n_unique")).alias("n_removable"),
-        )
-        .orderBy("source")
+    chunks = toks.select(
+        "doc_id", "source", F.explode(fps).alias("fp")
     )
+    return _chunk_dup_readout(chunks)
 
 
 def _finalize_chunk_cdc_oracle() -> str:

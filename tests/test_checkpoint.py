@@ -107,3 +107,33 @@ def test_checkpoint_stage_in_task(tmp_path, sf_dir, spark, ckpt_dir):
     data = rc.run()
     assert (ckpt_dir / "test.task_result").is_dir()
     assert data[1]["checkpointed"].count() > 0
+
+
+def test_default_checkpoint_scope_is_per_process(spark, tables, monkeypatch, tmp_path):
+    """Measurement-honesty rule (r11): with no explicit checkpoint dir,
+    artifacts are scoped to THIS driver process — a later invocation
+    never reads what an earlier one persisted — and dead processes'
+    directories are pruned on first use."""
+    import pypers_spark.functions.checkpoint as cp
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "1")
+    monkeypatch.setattr(cp.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(cp, "_PRUNED", False)
+
+    base = tmp_path / "pypers_spark_checkpoints"
+    # a directory from a dead driver (pid 1 is init — never "dead"; use
+    # an impossible pid instead) and one from a live pid (our own)
+    stale = base / "proc-99999999"
+    stale.mkdir(parents=True)
+    (stale / "marker").write_text("x")
+
+    assert f"proc-{os.getpid()}" in cp.checkpoint_dir()
+
+    df = tables["documents"].select("doc_id", F.length("text").alias("n"))
+    out = table_checkpoint(df, "test.proc_scope")
+    assert out.count() > 0
+    # artifact landed under this process's scope
+    assert (base / f"proc-{os.getpid()}" / "test.proc_scope").is_dir()
+    # the dead process's directory was pruned
+    assert not stale.exists()
