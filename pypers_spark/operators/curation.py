@@ -51,15 +51,21 @@ class ExactDedup(Stage):
     def process(self, pipeline, config, status=None, docs=None, **inputs):
         from pypers_spark.functions.text import normalize_text
 
+        # One min_by PER COLUMN (not one struct of all columns): Catalyst
+        # prunes unreferenced aggregate expressions, so a downstream stage
+        # that consumes a subset of columns still gets a pruned FileScan —
+        # a single min_by(struct(*)) would force every column through the
+        # scan and the exchange.
         cols = docs.columns
         deduped = (
             docs.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
             .agg(
-                F.min_by(
-                    F.struct(*[F.col(c) for c in cols]), F.col("doc_id")
-                ).alias("row")
+                *[
+                    F.min_by(F.col(c), F.col("doc_id")).alias(c)
+                    for c in cols
+                ]
             )
-            .select("row.*")
+            .select(*cols)
         )
         return {"deduped": deduped}
 

@@ -1545,16 +1545,39 @@ def dd_containment_idx(t: dict[str, DataFrame]) -> DataFrame:
         .withColumn("ng", F.size("g")),
         "dedup.containment_idx_sets",
     )
+    # Aggregate-and-expand, not a postings self-join (r11, guide
+    # §2.3/§2.4 — the _band_candidates shape): collect each gram's
+    # posting list into a sorted array on the SAME hash(gh)
+    # partitioning the explode's exchange established (no window, no
+    # re-shuffle), drop hot grams wider than the df cap, and emit the
+    # C(df,2) ordered pairs with a nested in-row transform. The r10
+    # self-join form shuffled the windowed 47 MB posting table once and
+    # read it on BOTH join sides — 27 of the operator's 50 executor-
+    # cpu-seconds at sf0.1; this form's widest exchange is the 6 MB
+    # posting stream and the pair counts.
     post = sets.select("doc_id", F.explode("g").alias("gh"))
-    wdf = Window.partitionBy("gh")
-    post_c = post.withColumn("df", F.count("*").over(wdf)).filter(
-        F.col("df") <= CONT_IDX_DF_CAP
+    # Explicit repartition (not a bare groupBy): AQE coalesces the 7 MB
+    # posting exchange to ~6 partitions, but THIS stage expands 7 MB of
+    # postings into ~47 MB of candidate pairs — the explicit count keeps
+    # the C(df,2) expansion on the full machine (measured 6 -> 32 tasks).
+    buckets = (
+        post.repartition(n_part, F.col("gh"))
+        .groupBy("gh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= CONT_IDX_DF_CAP))
     )
-    a = post_c.select(F.col("doc_id").alias("id_a"), "gh")
-    b = post_c.select(F.col("doc_id").alias("id_b"), "gh")
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, "gh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )

@@ -54,10 +54,22 @@ EARTH_R_KM = 6371.0
 DENSITY_TOP_K = 20
 
 
-def _points(t: dict[str, DataFrame]) -> DataFrame:
+def _points(t: dict[str, DataFrame], spread: bool = True) -> DataFrame:
     """Deterministic point per customer: exact integer fixed-point
-    degrees from two independent md5 hash draws."""
+    degrees from two independent md5 hash draws.
+
+    Hash-repartitioned on pid (r11, the corpus() lesson): the skinny
+    customer file arrives in 1-2 scan splits, which pinned every gs_*
+    query's 9-cell probe explode and haversine verify to 1-2 cores
+    (gs_knn_join's candidate stage: 2 tasks, 2.2 of the query's 4.4
+    executor-cpu-seconds). At 100 TB the scan has thousands of splits
+    and AQE coalesces this exchange away. ``spread=False`` skips the
+    exchange for consumers that only map-side aggregate the points
+    (gs_grid_cells — the shuffle quadrupled its wall for no win)."""
     c = t["customer"]
+    if spread:
+        n = int(c.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        c = c.repartition(n, F.col("c_custkey"))
     h_lat = md5_int64(F.concat(F.lit("lat:"), F.col("c_custkey").cast("string")))
     h_lon = md5_int64(F.concat(F.lit("lon:"), F.col("c_custkey").cast("string")))
     return c.select(
@@ -93,7 +105,7 @@ def _cell(lat, lon):
 def gs_grid_cells(t: dict[str, DataFrame]) -> DataFrame:
     """Top-20 densest grid cells: point→cell map-side assignment, one
     hash aggregation, TakeOrderedAndProject for the readout."""
-    pts = _points(t)
+    pts = _points(t, spread=False)
     cy, cx = _cell(F.col("lat"), F.col("lon"))
     return (
         pts.select(cy.alias("cell_y"), cx.alias("cell_x"))

@@ -57,6 +57,25 @@ def _duck_psum(expr: str) -> str:
     )
 
 
+def _t03_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """The τ=0.3 near-dup pair table, persisted under ONE shared key.
+
+    r11 (guide §5 caching rule): six graph operators consume the
+    identical pair plan; before this helper each persisted it under its
+    own key (tri_pairs / mod_pairs / kcore_pairs / lp_pairs / aa_pairs
+    + two unpersisted uses), so a bench or sweep built and cached the
+    same pairwise-cosine table up to six times. One key = one build,
+    one cache entry, every later consumer reuses it (tracked_persist
+    memoizes on plan equality)."""
+    from pypers_spark.functions.caching import tracked_persist
+    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+
+    return tracked_persist(
+        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
+        "graph.t03_pairs",
+    )
+
+
 def _pagerank_on_pairs(t: dict[str, DataFrame], tau: float, cache_tag: str) -> DataFrame:
     """PageRank (damping {PR_DAMPING}, {PR_ITERS} unrolled iterations) on
     the undirected near-dup pair graph from the cosine-τ pair query.
@@ -326,9 +345,7 @@ def gr_degree_stats(t: dict[str, DataFrame]) -> DataFrame:
     100 TB the pair graph would come from a checkpointed parquet table
     and this is two cheap shuffles over node counts.
     """
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
-
-    pairs = _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b")
+    pairs = _t03_pairs(t)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -376,13 +393,7 @@ def gr_triangle_count(t: dict[str, DataFrame]) -> DataFrame:
     degree table in closed form (Σ deg·(deg−1)/2), not enumeration.
     The canonical edge set is persisted once and drives both joins.
     """
-    from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
-
-    pairs = tracked_persist(
-        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
-        "graph.tri_pairs",
-    )
+    pairs = _t03_pairs(t)
     deg = (
         pairs.select(F.col("id_a").alias("v"))
         .union(pairs.select(F.col("id_b").alias("v")))
@@ -480,9 +491,7 @@ def gr_modularity(t: dict[str, DataFrame]) -> DataFrame:
     )
 
     clusters = _cluster_on_pairs(t, COS_T03).select("vec_id", "cluster_id")
-    pairs = tracked_persist(
-        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"), "graph.mod_pairs"
-    )
+    pairs = _t03_pairs(t)
     m_df = pairs.agg(F.count("*").cast("double").alias("m"))
     deg = (
         pairs.select(F.col("id_a").alias("v"))
@@ -583,9 +592,8 @@ def gr_bfs_reach(t: dict[str, DataFrame]) -> DataFrame:
     edges dominate, AQE broadcasts the frontier when it fits.
     """
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
 
-    pairs = _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b")
+    pairs = _t03_pairs(t)
     edges = tracked_persist(
         pairs.union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -682,12 +690,8 @@ def gr_k_core(t: dict[str, DataFrame]) -> DataFrame:
     reliable-checkpoint discipline; the per-round plan is identical.
     """
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
 
-    pairs = tracked_persist(
-        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
-        "graph.kcore_pairs",
-    )
+    pairs = _t03_pairs(t)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -765,31 +769,41 @@ def gr_link_predict(t: dict[str, DataFrame]) -> DataFrame:
     candidates — the "these two clusters are about to merge" signal a
     dedup pipeline reviews before lowering its threshold.
 
-    Scale shape: candidates come from the WEDGE join (a−m, m−b with
-    a < b), so the intersection count is a count(*) per candidate off
-    one self-join of the doubled edge list — candidate volume is
-    Σ_m deg(m)², wedge-bounded like gr_triangle_count, never all-pairs.
-    Degrees are a node-cardinality broadcast; existing edges drop out
-    via one anti-join; integers until the final division; global top-k
-    fuses to TakeOrderedAndProject.
+    Scale shape (r11, guide §2.3/§2.4 — the _band_candidates shape):
+    each node's neighbor list is collected ONCE (one exchange on the
+    doubled edge list, persisted node-sized table); wedges a−m−b come
+    from the C(deg,2) in-row expansion of the sorted list — candidate
+    volume is still Σ_m deg(m)² but the doubled edge list is shuffled
+    once instead of three times (degree pass + both self-join sides),
+    and degrees fall out of the same aggregation as size(neighbors).
+    Existing edges drop out via one anti-join; integers until the
+    final division; global top-k fuses to TakeOrderedAndProject.
     """
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
 
-    pairs = tracked_persist(
-        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
-        "graph.lp_pairs",
-    )
+    pairs = _t03_pairs(t)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
-    # wedges: a -m- b, canonical a < b
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("m"))
-    e2 = edges.select(F.col("id_a").alias("m"), F.col("id_b").alias("b"))
+    nbrs = tracked_persist(
+        edges.groupBy(F.col("id_a").alias("m")).agg(
+            F.array_sort(F.collect_list("id_b")).alias("ns")
+        ),
+        "graph.lp_nbrs",
+    )
+    deg = nbrs.select(F.col("m").alias("id_a"), F.size("ns").cast("bigint").alias("deg"))
+    wedge_pairs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size("ns")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        e1.join(e2, "m")
-        .filter(F.col("a") < F.col("b"))
+        nbrs.select(F.explode(wedge_pairs).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -872,30 +886,42 @@ ORACLES["gr_link_predict"] = _oracle_link_predict()
 
 def gr_adamic_adar(t: dict[str, DataFrame]) -> DataFrame:
     """Top-{LINKPRED_TOP_K} non-edges by Adamic–Adar score."""
-    from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
-
-    pairs = tracked_persist(
-        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
-        "graph.aa_pairs",
-    )
+    pairs = _t03_pairs(t)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("m"))
-    e2 = edges.select(F.col("id_a").alias("m"), F.col("id_b").alias("b"))
-    dm = deg.select(F.col("id_a").alias("m"), F.col("deg").alias("deg_m"))
+    # Aggregate-and-expand (r11, the gr_link_predict shape): collect
+    # each middle node's sorted neighbor list once; wedges a−m−b are the
+    # in-row C(deg,2) expansion, and the Adamic–Adar weight 1/ln(deg_m)
+    # is a per-row constant (deg_m = size of the list) — no wedge
+    # self-join, no separate degree join.
+    from pypers_spark.functions.caching import tracked_persist
+
+    nbrs = tracked_persist(
+        edges.groupBy(F.col("id_a").alias("m")).agg(
+            F.array_sort(F.collect_list("id_b")).alias("ns")
+        ),
+        "graph.lp_nbrs",
+    )
+    wedge_pairs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size("ns")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     scored = (
-        e1.join(e2, "m")
-        .filter(F.col("a") < F.col("b"))
-        .join(dm, "m")
+        nbrs.select(
+            F.explode(wedge_pairs).alias("p"),
+            (F.lit(1.0) / F.log(F.size("ns").cast("double"))).alias("w"),
+        )
+        .select("p.a", "p.b", "w")
         .groupBy("a", "b")
         .agg(
             F.count("*").alias("n_common"),
-            rnd(dsum(F.lit(1.0) / F.log(F.col("deg_m").cast("double"))), 6).alias(
-                "aa_score"
-            ),
+            rnd(dsum(F.col("w")), 6).alias("aa_score"),
         )
     )
     cand = scored.join(

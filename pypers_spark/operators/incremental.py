@@ -712,11 +712,19 @@ def op_market_basket(t: dict[str, DataFrame]) -> DataFrame:
     keys pair counts on the brand pair and one keys brand support.
     The fact⋈dim scan is paid exactly once.
     """
-    grp = (
+    from pypers_spark.functions.caching import tracked_persist
+
+    # Persisted once (r11): the basket table feeds both the support
+    # chain and the pair chain — without the persist each consumer
+    # re-ran the post-shuffle collect_set aggregation (the scan+join
+    # below the exchange was shared via ReusedExchange, the aggregation
+    # above it was not), and AQE coalesced both consumers to 5 tasks.
+    grp = tracked_persist(
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands")),
+        "incremental.market_baskets",
     )
     n_orders = t["orders"].agg(F.count("*").alias("n_orders"))
     supp = (

@@ -1375,12 +1375,24 @@ def sk_cms_merge(t: dict[str, DataFrame]) -> DataFrame:
         F.element_at(F.col("tk"), i + 1),
         F.element_at(F.col("tk"), i + 2),
     )
-    occ = toks.select(
-        (F.col("doc_id") % CMSM_SHARDS).alias("shard"),
-        F.explode(
-            F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: gram(i))
-        ).alias("gram"),
-    ).withColumn("h", md5_int64(F.col("gram")))
+    from pypers_spark.functions.caching import tracked_persist
+
+    # Persisted once (r11, guide §5 caching rule: reused AND expensive):
+    # the gram+hash stream feeds FOUR consumers (sharded partials,
+    # global single-pass CMS, exact top-k, probe rows) — each re-ran
+    # the gram explode + md5 chain before (4 stages x ~14 executor-
+    # cpu-s at sf0.1, 57 cpu-s total for the query; ~20 after).
+    occ = tracked_persist(
+        toks.select(
+            (F.col("doc_id") % CMSM_SHARDS).alias("shard"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 2), lambda i: gram(i)
+                )
+            ).alias("gram"),
+        ).withColumn("h", md5_int64(F.col("gram"))),
+        "sketches.cms_merge_occ",
+    )
     cell = F.explode(_cms_probe_cols(F.col("h"))).alias("cell")
     partial = (
         occ.select("shard", cell)
