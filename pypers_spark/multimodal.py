@@ -109,6 +109,24 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _materialize_stats(df: DataFrame) -> DataFrame:
+    """Hash-repartition a SMALL post-codec stats DataFrame on media_id.
+
+    The exchange materializes the Python codec stage's output once
+    (r11, guide §2.3/§8): without it, any plan with two consumers of
+    the decode — a readout branch, or just the range-sampling job that
+    every final ``orderBy`` launches — re-runs the WHOLE codec stage
+    per consumer (measured: mm_png_meta's 500-image PNG decode executed
+    twice per query, 19.8 + 14.4 executor-cpu-s). Only skinny stats
+    rows cross the exchange, never payloads; downstream consumers and
+    the sort sampler read the materialized shuffle blocks instead.
+
+    No explicit partition count: REPARTITION_BY_COL lets AQE coalesce
+    the (tiny) stats exchange — a pinned count held 32 post-exchange
+    tasks alive whose fixed per-task cost exceeded the rows' worth."""
+    return df.repartition(F.col("media_id"))
+
+
 def media_table(documents: DataFrame) -> DataFrame:
     """Build a media table from the documents table (payload = utf-8 text).
 
@@ -1123,6 +1141,11 @@ def decode_audio(media: DataFrame) -> DataFrame:
                 }
             )
 
+    # NOT _materialize_stats-wrapped (r11): the only consumer
+    # (mm_audio_meta) aggregates to a 12-group key immediately — that
+    # aggregation's own exchange already decouples the final sort's
+    # sampling job from the decode, so an extra exchange here is pure
+    # cost (measured +0.2s solo at sf0.1).
     return media.mapInPandas(decode_batches, schema=AUDIO_META_SCHEMA)
 
 
@@ -1152,7 +1175,9 @@ def decode_media(media: DataFrame, decoder: Optional[Decoder] = None) -> DataFra
                 }
             )
 
-    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    return _materialize_stats(
+        media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    )
 
 
 def default_feature_extractor(payload: bytes, dim: int = FEATURE_DIM) -> list:
@@ -1189,7 +1214,9 @@ def extract_features(
             feats = [list(extract(bytes(p))) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"].values, "features": feats})
 
-    return media.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+    return _materialize_stats(
+        media.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+    )
 
 
 def resize_media(media: DataFrame, max_bytes: int = 64) -> DataFrame:
@@ -1300,7 +1327,9 @@ def phash_media(media: DataFrame) -> DataFrame:
                 {"media_id": ids, "width": ws, "height": hs, "phash": hashes}
             )
 
-    return media.mapInPandas(phash_batches, schema=PHASH_SCHEMA)
+    return _materialize_stats(
+        media.mapInPandas(phash_batches, schema=PHASH_SCHEMA)
+    )
 
 
 # --- PCM signal statistics (r8) -----------------------------------------------
@@ -1375,7 +1404,9 @@ def audio_energy(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.mapInPandas(energy_batches, schema=PCM_STATS_SCHEMA)
+    return _materialize_stats(
+        media.mapInPandas(energy_batches, schema=PCM_STATS_SCHEMA)
+    )
 
 
 # --- Frame luminance (scene-cut input) ----------------------------------------
@@ -1422,6 +1453,10 @@ def frame_lumas(
                 }
             )
 
+    # NOT _materialize_stats-wrapped (r11): the only consumer
+    # (mm_scene_cut) runs a per-media window over the luma rows whose
+    # own exchange decouples the final sort's sampler from the decode;
+    # an extra exchange here measured +0.1s solo at sf0.1.
     return media.mapInPandas(luma_batches, schema=FRAME_LUMA_SCHEMA)
 
 
@@ -1505,4 +1540,6 @@ def audio_vad(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.mapInPandas(vad_batches, schema=VAD_SCHEMA)
+    return _materialize_stats(
+        media.mapInPandas(vad_batches, schema=VAD_SCHEMA)
+    )

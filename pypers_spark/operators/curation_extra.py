@@ -112,13 +112,22 @@ def txt_winnowing(t: dict[str, DataFrame]) -> DataFrame:
         F.min("h").over(w_min).alias("wmin"),
         F.count("*").over(w_min).alias("wcnt"),
     ).filter(F.col("wcnt") == WINNOW_W)
-    return (
+    # r11: materialize the doc-cardinality readout into a hash exchange
+    # BEFORE the global sort. distinct+groupBy reuse the window's
+    # hash(doc_id) partitioning (good — no extra shuffle), but that
+    # left NO exchange between the explode+window chain and the final
+    # orderBy, so the range-sort's SAMPLING job re-executed the whole
+    # fingerprint chain (measured 44.7 executor-cpu-s for the sample
+    # vs 17.4 for the real pass). The repartition ships ~500 tiny rows
+    # and the sampler reads shuffle blocks instead.
+    out = (
         full.select("doc_id", "wmin")
         .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_fingerprints"))
-        .orderBy("doc_id")
     )
+    n = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return out.repartition(n, F.col("doc_id")).orderBy("doc_id")
 
 
 ORACLE_WINNOWING = f"""

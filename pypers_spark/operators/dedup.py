@@ -1583,9 +1583,16 @@ def dd_containment_idx(t: dict[str, DataFrame]) -> DataFrame:
     )
     ga = sets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"), F.col("ng").alias("ng_a"))
     gb = sets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"), F.col("ng").alias("ng_b"))
+    # Explicit broadcast of the doc-cardinality gram-set side (r11,
+    # guide §3.1): size ESTIMATES made the planner broadcast the
+    # candidate-pair AGGREGATION instead (BuildLeft over Exchange →
+    # the 48 MB pair shuffle was read twice, once to build the
+    # broadcast and once more downstream — 2×20 executor-cpu-s at
+    # sf0.1). With the hint the pair stream is read ONCE and flows
+    # through two broadcast hash joins in the same stage.
     verified = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(F.broadcast(ga), "id_a")
+        .join(F.broadcast(gb), "id_b")
         .filter(
             F.col("shared")
             >= CONT_IDX_PREFILTER * CONT_IDX_TAU * F.least("ng_a", "ng_b")

@@ -92,6 +92,26 @@ def _gram_rows(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _gram_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-gram occurrence counts + base hash, persisted under ONE
+    shared key (r11, guide §5 caching rule): sk_cms_heavy,
+    sk_hll_distinct and sk_kmv_distinct all derive from the word-3-gram
+    stream; each used to re-run the tokenize + explode chain. The
+    count table is vocabulary-cardinality, the groupBy is map-side
+    partial, and every downstream readout (CMS cells sum occ_cnt, HLL
+    registers and KMV mins are duplicate-insensitive, exact distinct =
+    row count) is value-identical on it."""
+    from pypers_spark.functions.caching import tracked_persist
+
+    return tracked_persist(
+        _gram_rows(t)
+        .groupBy("gram")
+        .agg(F.count("*").alias("occ_cnt"))
+        .withColumn("h", md5_int64(F.col("gram"))),
+        "sketches.gram_counts",
+    )
+
+
 _DUCK_TOKS = f"string_split({duck_normalize_text('text')}, ' ')"
 
 # DuckDB twin of the gram stream (1-based list indexing, [a, b) range).
@@ -134,20 +154,28 @@ def sk_cms_heavy(t: dict[str, DataFrame]) -> DataFrame:
     the depth×width cell table; est = min over rows, always ≥ exact
     (CMS guarantees one-sided error — ``overest`` exposes collisions).
     """
-    occ = _gram_rows(t).withColumn("h", md5_int64(F.col("gram")))
+    # Pre-aggregate per gram via the SHARED persisted count table (r11,
+    # guide §2.3/§5): the gram stream fed TWO consumers here (cell
+    # counts and exact top-k), each re-running the explode + tokenize
+    # chain — and two sibling sketches re-ran it again. Only
+    # vocabulary-cardinality rows cross the exchange; the CMS cell
+    # table sums gram counts (identical to counting occurrences).
+    gcnt = _gram_counts(t)
     cell = F.explode(_cms_probe_cols(F.col("h"))).alias("cell")
     cells = (
-        occ.select(cell)
-        .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        gcnt.select("occ_cnt", cell)
+        .select(
+            F.col("cell.d").alias("d"),
+            F.col("cell.bucket").alias("bucket"),
+            "occ_cnt",
+        )
         .groupBy("d", "bucket")
-        .agg(F.count("*").alias("cell_cnt"))
+        .agg(F.sum("occ_cnt").alias("cell_cnt"))
     )
     top = (
-        occ.groupBy("gram")
-        .agg(F.count("*").alias("exact"))
+        gcnt.select("gram", F.col("occ_cnt").alias("exact"), "h")
         .orderBy(F.desc("exact"), "gram")
         .limit(CMS_TOP_K)
-        .withColumn("h", md5_int64(F.col("gram")))
     )
     probes = top.select("gram", "exact", F.explode(_cms_probe_cols(F.col("h"))).alias("cell"))
     return (
@@ -225,8 +253,13 @@ def sk_hll_distinct(t: dict[str, DataFrame]) -> DataFrame:
     The harmonic-mean denominator Σ 2^−M[j] is computed as the exact
     integer Σ 2^(RHO_MAX − M[j]) ≤ 64·2^55 < 2^62 — order-independent.
     """
-    grams = _gram_rows(t)
-    h = md5_int64(F.col("gram"))
+    # Shared per-gram count table (r11): HLL registers are max-merged,
+    # so duplicate occurrences of a gram cannot change any register —
+    # the distinct-gram rows of _gram_counts give identical registers
+    # without re-running the tokenize + explode chain; exact distinct
+    # is the table's row count.
+    grams = _gram_counts(t)
+    h = F.col("h")
     hashed = grams.select(
         (h % HLL_M).alias("bucket"), F.shiftright(h, HLL_P).alias("w")
     )
@@ -244,7 +277,7 @@ def sk_hll_distinct(t: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_reg)")).alias("s"),
         F.count(F.when(F.col("m_reg") == 0, 1)).alias("v_zero"),
     )
-    exact = grams.agg(F.count_distinct("gram").alias("n_exact"))
+    exact = grams.agg(F.count("*").alias("n_exact"))
     raw = (
         F.lit(HLL_ALPHA)
         * F.lit(float(HLL_M * HLL_M))
@@ -326,7 +359,10 @@ def sk_kmv_distinct(t: dict[str, DataFrame]) -> DataFrame:
     keep the k smallest distinct hashes, estimate (k−1)·2^60/h_k.
     orderBy+limit plans as TakeOrderedAndProject — per-partition
     map-side top-k, a k-row merge, never a global sort."""
-    hs = _gram_rows(t).select(md5_int64(F.col("gram")).alias("h")).distinct()
+    # Shared per-gram count table (r11): KMV needs distinct hashes; the
+    # count table is distinct by gram already, one .distinct() on h
+    # remains only to fold md5 collisions exactly as before.
+    hs = _gram_counts(t).select("h").distinct()
     kmin = hs.orderBy("h").limit(KMV_K).agg(
         F.max("h").alias("kth_min_hash"), F.count("*").alias("k_eff")
     )
@@ -535,8 +571,25 @@ def sk_join_cardinality(t: dict[str, DataFrame]) -> DataFrame:
     estimator never scans the facts at all.
     """
 
-    def cms_of(df: DataFrame, key: str) -> DataFrame:
-        h = md5_int64(F.col(key))
+    # Build the sketches from the PER-KEY COUNT tables, not the raw fact
+    # rows (r11, guide §2.3 "aggregate before you shuffle"): the r10 form
+    # exploded CMS_DEPTH structs per FACT ROW and shuffled 4x|events|
+    # rows; the per-key aggregation is map-side partial, so only key
+    # cardinality crosses the exchange, the depth explode runs over the
+    # skinny key table, and the SAME count tables feed the exact
+    # cardinality below — the two consumers of each count table share
+    # the aggregation's exchange via ReusedExchange (no persist: the
+    # tables are key-cardinality and the rebuild above the shared
+    # exchange is one trivial final aggregation).
+    ca = t["events"].groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    cb = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+
+    def cms_of(keys: DataFrame, cnt: str) -> DataFrame:
+        h = md5_int64(F.col("k"))
         cell = F.explode(
             F.array(
                 *[
@@ -549,13 +602,17 @@ def sk_join_cardinality(t: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("cell")
         return (
-            df.select(cell)
-            .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+            keys.select(F.col(cnt).alias("kc"), cell)
+            .select(
+                F.col("cell.d").alias("d"),
+                F.col("cell.bucket").alias("bucket"),
+                "kc",
+            )
             .groupBy("d", "bucket")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("kc").alias("cnt"))
         )
-    cms_a = cms_of(t["events"], "user_id")
-    cms_b = cms_of(t["orders"], "o_custkey")
+    cms_a = cms_of(ca, "na")
+    cms_b = cms_of(cb, "nb")
     # Decimal accumulation: at 100 TB cell counts reach ~1e10 and the
     # per-cell product ~1e20 — past int64. decimal(38,0) keeps the
     # inner product exact at any scale (DuckDB's BIGINT sum already
@@ -574,10 +631,6 @@ def sk_join_cardinality(t: dict[str, DataFrame]) -> DataFrame:
             .cast("bigint")
             .alias("est_card")
         )
-    )
-    ca = t["events"].groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("na"))
-    cb = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").alias("nb")
     )
     exact = ca.join(cb, "k").agg(
         F.sum(F.col("na") * F.col("nb")).alias("exact_card")

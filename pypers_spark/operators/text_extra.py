@@ -77,11 +77,27 @@ def txt_tfidf_top(t: dict[str, DataFrame]) -> DataFrame:
             "score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    # min_by over an ordering struct, not a row_number window (r11,
+    # guide §2.3): the aggregate does map-side partial aggregation —
+    # one candidate row per doc per input partition crosses the
+    # exchange, no per-doc sort. (-score, token) ascending is exactly
+    # the window's (score DESC, token ASC) rank-1 row; score > 0
+    # always (tf·N/df), so the negation is safe.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "token", "tf", "df", rnd(F.col("score"), 4).alias("score"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("token", "tf", "df", "score"),
+                F.struct((-F.col("score")).alias("o1"), F.col("token").alias("o2")),
+            ).alias("r")
+        )
+        .select(
+            "doc_id",
+            "r.token",
+            "r.tf",
+            "r.df",
+            rnd(F.col("r.score"), 4).alias("score"),
+        )
         .orderBy("doc_id")
     )
 

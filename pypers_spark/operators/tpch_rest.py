@@ -296,16 +296,29 @@ def q21_waiting_supplier(t: dict[str, DataFrame]) -> DataFrame:
     pair = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum("is_late").alias("late_lines")
     )
-    w = Window.partitionBy("l_orderkey")
+    # Order-level AGGREGATION, not a window (r11, guide §2.3): the
+    # window shuffled + sorted every pair row to count suppliers per
+    # order; the aggregation is map-side partial (order-cardinality
+    # rows cross the second exchange, no sort), and because a
+    # qualifying order has EXACTLY ONE late supplier (n_late_supp = 1),
+    # max(when(late)) recovers that supplier's key and line count in
+    # the same pass.
     flagged = (
-        pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "n_late_supp", F.sum((F.col("late_lines") > 0).cast("int")).over(w)
+        pair.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+            F.max(
+                F.when(
+                    F.col("late_lines") > 0,
+                    F.struct("l_suppkey", "late_lines"),
+                )
+            ).alias("late_sup"),
         )
-        .filter(
-            (F.col("late_lines") > 0)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1)
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(
+            F.col("late_sup.l_suppkey").alias("l_suppkey"),
+            F.col("late_sup.late_lines").alias("late_lines"),
         )
     )
     nat1 = t["nation"].filter(F.col("n_name") == "NATION_1")

@@ -347,3 +347,38 @@ def test_hll_grouped_partial_agg(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
+
+
+def test_tfidf_top_no_window(spark, sf_dir):
+    """txt_tfidf_top's per-doc argmax is a min_by aggregation (map-side
+    partial), not a row_number window: no Window node, and the final
+    aggregate partial-aggregates."""
+    plan = plan_of(spark, sf_dir, "txt_tfidf_top")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "partial_" in plan
+
+
+def test_q21_no_window(spark, sf_dir):
+    """q21's per-order supplier counts are an aggregation (map-side
+    partial, order-cardinality rows cross the exchange), not a window
+    over the pair table."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "Window" not in plan
+
+
+def test_sketch_trio_shares_gram_counts(spark, sf_dir):
+    """sk_cms_heavy / sk_hll_distinct / sk_kmv_distinct all read the ONE
+    persisted per-gram count table instead of re-running the tokenize +
+    explode chain (InMemoryRelation in every plan), and the CMS cell
+    table sums occ_cnt with partial aggregation."""
+    for key in ("sk_cms_heavy", "sk_hll_distinct", "sk_kmv_distinct"):
+        plan = full_explain(spark, sf_dir, key)
+        assert "InMemoryRelation" in plan, key
+
+
+def test_containment_broadcasts_gram_sets(spark, sf_dir):
+    """dd_containment_idx: the doc-cardinality gram-set sides broadcast
+    so the candidate-pair aggregation streams once (never built as a
+    broadcast itself)."""
+    plan = plan_of(spark, sf_dir, "dd_containment_idx")
+    assert plan.count("BroadcastHashJoin") >= 2
