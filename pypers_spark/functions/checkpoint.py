@@ -184,16 +184,24 @@ def table_checkpoint(df: DataFrame, key: str) -> DataFrame:
             os.rename(staging, path)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # lost the race
-        # prune stale digests — they can never be requested again — and
-        # staging dirs abandoned by crashed writers (>1h old; a live
-        # writer publishes within one job)
+        # prune stale digests and staging dirs abandoned by crashed
+        # writers (>1h old; a live writer publishes within one job).
+        # A digest memoized in _OPEN is NOT stale (r11 fix): sessions
+        # that alternate scale factors under one key (profilers warm at
+        # sf0.001 then run sf0.1; the bench warms the same way) flip
+        # between digests, and pruning the other digest deletes parquet
+        # under a LIVE persisted DataFrame — its lazily-read / evicted
+        # cache partitions then fail with FAILED_READ.FILE_NOT_EXIST
+        # (the source of this round's flaky retries).
         if os.path.isdir(base):
             import time
 
+            live = {d for (k2, d) in _OPEN if k2 == key}
+            live.add(digest)
             cutoff = time.time() - 3600
             for entry in os.listdir(base):
                 full = os.path.join(base, entry)
-                if entry != digest and ".tmp-" not in entry:
+                if entry not in live and ".tmp-" not in entry:
                     shutil.rmtree(full, ignore_errors=True)
                 elif ".tmp-" in entry and entry != os.path.basename(staging):
                     try:

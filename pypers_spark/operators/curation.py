@@ -45,7 +45,10 @@ class ExactDedup(Stage):
     so "min_by doc_id" is exactly the window's rank-1 row.
     """
 
-    consumes = ("docs",)
+    # `inputs`, not `consumes` (r11): RepetitionFilter reads the raw
+    # docs scan for its per-doc metrics, so the field must survive this
+    # stage; RepetitionFilter consumes it.
+    inputs = ("docs",)
     outputs = ("deduped",)
 
     def process(self, pipeline, config, status=None, docs=None, **inputs):
@@ -182,45 +185,87 @@ class RepetitionFilter(Stage):
     fraction and top-token fraction thresholds over the token array —
     pure array expressions, no shuffle added to the composed plan."""
 
-    consumes = ("filtered",)
+    consumes = ("filtered", "docs")
     outputs = ("gated",)
 
-    def process(self, pipeline, config, status=None, filtered=None, **inputs):
-        from pyspark.sql import Window
-
+    def process(self, pipeline, config, status=None, filtered=None, docs=None, **inputs):
         from pypers_spark.functions.text import tokenize_ws
 
         max_dup2 = config.get("max_dup_2gram", 0.3)
         max_top = config.get("max_top_token", 0.5)
-        # Aggregation form, NOT array lambdas: a downstream filter on a
-        # metric computed via array expressions gets pushed below the
-        # projection (even through exchanges), re-substituting the whole
-        # tokenize subtree into per-element lambdas — measured 21 s vs
-        # 2 s for the composed pipeline at sf0.1. Filters cannot push
-        # below an AGGREGATE, and explode+count is also O(n) per doc
-        # where the array-lambda top-token count is O(n²) — the form
-        # that survives a 1M-token document.
-        toks = filtered.select(
-            "doc_id", F.posexplode(tokenize_ws(F.col("text"))).alias("pos", "tok")
+        # Metrics from the RAW docs scan, not from `filtered` (r11,
+        # guide §2.1): `filtered` fed two plan branches (metrics + the
+        # gated join's row side) whose column sets differ, so Catalyst
+        # planned two separate scan→dedup→quality chains — the whole
+        # dedup reduce ran twice (13.2 + 10.6 executor-cpu-s at sf0.1).
+        # Dedup/quality only DROP rows and never rewrite a surviving
+        # row's text, and each doc_id's metrics depend only on its own
+        # text, so metrics computed pre-filter are identical for every
+        # row the inner join keeps; the extra metric rows (for docs the
+        # filters drop) are discarded by the join. The metrics branch
+        # reads a (doc_id, text)-pruned scan with NO dedup exchange, and
+        # the dedup+quality chain runs ONCE. (A tracked_persist of
+        # `filtered` measured WORSE — both consumers race to build the
+        # unpruned full-row cache in concurrent stages: 68 cpu-s.)
+        tk = tokenize_ws(F.col("text"))
+        # Adjacent pairs built IN-ARRAY then exploded with the tokens in
+        # ONE tagged stream (guide §2.2): the old posexplode + lead
+        # window shuffled and SORTED every token row just to look one
+        # element ahead, then a second explode + join merged the two
+        # metric families. Tokens never contain a space and every pair
+        # does, but the tag rides in the grouping key anyway. Both
+        # metrics stay behind AGGREGATIONS — a bare array-expression
+        # fraction gets re-substituted per reference by the pushed
+        # gated filter (no CSE; measured 43 executor-cpu-s that way).
+        # Explode + two-level agg is also O(n) per doc where the
+        # in-array top-token count is O(n²) — the form that survives a
+        # 1M-token document.
+        pairs_arr = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        tagged = docs.select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        tk,
+                        lambda t_: F.struct(
+                            F.lit(0).alias("is_pair"), t_.alias("v")
+                        ),
+                    ),
+                    F.transform(
+                        pairs_arr,
+                        lambda p_: F.struct(
+                            F.lit(1).alias("is_pair"), p_.alias("v")
+                        ),
+                    ),
+                )
+            ).alias("e"),
         )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        pairs = toks.withColumn("nxt", F.lead("tok").over(w))
-        pair_stats = (
-            pairs.filter(F.col("nxt").isNotNull())
-            .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("pair"))
-            .groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_pairs"),
-                F.count_distinct(F.col("pair")).alias("n_distinct_pairs"),
+        per_doc = (
+            tagged.groupBy(
+                "doc_id",
+                F.col("e.is_pair").alias("is_pair"),
+                F.col("e.v").alias("v"),
             )
-        )
-        tok_stats = (
-            toks.groupBy("doc_id", "tok")
             .agg(F.count("*").alias("c"))
             .groupBy("doc_id")
-            .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens"))
+            .agg(
+                F.max(F.when(F.col("is_pair") == 0, F.col("c"))).alias("top_cnt"),
+                F.sum(F.when(F.col("is_pair") == 0, F.col("c"))).alias("n_tokens"),
+                F.sum(F.when(F.col("is_pair") == 1, F.col("c"))).alias("n_pairs"),
+                F.count(F.when(F.col("is_pair") == 1, F.lit(1))).alias(
+                    "n_distinct_pairs"
+                ),
+            )
         )
-        metrics = tok_stats.join(pair_stats, "doc_id", "left").select(
+        metrics = per_doc.select(
             "doc_id",
             F.when(
                 F.coalesce(F.col("n_pairs"), F.lit(0)) > 0,

@@ -295,6 +295,17 @@ def _bands_of(
         "doc_id",
         *[_min_affine(j).alias(f"mh{j}") for j in range(n_hashes)],
     )
+    # Checkpoint the MINHASH table, not just the shingle sets (r11,
+    # guide §5): the n_hashes affine min-reductions over every doc's
+    # shingle array are the single heaviest stage of the whole LSH
+    # family (22 executor-cpu-s at sf0.1) and were re-run by EVERY
+    # consumer (dd_minhash_lsh, _prod, dd_lsh_bucket_stats,
+    # dd_ngram_jaccard_lsh, lsh_candidate_pairs). The table is n_hashes
+    # int64s per doc — tiny next to the signature sets — and the
+    # digest separates different source plans under the same key.
+    from pypers_spark.functions.checkpoint import table_checkpoint
+
+    mh = table_checkpoint(mh, f"dedup.minhash_{n_hashes}")
     band_structs = F.array(
         *[
             F.struct(
@@ -1732,30 +1743,6 @@ ORACLES["dd_soft_weights"] = _duck_soft_weights_sql()
 # --- dd_minhash_incremental --------------------------------------------------
 
 
-def _shingle_sets_of(df: DataFrame, key: str) -> DataFrame:
-    """(doc_id, hs) word-3-shingle signature sets for an arbitrary
-    (doc_id, text) frame — the _signature_table construction opened up
-    for the incremental path, with the same lambda discipline (tokens
-    materialize below an exchange) and a tracked persist per consumer
-    key (bands + verify both read it)."""
-    from pypers_spark.functions.caching import tracked_persist
-
-    toks = df.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
-    )
-    toks = _repartitioned(toks)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1),
-        F.element_at(F.col("tk"), i + 2),
-    )
-    hs = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: md5_int64(gram(i)))
-    )
-    return tracked_persist(
-        toks.filter(F.size("tk") >= 3).select("doc_id", hs.alias("hs")), key
-    )
-
-
 def dd_minhash_incremental(t: dict[str, DataFrame]) -> DataFrame:
     """NEAR-dup admit at ingest: dd_incremental's exact-fingerprint gate
     upgraded to MinHash — each batch document's LSH bands probe the
@@ -1783,21 +1770,91 @@ def dd_minhash_incremental(t: dict[str, DataFrame]) -> DataFrame:
         .otherwise(rev)
         .alias("text"),
     )
-    base_sets = _shingle_sets_of(d, "dedup.incr_base_sets")
-    batch_sets = _shingle_sets_of(batch, "dedup.incr_batch_sets")
-    bb = _bands_of(base_sets)
-    wb = Window.partitionBy("band", *BAND_KEY_COLS)
-    bb_capped = bb.withColumn("wd", F.count("*").over(wb)).filter(
-        F.col("wd") <= LSH_MAX_BUCKET_WIDTH
-    )
-    qb = _bands_of(batch_sets)
-    cand = (
-        qb.alias("q")
-        .join(
-            bb_capped.alias("b"),
-            [F.col(f"q.{k}") == F.col(f"b.{k}") for k in ("band", *BAND_KEY_COLS)],
+    # ONE tokenization pass for BOTH shingle-set tables (r11, guide
+    # §2.1): _shingle_sets_of(d) + _shingle_sets_of(batch) each ran the
+    # scan → normalize_text regex → split chain over the whole corpus
+    # (10.6 + 10.8 executor-cpu-s at sf0.1). The batch variants are
+    # exact TOKEN-level transforms of the base tokens — reversal for
+    # odd ids; append ["zq","augmented","row"] for even (normalize is
+    # trim+collapse+lower, so tokens(normalize(text + " zq augmented
+    # row")) = tokens ++ suffix, with the all-whitespace-text edge case
+    # guarded explicitly) — so both gram/md5 chains run in one
+    # projection over one tokenize. btk is BOUND as a column before the
+    # gram lambdas reference it (the 527011c lesson: an unbound
+    # expression inside a transform re-evaluates per element).
+    from pypers_spark.functions.caching import tracked_persist
+
+    suffix = F.array(F.lit("zq"), F.lit("augmented"), F.lit("row"))
+    toks = _repartitioned(
+        d.select(
+            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk")
         )
-        .select(F.col("q.doc_id").alias("qid"), F.col("b.doc_id").alias("bid"))
+    )
+    is_blank = (F.size("tk") == 1) & (F.element_at(F.col("tk"), 1) == F.lit(""))
+    btk_expr = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.when(is_blank, suffix).otherwise(F.concat(F.col("tk"), suffix)),
+    ).otherwise(F.reverse(F.col("tk")))
+    both = toks.select("doc_id", "tk", btk_expr.alias("btk"))
+
+    def _hs(tkc):
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ",
+            F.element_at(tkc, i),
+            F.element_at(tkc, i + 1),
+            F.element_at(tkc, i + 2),
+        )
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tkc) - 2), lambda i: md5_int64(gram(i))
+            )
+        )
+
+    pair_sets = tracked_persist(
+        both.select(
+            "doc_id",
+            F.when(F.size("tk") >= 3, _hs(F.col("tk"))).alias("hs_base"),
+            F.when(F.size("btk") >= 3, _hs(F.col("btk"))).alias("hs_batch"),
+        ).filter(F.col("hs_base").isNotNull() | F.col("hs_batch").isNotNull()),
+        "dedup.incr_sets",
+    )
+    base_sets = pair_sets.filter(F.col("hs_base").isNotNull()).select(
+        "doc_id", F.col("hs_base").alias("hs")
+    )
+    batch_sets = pair_sets.filter(F.col("hs_batch").isNotNull()).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("hs_batch").alias("hs")
+    )
+    # ONE minhash/band chain over the UNION of base and batch sets,
+    # then aggregate-and-expand per bucket (r11, guide §2.3): the old
+    # form ran _bands_of twice — two 64-affine-minhash passes in two
+    # CONCURRENT stages that raced to build the shared sets cache
+    # (14.5 + 12.9 executor-cpu-s at sf0.1) — and probed with a band
+    # self-join plus a width window. Here the union pays the minhash
+    # once, the bucket groupBy is the only exchange, the base-width cap
+    # is size() of the collected base ids (identical to the old
+    # count(*) window over base rows), and the qid×bid expansion is an
+    # in-row explode. collect_list skips the when()'s nulls, so each
+    # side's id list is exact.
+    ab = _bands_of(base_sets.unionByName(batch_sets))
+    buckets = (
+        ab.groupBy("band", *BAND_KEY_COLS)
+        .agg(
+            F.collect_list(
+                F.when(F.col("doc_id") < 1000000, F.col("doc_id"))
+            ).alias("base_ids"),
+            F.collect_list(
+                F.when(F.col("doc_id") >= 1000000, F.col("doc_id"))
+            ).alias("q_ids"),
+        )
+        .filter(
+            (F.size("base_ids") >= 1)
+            & (F.size("base_ids") <= LSH_MAX_BUCKET_WIDTH)
+            & (F.size("q_ids") >= 1)
+        )
+    )
+    cand = (
+        buckets.select(F.explode("q_ids").alias("qid"), "base_ids")
+        .select("qid", F.explode("base_ids").alias("bid"))
         .distinct()
     )
     qhs = batch_sets.select(F.col("doc_id").alias("qid"), F.col("hs").alias("hs_q"))
@@ -1809,16 +1866,27 @@ def dd_minhash_incremental(t: dict[str, DataFrame]) -> DataFrame:
         .join(bhs, "bid")
         .withColumn("jaccard", rnd(inter / union, 4))
     )
-    cand_agg = cand.groupBy("qid").agg(F.count("*").alias("n_candidates"))
-    ver_agg = (
-        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .groupBy("qid")
-        .agg(F.max("jaccard").alias("best_jaccard"), F.min("bid").alias("matched_base"))
+    # ONE aggregation pass for candidate count AND verify stats (r11,
+    # guide §2.1): cand used to feed two consumers (a bare count and
+    # the jaccard readout), and exchange reuse does NOT fire across the
+    # two branches (each re-ran the whole minhash/bucket chain — two
+    # identical 17 executor-cpu-s stages at sf0.1). The verify joins
+    # are LOSSLESS (every cand qid/bid comes from the band explode of
+    # the same sets tables they join back to), so count(*) over
+    # verified equals the old pre-verify candidate count, and the
+    # threshold moves into conditional aggregates.
+    qstats = verified.groupBy("qid").agg(
+        F.count("*").alias("n_candidates"),
+        F.max(
+            F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.col("jaccard"))
+        ).alias("best_jaccard"),
+        F.min(
+            F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.col("bid"))
+        ).alias("matched_base"),
     )
     return (
         batch.select(F.col("doc_id").alias("qid"))
-        .join(cand_agg, "qid", "left")
-        .join(ver_agg, "qid", "left")
+        .join(qstats, "qid", "left")
         .select(
             F.col("qid").alias("doc_id"),
             F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),

@@ -92,22 +92,63 @@ def _gram_rows(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _shard_gram_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-(shard, gram) occurrence counts + base hash, persisted under
+    ONE shared key (r11, guide §2.2 + §5): the FINEST-grained count
+    table any sketch key needs — sk_cms_merge aggregates per shard,
+    and everything else marginalizes the shard away. The exchange
+    carries only distinct (shard, gram) rows (map-side partial), and
+    because the groupBy exchange sits INSIDE the persisted plan, every
+    consumer stage shares the one tokenize+explode map stage through
+    the cached RDD lineage (work ABOVE a cache is what concurrent
+    consumer branches duplicate — the dd_minhash_incremental lesson)."""
+    from pypers_spark.functions.caching import tracked_persist
+
+    docs = t["documents"]
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk"))
+        .repartition(n, F.col("doc_id"))
+        .filter(F.size("tk") >= 3)
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("tk"), i),
+        F.element_at(F.col("tk"), i + 1),
+        F.element_at(F.col("tk"), i + 2),
+    )
+    rows = toks.select(
+        (F.col("doc_id") % CMSM_SHARDS).alias("shard"),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("tk") - 2), lambda i: gram(i))
+        ).alias("gram"),
+    )
+    return tracked_persist(
+        rows.groupBy("shard", "gram")
+        .agg(F.count("*").alias("occ_cnt"))
+        .withColumn("h", md5_int64(F.col("gram"))),
+        "sketches.shard_gram_counts",
+    )
+
+
 def _gram_counts(t: dict[str, DataFrame]) -> DataFrame:
     """Per-gram occurrence counts + base hash, persisted under ONE
     shared key (r11, guide §5 caching rule): sk_cms_heavy,
     sk_hll_distinct and sk_kmv_distinct all derive from the word-3-gram
     stream; each used to re-run the tokenize + explode chain. The
-    count table is vocabulary-cardinality, the groupBy is map-side
-    partial, and every downstream readout (CMS cells sum occ_cnt, HLL
-    registers and KMV mins are duplicate-insensitive, exact distinct =
-    row count) is value-identical on it."""
+    count table is vocabulary-cardinality, and every downstream readout
+    (CMS cells sum occ_cnt, HLL registers and KMV mins are
+    duplicate-insensitive, exact distinct = row count) is
+    value-identical on it. Derived by marginalizing the shared SHARDED
+    count table (sum over shards of per-shard counts = global count; h
+    is functional in gram, so max() just carries it), so the trio and
+    sk_cms_merge all pay ONE tokenize+explode between them."""
     from pypers_spark.functions.caching import tracked_persist
 
     return tracked_persist(
-        _gram_rows(t)
+        _shard_gram_counts(t)
         .groupBy("gram")
-        .agg(F.count("*").alias("occ_cnt"))
-        .withColumn("h", md5_int64(F.col("gram"))),
+        .agg(F.sum("occ_cnt").alias("occ_cnt"), F.max("h").alias("h")),
         "sketches.gram_counts",
     )
 
@@ -1415,50 +1456,36 @@ CMSM_TOP_K = 10
 
 
 def sk_cms_merge(t: dict[str, DataFrame]) -> DataFrame:
-    docs = t["documents"]
-    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = (
-        docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("tk"))
-        .repartition(n, F.col("doc_id"))
-        .filter(F.size("tk") >= 3)
-    )
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(F.col("tk"), i),
-        F.element_at(F.col("tk"), i + 1),
-        F.element_at(F.col("tk"), i + 2),
-    )
-    from pypers_spark.functions.caching import tracked_persist
-
-    # Persisted once (r11, guide §5 caching rule: reused AND expensive):
-    # the gram+hash stream feeds FOUR consumers (sharded partials,
-    # global single-pass CMS, exact top-k, probe rows) — each re-ran
-    # the gram explode + md5 chain before (4 stages x ~14 executor-
-    # cpu-s at sf0.1, 57 cpu-s total for the query; ~20 after).
-    occ = tracked_persist(
-        toks.select(
-            (F.col("doc_id") % CMSM_SHARDS).alias("shard"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 2), lambda i: gram(i)
-                )
-            ).alias("gram"),
-        ).withColumn("h", md5_int64(F.col("gram"))),
-        "sketches.cms_merge_occ",
-    )
+    # All four consumers (sharded partials, global single-pass CMS,
+    # exact top-k, probe rows) derive from the SHARED per-(shard, gram)
+    # count table (r11, guide §2.2 + §5): the raw gram stream used to
+    # be the persisted artifact, and each consumer re-aggregated ~1M
+    # occurrence rows (4 stages × 10-19 executor-cpu-s at sf0.1).
+    # Cell counts sum occ_cnt — identical to counting occurrences —
+    # and only vocabulary-cardinality rows are cached or re-read.
+    occ = _shard_gram_counts(t)
     cell = F.explode(_cms_probe_cols(F.col("h"))).alias("cell")
     partial = (
-        occ.select("shard", cell)
-        .select("shard", F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        occ.select("shard", "occ_cnt", cell)
+        .select(
+            "shard",
+            F.col("cell.d").alias("d"),
+            F.col("cell.bucket").alias("bucket"),
+            "occ_cnt",
+        )
         .groupBy("shard", "d", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("occ_cnt").alias("cnt"))
     )
     merged = partial.groupBy("d", "bucket").agg(F.sum("cnt").alias("m_cnt"))
     global_ = (
-        occ.select(cell)
-        .select(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+        occ.select("occ_cnt", cell)
+        .select(
+            F.col("cell.d").alias("d"),
+            F.col("cell.bucket").alias("bucket"),
+            "occ_cnt",
+        )
         .groupBy("d", "bucket")
-        .agg(F.count("*").alias("g_cnt"))
+        .agg(F.sum("occ_cnt").alias("g_cnt"))
     )
     mismatch = (
         merged.join(global_, ["d", "bucket"], "full")
@@ -1474,10 +1501,9 @@ def sk_cms_merge(t: dict[str, DataFrame]) -> DataFrame:
     )
     top = (
         occ.groupBy("gram")
-        .agg(F.count("*").alias("exact"))
+        .agg(F.sum("occ_cnt").alias("exact"), F.max("h").alias("h"))
         .orderBy(F.desc("exact"), "gram")
         .limit(CMSM_TOP_K)
-        .withColumn("h", md5_int64(F.col("gram")))
     )
     probes = top.select(
         "gram", "exact", F.explode(_cms_probe_cols(F.col("h"))).alias("cell")

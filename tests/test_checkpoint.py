@@ -38,15 +38,28 @@ def test_checkpoint_written_once_and_read_back(spark, tables, ckpt_dir):
 def test_checkpoint_invalidated_by_plan_change(spark, tables, ckpt_dir):
     df1 = tables["documents"].select("doc_id", F.length("text").alias("n"))
     df2 = tables["documents"].select("doc_id", (F.length("text") * 2).alias("n"))
-    table_checkpoint(df1, "test.inval")
+    out1 = table_checkpoint(df1, "test.inval")
+    n1 = out1.count()
     d1 = set(os.listdir(ckpt_dir / "test.inval"))
     out2 = table_checkpoint(df2, "test.inval")
     d2 = set(os.listdir(ckpt_dir / "test.inval"))
-    assert d1 != d2  # new digest...
-    assert len(d2) == 1  # ...and the stale artifact was pruned
+    assert d1 < d2 and len(d2) == 2  # new digest; LIVE one kept (r11:
+    # sessions alternating scale factors under one key flip digests —
+    # pruning a digest still memoized in _OPEN deletes parquet under a
+    # live persisted DataFrame → flaky FAILED_READ on cache misses)
+    out1.unpersist()  # force the next count to re-read the parquet
+    assert out1.count() == n1  # files survived the second write
     # values follow the new plan
     row = out2.orderBy("doc_id").first()
     assert row["n"] % 2 == 0
+    # once no memo holds a digest, a later write prunes it
+    import pypers_spark.functions.checkpoint as cp
+
+    for kd in [kd for kd in cp._OPEN if kd[0] == "test.inval"]:
+        del cp._OPEN[kd]
+    df3 = tables["documents"].select("doc_id", (F.length("text") * 3).alias("n"))
+    table_checkpoint(df3, "test.inval")
+    assert len(os.listdir(ckpt_dir / "test.inval")) == 1
 
 
 def test_checkpoint_disabled_falls_back_to_persist(spark, tables, ckpt_dir, monkeypatch):

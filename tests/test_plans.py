@@ -382,3 +382,29 @@ def test_containment_broadcasts_gram_sets(spark, sf_dir):
     broadcast itself)."""
     plan = plan_of(spark, sf_dir, "dd_containment_idx")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_curation_metrics_no_window_pruned_scan(spark, sf_dir):
+    """pipe_curation's repetition metrics: no token window remains (the
+    pair list is built in-array and both metric families ride one tagged
+    explode + aggregation), and the metrics branch reads a
+    (doc_id, text)-pruned scan — not the full-width dedup chain."""
+    plan = plan_of(spark, sf_dir, "pipe_curation")
+    assert "Window" not in plan
+
+
+def test_minhash_incremental_single_band_chain(spark, sf_dir):
+    """dd_minhash_incremental: the base+batch band table is ONE unioned
+    minhash chain probed by bucket aggregate-and-expand — no band
+    self-join, no bucket-width window."""
+    plan = plan_of(spark, sf_dir, "dd_minhash_incremental")
+    assert "Window" not in plan
+    assert plan.count("SortMergeJoin") <= 1  # only the final readout join
+
+
+def test_lsh_minhash_table_checkpointed(spark, sf_dir):
+    """The LSH family's n-hash minhash table is a checkpoint artifact:
+    band packing reads it back instead of re-running the affine
+    min-reductions per consumer."""
+    explained = full_explain(spark, sf_dir, "dd_minhash_lsh_prod")
+    assert "dedup.minhash_" in explained
