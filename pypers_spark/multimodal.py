@@ -31,8 +31,10 @@ from __future__ import annotations
 
 import hashlib
 import zlib
+from functools import lru_cache
 from typing import Callable, Iterator, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -361,26 +363,34 @@ def _lzw_compress(pixels: bytes, min_code_size: int) -> bytes:
             width += 1
         if counter >= GIF_MAX_CODE:
             emit(clear)
-            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            table = {}
             width = min_code_size + 1
             counter = eoi + 1
             return True
         return False
 
-    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    # Sequence table keyed by (prefix_code << 8) | next_byte — every LZW
+    # sequence is its prefix's code plus one byte, so an int key avoids
+    # building a bytes object per pixel; single-byte sequences are the
+    # identity codes 0..(1<<min_code_size)-1 and stay implicit.
+    table: dict[int, int] = {}
     emit(clear)
-    seq = b""
+    cur = -1
     for px in pixels:
-        cand = seq + bytes([px])
-        if cand in table:
-            seq = cand
+        if cur < 0:
+            cur = px
+            continue
+        key = (cur << 8) | px
+        nxt = table.get(key)
+        if nxt is not None:
+            cur = nxt
             continue
         insert_id = counter  # insert ids stay consecutive from eoi+1
-        if not emit_data(table[seq]):
-            table[cand] = insert_id
-        seq = bytes([px])
-    if seq:
-        emit_data(table[seq])
+        if not emit_data(cur):
+            table[key] = insert_id
+        cur = px
+    if cur >= 0:
+        emit_data(cur)
     emit(eoi)
     if n_bits:
         out.append(acc & 0xFF)
@@ -389,53 +399,59 @@ def _lzw_compress(pixels: bytes, min_code_size: int) -> bytes:
 
 def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
     """Inverse of :func:`_lzw_compress` — standard GIF LZW decode with
-    the shared-counter width rule (see the encoder docstring)."""
+    the shared-counter width rule (see the encoder docstring).
+
+    The bit reader is inlined in the code loop (a closure call per code
+    dominated the per-payload decode wall on small images) and entries
+    collect into a list joined once at return.
+    """
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     pos = acc = n_bits = 0
+    n_data = len(data)
 
-    def read(width: int) -> int:
-        nonlocal pos, acc, n_bits
+    out: list[bytes] = []
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table: list[bytes] = list(base)
+    width = min_code_size + 1
+    mask = (1 << width) - 1
+    counter = eoi + 1
+    prev: bytes | None = None
+    append = out.append
+    while True:
         while n_bits < width:
-            if pos >= len(data):
+            if pos >= n_data:
                 raise ValueError("truncated LZW stream")
             acc |= data[pos] << n_bits
             pos += 1
             n_bits += 8
-        code = acc & ((1 << width) - 1)
+        code = acc & mask
         acc >>= width
         n_bits -= width
-        return code
-
-    out = bytearray()
-    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
-    table: list[bytes] = list(base)
-    width = min_code_size + 1
-    counter = eoi + 1
-    prev: bytes | None = None
-    while True:
-        code = read(width)
         if code == clear:
             table = list(base)
             width = min_code_size + 1
+            mask = (1 << width) - 1
             counter = eoi + 1
             prev = None
             continue
         if code == eoi:
-            return bytes(out)
-        if code < len(table):
+            return b"".join(out)
+        n = len(table)
+        if code < n:
             entry = table[code]
-            if prev is not None and len(table) < GIF_MAX_CODE:
+            if prev is not None and n < GIF_MAX_CODE:
                 table.append(prev + entry[:1])
-        elif code == len(table) and prev is not None:  # the KwKwK case
+        elif code == n and prev is not None:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:
             raise ValueError(f"corrupt LZW code {code}")
-        out += entry
+        append(entry)
         prev = entry
         counter += 1
         if counter == (1 << width) and width < 12:
             width += 1
+            mask = (1 << width) - 1
 
 
 def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
@@ -514,6 +530,11 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     raise ValueError("no image descriptor in GIF payload")
 
 
+# byte -> ASCII digit for palette indices 0..9 (guarded by max(pixels)
+# before use; higher slots are never read on the translate path).
+_ASCII_DIGIT_TABLE = bytes((0x30 + i) if i < 10 else 0 for i in range(256))
+
+
 def gif_decoder(payload: bytes, mime_type: str = "") -> dict:
     """Real :data:`Decoder` for LZW-compressed GIF payloads.
 
@@ -525,13 +546,18 @@ def gif_decoder(payload: bytes, mime_type: str = "") -> dict:
     plumbing.
     """
     width, height, pixels = decode_gif(payload)
+    # Digest bytes are the ASCII-decimal rendering of each index. For
+    # single-digit indices (any palette of <= 10 colors) that is a 1:1
+    # byte map — C-speed translate instead of a per-pixel str() join.
+    if not pixels or max(pixels) <= 9:
+        digits = pixels.translate(_ASCII_DIGIT_TABLE)
+    else:
+        digits = "".join(str(p) for p in pixels).encode()
     return {
         "width": width,
         "height": height,
         "n_channels": 3,
-        "content_sha": hashlib.md5(
-            "".join(str(p) for p in pixels).encode()
-        ).hexdigest(),
+        "content_sha": hashlib.md5(digits).hexdigest(),
     }
 
 
@@ -543,13 +569,31 @@ GIF_H_BASE, GIF_H_MOD = 3, 11
 GIF_N_COLORS = 4  # pixel i of doc d = (d + i) % 4
 
 
+# Every GIF fixture parameter is doc_id arithmetic mod 4/13/11, so the
+# payload is a pure function of doc_id mod lcm(4, 13, 11) = 572: the
+# encoder runs AT MOST 572 times per worker process (guide §4's
+# init-once rule — a lookup table built lazily per task), while the
+# DECODE the value gate measures still runs once per media row.
+_GIF_FIXTURE_PERIOD = 572  # lcm(GIF_N_COLORS, GIF_W_MOD, GIF_H_MOD)
+
+
+@lru_cache(maxsize=None)
+def _gif_fixture_payload(dmod: int) -> bytes:
+    w = GIF_W_BASE + dmod % GIF_W_MOD
+    h = GIF_H_BASE + dmod % GIF_H_MOD
+    px = ((dmod + np.arange(w * h)) % GIF_N_COLORS).astype(np.uint8).tobytes()
+    return encode_gif(w, h, px)
+
+
 def gif_media_table(documents: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL LZW-compressed GIF87a images.
 
     Payload assembly runs in Arrow-batched ``mapInPandas`` (LZW
     compression is inherently sequential per image — a fixture encoder,
     like production ingest, is Python-side; DECODE is what the gate
-    measures). Dimensions and pixels are pure doc_id arithmetic.
+    measures). Dimensions and pixels are pure doc_id arithmetic with
+    period :data:`_GIF_FIXTURE_PERIOD`, so payload synthesis is a
+    per-worker memo over that period.
     """
     src = _spread(documents.select("doc_id", "source"))
 
@@ -557,11 +601,9 @@ def gif_media_table(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
-                d = int(d)
-                w = GIF_W_BASE + d % GIF_W_MOD
-                h = GIF_H_BASE + d % GIF_H_MOD
-                px = bytes((d + i) % GIF_N_COLORS for i in range(w * h))
-                payloads.append(encode_gif(w, h, px))
+                payloads.append(
+                    _gif_fixture_payload(int(d) % _GIF_FIXTURE_PERIOD)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].values,
@@ -645,23 +687,43 @@ def _filter_scanline(ftype: int, raw: bytes, prior: bytes) -> bytes:
 def _unfilter_scanline(ftype: int, filt: bytes, prior: bytes) -> bytes:
     """Invert :func:`_filter_scanline` — the reconstruction half a PNG
     reader must implement (sequential per row: each output byte feeds
-    the next prediction)."""
+    the next prediction). The filter-type branch is hoisted out of the
+    per-byte loop (it is constant per row) and the Paeth predictor is
+    inlined — the branchy per-byte form dominated the per-payload
+    decode wall."""
+    if ftype == 0:  # None
+        return bytes(filt)
+    if ftype == 2:  # Up
+        return bytes((f + p) & 0xFF for f, p in zip(filt, prior))
     out = bytearray(len(filt))
-    for x in range(len(filt)):
-        left = out[x - 1] if x else 0
-        if ftype == 0:
-            rec = filt[x]
-        elif ftype == 1:
-            rec = filt[x] + left
-        elif ftype == 2:
-            rec = filt[x] + prior[x]
-        elif ftype == 3:
-            rec = filt[x] + ((left + prior[x]) >> 1)
-        elif ftype == 4:
-            rec = filt[x] + _paeth(left, prior[x], prior[x - 1] if x else 0)
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[x] = rec & 0xFF
+    left = 0
+    if ftype == 1:  # Sub
+        for x, f in enumerate(filt):
+            left = (f + left) & 0xFF
+            out[x] = left
+    elif ftype == 3:  # Average
+        for x, f in enumerate(filt):
+            left = (f + ((left + prior[x]) >> 1)) & 0xFF
+            out[x] = left
+    elif ftype == 4:  # Paeth
+        pl = 0  # prior[x-1] (0 at x=0)
+        for x, f in enumerate(filt):
+            p = prior[x]
+            pa = p - pl if p >= pl else pl - p        # |left + p - pl - left|
+            pb = left - pl if left >= pl else pl - left
+            pc_v = left + p - 2 * pl
+            pc = pc_v if pc_v >= 0 else -pc_v
+            if pa <= pb and pa <= pc:
+                pred = left
+            elif pb <= pc:
+                pred = p
+            else:
+                pred = pl
+            left = (f + pred) & 0xFF
+            out[x] = left
+            pl = p
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
     return bytes(out)
 
 
@@ -768,13 +830,17 @@ def png_decoder(payload: bytes, mime_type: str = "") -> dict:
     value match proves inflate + filter reconstruction (Sub/Up/Average/
     Paeth state threading across rows) actually ran."""
     width, height, pixels = decode_png(payload)
+    # Same 1:1 ASCII-digit fast path as gif_decoder for <=10-color
+    # palettes; multi-digit indices fall back to the generic join.
+    if not pixels or max(pixels) <= 9:
+        digits = pixels.translate(_ASCII_DIGIT_TABLE)
+    else:
+        digits = "".join(str(p) for p in pixels).encode()
     return {
         "width": width,
         "height": height,
         "n_channels": 3,
-        "content_sha": hashlib.md5(
-            "".join(str(p) for p in pixels).encode()
-        ).hexdigest(),
+        "content_sha": hashlib.md5(digits).hexdigest(),
     }
 
 
@@ -788,10 +854,29 @@ PNG_N_COLORS = 5  # pixel i of doc d = (7*d + 3*i) % 5
 PNG_FILTER_MOD = 5  # row r of doc d filtered with type (d + r) % 5
 
 
+# As with the GIF fixture: width (mod 12), height (mod 9), pixels and
+# filters (both mod 5) make the payload a pure function of doc_id mod
+# lcm(12, 9, 5) = 180 — encode memoized per worker, decode per row.
+_PNG_FIXTURE_PERIOD = 180  # lcm(PNG_W_MOD, PNG_H_MOD, PNG_N_COLORS)
+
+
+@lru_cache(maxsize=None)
+def _png_fixture_payload(dmod: int) -> bytes:
+    w = PNG_W_BASE + dmod % PNG_W_MOD
+    h = PNG_H_BASE + dmod % PNG_H_MOD
+    px = (
+        ((7 * dmod + 3 * np.arange(w * h)) % PNG_N_COLORS)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    return encode_png(w, h, px, lambda r: (dmod + r) % PNG_FILTER_MOD)
+
+
 def png_media_table(documents: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL zlib-compressed paletted PNGs
     with per-row adaptive filters. Encoding runs in Arrow-batched
-    ``mapInPandas`` (like production ingest); DECODE is what the value
+    ``mapInPandas`` (like production ingest) memoized over the
+    fixture's :data:`_PNG_FIXTURE_PERIOD`; DECODE is what the value
     gate measures."""
     src = _spread(documents.select("doc_id", "source"))
 
@@ -799,12 +884,8 @@ def png_media_table(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
-                d = int(d)
-                w = PNG_W_BASE + d % PNG_W_MOD
-                h = PNG_H_BASE + d % PNG_H_MOD
-                px = bytes((7 * d + 3 * i) % PNG_N_COLORS for i in range(w * h))
                 payloads.append(
-                    encode_png(w, h, px, lambda r, d=d: (d + r) % PNG_FILTER_MOD)
+                    _png_fixture_payload(int(d) % _PNG_FIXTURE_PERIOD)
                 )
             yield pd.DataFrame(
                 {

@@ -686,6 +686,14 @@ def gr_k_core(t: dict[str, DataFrame]) -> DataFrame:
     an unmaterialized unroll embeds 3^r copies of the pairwise-cosine
     base plan — measured 36s → 16s solo at sf0.01 from this persist
     alone (the residue is the shared pair-table build).
+
+    The round census NEVER re-scans the edge set: round r's degree
+    table (persisted, node-cardinality) is both round r+1's ``keep``
+    filter and round r's stats — n_nodes is its row count (the edge
+    list is symmetric, so every surviving node appears as id_a) and
+    n_edges is sum(deg)/2 — so each cached edge set is read once per
+    round instead of paying an extra count_distinct expand-aggregate
+    pass per round.
     At 100 TB full peeling iterates to convergence with the round-6
     reliable-checkpoint discipline; the per-round plan is identical.
     """
@@ -697,8 +705,8 @@ def gr_k_core(t: dict[str, DataFrame]) -> DataFrame:
     )
     stats = []
     cur = edges
+    deg = cur.groupBy("id_a").agg(F.count("*").alias("deg"))
     for r in range(1, KCORE_ROUNDS + 1):
-        deg = cur.groupBy("id_a").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select("id_a")
         cur = tracked_persist(
             cur.join(keep, "id_a", "left_semi").join(
@@ -706,11 +714,16 @@ def gr_k_core(t: dict[str, DataFrame]) -> DataFrame:
             ),
             f"graph.kcore_e{r}",
         )
+        # NOT persisted: stats(r) and keep(r+1) embed the identical
+        # groupBy subtree over the cached edge set, so they share ONE
+        # exchange via reuse — a persist here only added per-round
+        # cache-materialization stages (measured 3.0 -> 10.6s solo).
+        deg = cur.groupBy("id_a").agg(F.count("*").alias("deg"))
         stats.append(
-            cur.agg(
+            deg.agg(
                 F.lit(r).alias("round"),
-                F.count_distinct("id_a").alias("n_nodes"),
-                F.expr("count(1) div 2").alias("n_edges"),
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.expr("coalesce(sum(deg), 0) div 2").alias("n_edges"),
             )
         )
     out = stats[0]
