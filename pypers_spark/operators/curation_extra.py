@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypers_spark.functions.barrier import sort_barrier
 from pypers_spark.functions.hashing import duck_md5_int64, md5_int64
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
 from pypers_spark.functions.text import (
@@ -113,21 +114,20 @@ def txt_winnowing(t: dict[str, DataFrame]) -> DataFrame:
         F.count("*").over(w_min).alias("wcnt"),
     ).filter(F.col("wcnt") == WINNOW_W)
     # r11: materialize the doc-cardinality readout into a hash exchange
-    # BEFORE the global sort. distinct+groupBy reuse the window's
-    # hash(doc_id) partitioning (good — no extra shuffle), but that
-    # left NO exchange between the explode+window chain and the final
-    # orderBy, so the range-sort's SAMPLING job re-executed the whole
-    # fingerprint chain (measured 44.7 executor-cpu-s for the sample
-    # vs 17.4 for the real pass). The repartition ships ~500 tiny rows
-    # and the sampler reads shuffle blocks instead.
+    # BEFORE the global sort — without a boundary here the range-sort's
+    # SAMPLING job re-executed the whole fingerprint chain (measured
+    # 44.7 executor-cpu-s for the sample vs 17.4 for the real pass).
+    # The earlier ``repartition(n, doc_id)`` fix was ELIDED by the
+    # optimizer (the chain already carries hash(doc_id) partitioning),
+    # silently re-introducing the double run (re-measured 19.9 + 9.3
+    # cpu-s at tip); sort_barrier's xxhash64 key survives elision.
     out = (
         full.select("doc_id", "wmin")
         .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_fingerprints"))
     )
-    n = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return out.repartition(n, F.col("doc_id")).orderBy("doc_id")
+    return sort_barrier(out, "doc_id").orderBy("doc_id")
 
 
 ORACLE_WINNOWING = f"""

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypers_spark.functions.barrier import sort_barrier
 from pypers_spark.functions.rounding import duck_rnd, rnd
 from pypers_spark.functions.hashing import (
     affine_hash,
@@ -406,14 +407,17 @@ def _minhash_lsh_pairs(
     b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    return (
+    out = (
         a.join(cand, "id_a")
         .join(b_, "id_b")
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+    # sort_barrier: the verify chain (two joins + per-pair intersect)
+    # sits directly under the final sort; without a boundary the range
+    # sampler executes it twice (guide §8.3 / functions/barrier.py).
+    return sort_barrier(out, "id_a").orderBy("id_a", "id_b")
 
 
 def dd_minhash_lsh_prod(t: dict[str, DataFrame]) -> DataFrame:
@@ -744,7 +748,7 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
     # No broadcast hints: the signature table is O(corpus) — hinting it
     # broadcast would ship the whole corpus to every executor at scale.
     # AQE decides at runtime from actual sizes (see dd_minhash_lsh note).
-    return (
+    out = (
         cand.join(a_sig, "id_a")
         .join(b_sig, "id_b")
         .join(a_hs, "id_a")
@@ -755,8 +759,10 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
             rnd(agree / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
             rnd(inter / union, 4).alias("jaccard"),
         )
-        .orderBy("id_a", "id_b")
     )
+    # sort_barrier: four verify joins under the final sort; without a
+    # boundary the range sampler executes them all twice (barrier.py).
+    return sort_barrier(out, "id_a").orderBy("id_a", "id_b")
 
 
 def _duck_minhash_est_sql() -> str:
@@ -1042,7 +1048,11 @@ def dd_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(twins).orderBy("source", "id_a", "id_b")
+    # sort_barrier: both union branches end in joins over the persisted
+    # gram tables; the range sampler would re-run them (barrier.py).
+    return sort_barrier(cross.unionByName(twins), "id_a").orderBy(
+        "source", "id_a", "id_b"
+    )
 
 
 def _duck_ngram_sql() -> str:
@@ -1085,14 +1095,17 @@ def dd_ngram_jaccard_lsh(t: dict[str, DataFrame]) -> DataFrame:
     b_ = gsets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.size("g_a") + F.size("g_b") - inter
-    return (
+    out = (
         a.join(cand, "id_a")
         .join(b_, "id_b")
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+    # sort_barrier: the char-4-gram intersect verify is the measured
+    # cost of this key (12.2 cpu-s); without a boundary the range
+    # sampler ran it twice (12.2 + 10.1 cpu-s at sf0.1).
+    return sort_barrier(out, "id_a").orderBy("id_a", "id_b")
 
 
 def _duck_ngram_lsh_sql() -> str:
@@ -1612,7 +1625,7 @@ def dd_containment_idx(t: dict[str, DataFrame]) -> DataFrame:
         .withColumn("cont_max", rnd(F.col("inter") / F.least("ng_a", "ng_b"), 4))
         .filter(F.col("cont_max") >= CONT_IDX_TAU)
     )
-    return verified.select(
+    out = verified.select(
         "id_a",
         "id_b",
         "inter",
@@ -1622,7 +1635,11 @@ def dd_containment_idx(t: dict[str, DataFrame]) -> DataFrame:
         F.when(F.col("ng_a") <= F.col("ng_b"), F.lit("a_in_b"))
         .otherwise(F.lit("b_in_a"))
         .alias("direction"),
-    ).orderBy("id_a", "id_b")
+    )
+    # sort_barrier: without a boundary under the final sort, the range
+    # sampler re-ran the whole pair aggregation + verify — both passes
+    # reading the 48 MB pair exchange (28.9 + 8.7 cpu-s at sf0.1).
+    return sort_barrier(out, "id_a").orderBy("id_a", "id_b")
 
 
 def _duck_containment_idx_sql() -> str:
@@ -1884,7 +1901,7 @@ def dd_minhash_incremental(t: dict[str, DataFrame]) -> DataFrame:
             F.when(F.col("jaccard") >= JACCARD_THRESHOLD, F.col("bid"))
         ).alias("matched_base"),
     )
-    return (
+    out = (
         batch.select(F.col("doc_id").alias("qid"))
         .join(qstats, "qid", "left")
         .select(
@@ -1894,8 +1911,11 @@ def dd_minhash_incremental(t: dict[str, DataFrame]) -> DataFrame:
             "matched_base",
             F.col("matched_base").isNull().cast("int").alias("admitted"),
         )
-        .orderBy("doc_id")
     )
+    # sort_barrier: the batch-probe left join sits directly under the
+    # final sort of a batch-cardinality readout; without a boundary the
+    # range sampler re-executes it (functions/barrier.py).
+    return sort_barrier(out, "doc_id").orderBy("doc_id")
 
 
 def _duck_minhash_incr_sql() -> str:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypers_spark.functions.barrier import sort_barrier
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
 
 SESSION_GAP_MIN = 30
@@ -94,16 +95,16 @@ def ev_sessionize(t: dict[str, DataFrame]) -> DataFrame:
         )
         .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    return (
-        sessions.groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            rnd(dsum(F.col("value")), 2).alias("session_value"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-        .orderBy("user_id", "session_id")
+    out = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        rnd(dsum(F.col("value")), 2).alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
+    # sort_barrier: the lag/running-sum windows + aggregation reuse the
+    # user_id exchange, leaving no boundary under the final sort — the
+    # range sampler re-ran the whole chain (0.76 + 0.34 cpu-s at sf0.1).
+    return sort_barrier(out, "user_id").orderBy("user_id", "session_id")
 
 
 ORACLE_SESSIONIZE = f"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypers_spark.functions.barrier import sort_barrier
 from pypers_spark.functions.rounding import dsum, dsum_wide, duck_dsum, duck_rnd, rnd
 
 # DuckDB twin of Spark's unix_timestamp() (second precision).
@@ -1135,7 +1136,7 @@ def ev_feature_matrix(t: dict[str, DataFrame]) -> DataFrame:
         (F.unix_timestamp("ts") - F.unix_timestamp(first_ts)).alias("secs_active"),
         F.row_number().over(w_all).alias("seq_no"),
     )
-    return (
+    out = (
         rows.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -1146,8 +1147,11 @@ def ev_feature_matrix(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("seq_no") - 1).alias("n_events_before"),
             rnd(F.col("value"), 4).alias("label_value"),
         )
-        .orderBy("purchase_id")
     )
+    # sort_barrier: the point-in-time window chain sits directly under
+    # the final sort; the range sampler re-ran it (1.18 + 0.54 cpu-s at
+    # sf0.1 — see functions/barrier.py).
+    return sort_barrier(out, "purchase_id").orderBy("purchase_id")
 
 
 def _duck_feature_matrix_sql() -> str:
@@ -2104,17 +2108,17 @@ def ev_slo_report(t: dict[str, DataFrame]) -> DataFrame:
         group_cols=["event_type"],
         count_alias="n",
     )
-    return (
-        rep.select(
-            "event_type",
-            "n",
-            rnd(F.col("_p50"), 4).alias("p50"),
-            rnd(F.col("_p95"), 4).alias("p95"),
-            rnd(F.col("_p99"), 4).alias("p99"),
-        )
-        .withColumn("slo_breach", F.col("p95") > SLO_P95_MAX)
-        .orderBy("event_type")
-    )
+    out = rep.select(
+        "event_type",
+        "n",
+        rnd(F.col("_p50"), 4).alias("p50"),
+        rnd(F.col("_p95"), 4).alias("p95"),
+        rnd(F.col("_p99"), 4).alias("p99"),
+    ).withColumn("slo_breach", F.col("p95") > SLO_P95_MAX)
+    # sort_barrier: the cumulative-rank percentile chain sits directly
+    # under the final sort of a per-type readout; the range sampler
+    # re-ran it (0.47 + 0.30 cpu-s, 1-task stages at sf0.1).
+    return sort_barrier(out, "event_type").orderBy("event_type")
 
 
 ORACLE_SLO_REPORT = f"""

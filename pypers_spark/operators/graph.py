@@ -68,10 +68,17 @@ def _t03_pairs(t: dict[str, DataFrame]) -> DataFrame:
     one cache entry, every later consumer reuses it (tracked_persist
     memoizes on plan equality)."""
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import COS_T03, _embedding_cos_pairs
+    from pypers_spark.operators.similarity import (
+        COS_T03,
+        _embedding_cos_pairs_unsorted,
+    )
 
+    # UNSORTED pair plan (r11): the cached sorted form embedded a
+    # rangepartitioning sort, so the cache build paid the pairwise-
+    # cosine join twice (sampling pass + real pass) plus a sort no
+    # graph consumer uses (they aggregate/union immediately).
     return tracked_persist(
-        _embedding_cos_pairs(t, COS_T03).select("id_a", "id_b"),
+        _embedding_cos_pairs_unsorted(t, COS_T03).select("id_a", "id_b"),
         "graph.t03_pairs",
     )
 
@@ -90,13 +97,14 @@ def _pagerank_on_pairs(t: dict[str, DataFrame], tau: float, cache_tag: str) -> D
     as pure relational algebra.
     """
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import _embedding_cos_pairs
+    from pypers_spark.operators.similarity import _embedding_cos_pairs_unsorted
 
     # Every iteration re-reads edges and deg — persist them, or the
     # O(n^2/block) pairwise cosine join re-executes once per iteration
     # (measured 8.9 s vs 2 s for 3 iterations at sf0.1). This is the
     # parquet-checkpoint boundary a 100 TB run would write instead.
-    pairs = _embedding_cos_pairs(t, tau).select("id_a", "id_b")
+    # Unsorted pair plan: see _t03_pairs.
+    pairs = _embedding_cos_pairs_unsorted(t, tau).select("id_a", "id_b")
     edges = tracked_persist(
         pairs.union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -484,11 +492,7 @@ def gr_modularity(t: dict[str, DataFrame]) -> DataFrame:
     must not move the float result between engines).
     """
     from pypers_spark.functions.caching import tracked_persist
-    from pypers_spark.operators.similarity import (
-        COS_T03,
-        _cluster_on_pairs,
-        _embedding_cos_pairs,
-    )
+    from pypers_spark.operators.similarity import COS_T03, _cluster_on_pairs
 
     clusters = _cluster_on_pairs(t, COS_T03).select("vec_id", "cluster_id")
     pairs = _t03_pairs(t)

@@ -155,8 +155,13 @@ def _emb_source(t: dict[str, DataFrame], tau: float) -> DataFrame:
     return emb_with_planted(t) if tau == COS_THRESHOLD else t["embeddings"]
 
 
-def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ ``tau``) within label blocks.
+def _embedding_cos_pairs_unsorted(t: dict[str, DataFrame], tau: float) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ ``tau``) within label blocks,
+    WITHOUT the readout ordering — the form every internal consumer
+    (graph pair caches, connected components, modularity) wants.
+    Caching the SORTED plan made each cache build pay the pairwise-
+    cosine join twice (the range sampler re-executes the sort's child;
+    see functions/barrier.py) plus a sort nobody downstream used.
 
     The per-vector norm is computed ONCE on a persisted projection —
     folding it into the pairwise cosine would re-run the 64-element
@@ -191,8 +196,17 @@ def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
         .withColumn("cos_sim", rnd(cos, 4))
         .filter(F.col("cos_sim") >= F.lit(tau))
         .select("label", "id_a", "id_b", "cos_sim")
-        .orderBy("label", "id_a", "id_b")
     )
+
+
+def _embedding_cos_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
+    """The declared-query form: ordered readout over the unsorted core,
+    with a sort_barrier so the range sampler reads materialized shuffle
+    blocks instead of re-running the pairwise-cosine join."""
+    from pypers_spark.functions.barrier import sort_barrier
+
+    out = _embedding_cos_pairs_unsorted(t, tau)
+    return sort_barrier(out, "id_a").orderBy("label", "id_a", "id_b")
 
 
 def dd_embedding_cos(t: dict[str, DataFrame]) -> DataFrame:
@@ -557,7 +571,9 @@ def _cluster_on_pairs(t: dict[str, DataFrame], tau: float) -> DataFrame:
     from pypers_spark.functions.components import min_label_components
 
     emb = _emb_source(t, tau)
-    pairs = _embedding_cos_pairs(t, tau).select("id_a", "id_b")
+    # Unsorted pair plan: the sorted declared-query form would make the
+    # edges persist pay a sampling re-run + sort that CC never needs.
+    pairs = _embedding_cos_pairs_unsorted(t, tau).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -620,7 +636,15 @@ def dd_semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
         ),
         "similarity.semdedup_cells",
     )
-    a = v.select(
+    # Spread the probe side on the cell key before the within-cell pair
+    # join (r11): AQE coalesces the small cached assignment table by
+    # BYTES, but this stage's cost is the C(k,2) per-pair cosines AQE
+    # cannot see — the coalesced cache serialized the expansion onto one
+    # core (the dd_containment_idx expansion lesson). At scale hash(cell,
+    # n) satisfies the join's clustering requirement, so this exchange
+    # replaces the join's own rather than adding one.
+    n_part = int(v.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = v.repartition(n_part, F.col("cell")).select(
         F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("e_a"),
         F.col("nrm").alias("n_a"),
     )
@@ -1546,7 +1570,11 @@ def ann_knn_graph_cells(t: dict[str, DataFrame]) -> DataFrame:
         ),
         "similarity.knn_cells",
     )
-    a = v.select(
+    # Spread the probe side on cell before the within-cell expansion —
+    # same rationale as dd_semantic_dedup (AQE coalesces the cached
+    # assignment by bytes; the per-pair cosine cost needs the machine).
+    n_part = int(v.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = v.repartition(n_part, F.col("cell")).select(
         "vec_id", "cell", F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
     )
     b = v.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pypers_spark.functions.barrier import sort_barrier
 from pypers_spark.functions.rounding import dsum, duck_dsum, duck_rnd, rnd
 from pypers_spark.multimodal import (
     GIF_H_BASE,
@@ -449,13 +450,18 @@ def mm_resize_meta(t: dict[str, DataFrame]) -> DataFrame:
     from pypers_spark.multimodal import ppm_media_table, resize_media_boxfilter
 
     resized = resize_media_boxfilter(ppm_media_table(t["documents"]), factor=2)
-    return resized.select(
+    out = resized.select(
         "media_id",
         "width",
         "height",
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("media_id")
+    )
+    # sort_barrier: the resize mapInPandas is opaque to column pruning,
+    # so the final sort's sampling pass would re-run the whole decode/
+    # box-filter/re-encode per query; only skinny stats rows cross the
+    # barrier exchange (payloads are consumed by the md5 above).
+    return sort_barrier(out, "media_id").orderBy("media_id")
 
 
 # Output index k (0-based, row-major rows x cols x 3 channels):
@@ -513,12 +519,16 @@ def mm_frame_sample(t: dict[str, DataFrame]) -> DataFrame:
         & (F.octet_length("text") == F.length("text"))
     )
     frames = sample_frames(media_table(ascii_docs))
-    return frames.select(
+    out = frames.select(
         "media_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.octet_length("frame_payload").cast("bigint").alias("frame_len"),
         F.md5("frame_payload").alias("frame_md5"),
-    ).orderBy("media_id", "frame_idx")
+    )
+    # sort_barrier: same rationale as mm_resize_meta — the frame
+    # fan-out mapInPandas is opaque, so the sort sampler would re-run
+    # it; only (id, idx, len, md5) rows cross the barrier.
+    return sort_barrier(out, "media_id").orderBy("media_id", "frame_idx")
 
 
 ORACLE_MM_FRAMES = """
@@ -1031,7 +1041,11 @@ def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
             "hamming",
         )
     )
-    return within.unionByName(cross).orderBy("id_a", "id_b")
+    # sort_barrier: both union branches end in joins over the cached
+    # hash table; the range sampler would re-run them (barrier.py).
+    return sort_barrier(within.unionByName(cross), "id_a").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _php_duck_nib(col: str, i: int) -> str:

@@ -42,6 +42,20 @@ def get_session(app_name: str = "pypers_spark", master: str | None = None) -> Sp
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan INSIDE cached plans too (off by default only
+        # to keep cached output partitioning stable for consumers that
+        # depend on it — Spark's coalesced shuffle read still reports
+        # hash clustering, so same-key consumers stay exchange-free).
+        # Without it every tracked_persist cache pins its map-side
+        # partition count, and each consumer of a tiny cached readout
+        # pays 32 fixed-cost tasks (shuffle-file creation dominated:
+        # mm_phash_bucket_stats measured 1.67 s -> 0.85 s warm wall at
+        # sf0.1 from this alone). Scale-generic: on a real cluster the
+        # same coalescing bounds shuffle-block counts (guide §2.2).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHE_AQE", "true"),
+        )
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # AQE's runtime broadcast decision has its OWN threshold; without

@@ -408,3 +408,43 @@ def test_lsh_minhash_table_checkpointed(spark, sf_dir):
     min-reductions per consumer."""
     explained = full_explain(spark, sf_dir, "dd_minhash_lsh_prod")
     assert "dedup.minhash_" in explained
+
+
+def test_sort_barrier_survives_elision(spark, sf_dir):
+    """functions/barrier.py: the pre-sort materializing exchange must
+    SURVIVE optimization. A plain same-key repartition is elided when
+    the chain below already carries hash(col) partitioning (that is how
+    txt_winnowing's earlier fix silently regressed to a double
+    execution); the xxhash64-keyed exchange cannot be proven redundant.
+    Gate: a hashpartitioning(xxhash64(...)) exchange sits between the
+    chain and the final range sort."""
+    for key in ("txt_winnowing", "dd_containment_idx", "dd_ngram_jaccard_lsh"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "xxhash64" in plan, key
+        # the barrier must appear below the range sort's exchange
+        pre, _, post = plan.partition("rangepartitioning")
+        assert "xxhash64" in post, key
+
+
+def test_sort_barrier_preserves_rows(spark, sf_dir):
+    """sort_barrier only adds an exchange — row content is untouched."""
+    from pyspark.sql import functions as F
+
+    from pypers_spark.functions.barrier import sort_barrier
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    got = sorted(sort_barrier(df, "k").orderBy("k", "v").collect())
+    want = sorted(df.orderBy("k", "v").collect())
+    assert got == want
+
+
+def test_cell_expansion_spread(spark, sf_dir):
+    """dd_semantic_dedup / ann_knn_graph_cells: the within-cell pair
+    expansion reads a hash(cell) exchange, never the raw cached
+    assignment table — AQE coalesces the tiny cache by BYTES and would
+    otherwise serialize the C(k,2) cosine work onto one core."""
+    for key in ("dd_semantic_dedup", "ann_knn_graph_cells"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "hashpartitioning(cell" in plan, key
