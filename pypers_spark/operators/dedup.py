@@ -395,28 +395,41 @@ def dd_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     return _minhash_lsh_pairs(t, N_HASHES, N_BANDS)
 
 
-def _minhash_lsh_pairs(
+def _minhash_lsh_pairs_unsorted(
     t: dict[str, DataFrame], n_hashes: int, n_bands: int
 ) -> DataFrame:
-    """The dd_minhash_lsh pipeline at explicit LSH parameters; the
-    signature table (base shingle hashes) is parameter-independent and
-    shared across all configurations via its checkpoint key."""
+    """The dd_minhash_lsh verify pipeline WITHOUT the readout ordering —
+    what internal consumers (component labels → drop list / apply /
+    soft weights) want: caching the sorted form embeds a
+    rangepartitioning sort nobody downstream uses (see
+    _embedding_cos_pairs_unsorted). The signature table (base shingle
+    hashes) is parameter-independent and shared across all
+    configurations via its checkpoint key."""
     docs = _signature_table(t)
     cand = _band_candidates(_bands_of(docs, n_hashes, n_bands))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    out = (
+    return (
         a.join(cand, "id_a")
         .join(b_, "id_b")
         .withColumn("jaccard", rnd(inter / union, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )
-    # sort_barrier: the verify chain (two joins + per-pair intersect)
-    # sits directly under the final sort; without a boundary the range
-    # sampler executes it twice (guide §8.3 / functions/barrier.py).
+
+
+def _minhash_lsh_pairs(
+    t: dict[str, DataFrame], n_hashes: int, n_bands: int
+) -> DataFrame:
+    """Declared-query form: ordered readout over the unsorted core.
+
+    sort_barrier: the verify chain (two joins + per-pair intersect)
+    sits directly under the final sort; without a boundary the range
+    sampler executes it twice (guide §8.3 / functions/barrier.py).
+    """
+    out = _minhash_lsh_pairs_unsorted(t, n_hashes, n_bands)
     return sort_barrier(out, "id_a").orderBy("id_a", "id_b")
 
 
@@ -507,7 +520,11 @@ def _minhash_component_labels(t: dict[str, DataFrame]) -> DataFrame:
     from pypers_spark.functions.caching import tracked_persist
     from pypers_spark.functions.components import min_label_components
 
-    pairs = dd_minhash_lsh(t).select("id_a", "id_b")
+    # Unsorted pair plan (r11): the cached edge list must not embed the
+    # declared query's rangepartitioning sort + barrier exchange.
+    pairs = _minhash_lsh_pairs_unsorted(t, N_HASHES, N_BANDS).select(
+        "id_a", "id_b"
+    )
     edges = tracked_persist(
         pairs.unionByName(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

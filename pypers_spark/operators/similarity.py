@@ -1184,19 +1184,28 @@ def ann_recall_report(t: dict[str, DataFrame]) -> DataFrame:
     for name in RECALL_METHODS:
         m = fns[name](t).select("vec_id").withColumn("method", F.lit(name))
         tagged = m if tagged is None else tagged.unionByName(m)
-    hits = tagged.join(F.broadcast(exact), "vec_id", "left_semi").groupBy(
-        "method"
-    ).agg(F.count("*").alias("n_hits"))
-    returned = tagged.groupBy("method").agg(F.count("*").alias("n_returned"))
+    # ONE pass over the tagged union (r11, guide §5): `hits` (semi-join
+    # + agg) and `returned` (bare agg) were two consumers of `tagged`,
+    # and exchange reuse does not fire across the differing subtrees —
+    # every member ANN plan executed TWICE per report. A left join
+    # against the (distinct-keyed) exact set carries the hit marker
+    # through a single aggregation instead: n_returned = count(*),
+    # n_hits = count(marker), values identical to the semi-join form.
+    ex = exact.withColumn("hit", F.lit(1))
+    stats = (
+        tagged.join(F.broadcast(ex), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
     return (
-        returned.join(hits, "method", "left")
-        .select(
+        stats.select(
             "method",
             "n_returned",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            rnd(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
+            "n_hits",
+            rnd(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias("recall_at_k"),
         )
         .orderBy("method")
     )
