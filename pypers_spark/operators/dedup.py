@@ -96,6 +96,29 @@ def _repartitioned(df: DataFrame) -> DataFrame:
     return df.repartition(n, F.col("doc_id"))
 
 
+def _set_isize(a, b):
+    """``size(array_intersect(a, b))`` with an equal-array fast path.
+
+    Exact-duplicate docs produce IDENTICAL gram/shingle arrays (same
+    normalization, same construction order), and at web scale exact
+    dups dominate the LSH candidate stream (measured at sf0.1: 5032 of
+    6056 minhash candidates are equal-array pairs). Array equality is a
+    codegen'd element compare with early exit and NO allocation;
+    ``array_intersect`` builds a hash set and materializes the result
+    array per evaluation. CaseWhen branches evaluate lazily, so equal
+    pairs skip the intersect entirely and unequal pairs pay one extra
+    O(first-mismatch) compare. |A ∩ A| = |A| — value-identical.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    # Size guard first: near-dup (non-equal) pairs usually differ in
+    # cardinality, so the common miss case is two int compares, not an
+    # element scan up to the first mismatch.
+    return F.when((F.size(a) == F.size(b)) & (a == b), F.size(a)).otherwise(
+        F.size(F.array_intersect(a, b))
+    )
+
+
 def _duck_word_ngrams(toks: str, n: int) -> str:
     parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
     return (
@@ -409,7 +432,7 @@ def _minhash_lsh_pairs_unsorted(
     cand = _band_candidates(_bands_of(docs, n_hashes, n_bands))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    inter = _set_isize("hs_a", "hs_b")
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         a.join(cand, "id_a")
@@ -473,7 +496,7 @@ def dd_threshold_curve(t: dict[str, DataFrame]) -> DataFrame:
     cand = _band_candidates(_bands_of(docs))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
     b_ = docs.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    inter = _set_isize("hs_a", "hs_b")
     union = F.size("hs_a") + F.size("hs_b") - inter
     jac = rnd(inter / union, 4)
     bucket = (F.floor(F.col("jaccard") * 10) / 10.0).alias("j_bucket")
@@ -760,7 +783,7 @@ def dd_minhash_est(t: dict[str, DataFrame]) -> DataFrame:
             lambda v: v,
         )
     )
-    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    inter = _set_isize("hs_a", "hs_b")
     union = F.size("hs_a") + F.size("hs_b") - inter
     # No broadcast hints: the signature table is O(corpus) — hinting it
     # broadcast would ship the whole corpus to every executor at scale.
@@ -1110,7 +1133,7 @@ def dd_ngram_jaccard_lsh(t: dict[str, DataFrame]) -> DataFrame:
     gsets = _gram_table(t)
     a = gsets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
     b_ = gsets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
-    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    inter = _set_isize("g_a", "g_b")
     union = F.size("g_a") + F.size("g_b") - inter
     out = (
         a.join(cand, "id_a")
@@ -1478,7 +1501,10 @@ def dd_containment(t: dict[str, DataFrame]) -> DataFrame:
     b = sets.select(
         F.col("doc_id").alias("id_b"), "source", F.col("g").alias("g_b")
     ).withColumn("ng_b", F.size("g_b"))
-    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    # _set_isize: the corpus's exact-dup pairs (orig vs normalized copy)
+    # sit in the same source block with identical gram arrays — they skip
+    # the intersect; non-dup pairs pay one early-exit compare.
+    inter = _set_isize("g_a", "g_b")
     pairs = (
         a.join(b, "source")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1638,7 +1664,7 @@ def dd_containment_idx(t: dict[str, DataFrame]) -> DataFrame:
             F.col("shared")
             >= CONT_IDX_PREFILTER * CONT_IDX_TAU * F.least("ng_a", "ng_b")
         )
-        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("inter", _set_isize("g_a", "g_b"))
         .withColumn("cont_max", rnd(F.col("inter") / F.least("ng_a", "ng_b"), 4))
         .filter(F.col("cont_max") >= CONT_IDX_TAU)
     )

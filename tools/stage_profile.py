@@ -64,13 +64,18 @@ def main() -> None:
             if s["stageId"] not in before
         ]
         total_exec_ms = sum(s.get("executorRunTime", 0) for s in stages)
+        # executorRunTime includes broadcast/fetch WAIT; executorCpuTime
+        # (ns) is the on-CPU truth — print both so fixed-overhead-bound
+        # stages aren't mistaken for compute-bound ones (guide §1.1).
+        total_cpu_ms = sum(s.get("executorCpuTime", 0) for s in stages) / 1e6
         print(f"\n=== {k}: wall={wall:.3f}s  n_stages={len(stages)} "
-              f"exec_total={total_exec_ms/1000:.2f}s (cpu-s)")
+              f"run_total={total_exec_ms/1000:.2f}s cpu_total={total_cpu_ms/1000:.2f}s")
         stages.sort(key=lambda s: -s.get("executorRunTime", 0))
         for s in stages[:12]:
             print(
                 f"  stage {s['stageId']:>5} {s['status']:<9} tasks={s.get('numCompleteTasks',0):>3} "
-                f"exec={s.get('executorRunTime',0)/1000:6.2f}s "
+                f"run={s.get('executorRunTime',0)/1000:6.2f}s "
+                f"cpu={s.get('executorCpuTime',0)/1e9:6.2f}s "
                 f"in={s.get('inputBytes',0)>>20:4d}MB "
                 f"sr={s.get('shuffleReadBytes',0)>>10:6d}KB sw={s.get('shuffleWriteBytes',0)>>10:6d}KB "
                 f"| {s.get('description') or s.get('name','')[:80]}"
