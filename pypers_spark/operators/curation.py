@@ -220,15 +220,21 @@ class RepetitionFilter(Stage):
         # Explode + two-level agg is also O(n) per doc where the
         # in-array top-token count is O(n²) — the form that survives a
         # 1M-token document.
-        pairs_arr = F.when(
-            F.size(tk) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # zip_with over two slices, NOT element_at(tk, i) in a transform
+        # lambda (r12): project collapsing inlines the full tokenize
+        # subtree (regex + lower + trim + split) into every lambda-body
+        # reference, so the element_at form re-tokenized the document
+        # TWICE PER PAIR — O(tokens²) work per doc (confirmed in the
+        # committed plan: split(trim(regexp_replace(...))) inside the
+        # lambdafunction). zip_with's lambda references its ARGUMENTS;
+        # tokenize is evaluated a constant ~5x per row (slice/size
+        # args), not per element. slice(tk, 2, size-1) is [] for
+        # single-token docs, so no emptiness guard is needed.
+        pairs_arr = F.zip_with(
+            F.slice(tk, 1, F.size(tk) - 1),
+            F.slice(tk, 2, F.size(tk) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
         tagged = docs.select(
             "doc_id",
             F.explode(
@@ -272,6 +278,11 @@ class RepetitionFilter(Stage):
                 F.lit(1.0) - F.col("n_distinct_pairs") / F.col("n_pairs"),
             ).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
             (F.col("top_cnt") / F.col("n_tokens")).alias("top_token_frac"),
+            # Carried through so TokenStats never re-tokenizes the
+            # surviving text (r12, guide §2.1): n_tokens is the count of
+            # this doc's token rows = size(tokenize_ws(text)) exactly,
+            # and every gated row has a metrics row by construction.
+            F.col("n_tokens").cast("int").alias("n_tokens"),
         )
         gated = filtered.join(metrics, "doc_id").filter(
             (F.col("dup_2gram_frac") <= max_dup2) & (F.col("top_token_frac") <= max_top)
@@ -288,9 +299,21 @@ class TokenStats(Stage):
     def process(self, pipeline, config, status=None, gated=None, **inputs):
         from pypers_spark.functions.text import tokenize_bpeish, tokenize_ws
 
-        curated = gated.withColumn(
-            "n_tokens_ws", F.size(tokenize_ws(F.col("text")))
-        ).withColumn("n_tokens_bpeish", F.size(tokenize_bpeish(F.col("text"))))
+        # Reuse the upstream metrics aggregation's exact token count
+        # when RepetitionFilter ran (one fewer full tokenize pass over
+        # the survivors — guide §2.1); fall back to tokenizing when the
+        # pipeline is composed without it.
+        if "n_tokens" in gated.columns:
+            curated = gated.withColumn("n_tokens_ws", F.col("n_tokens")).drop(
+                "n_tokens"
+            )
+        else:
+            curated = gated.withColumn(
+                "n_tokens_ws", F.size(tokenize_ws(F.col("text")))
+            )
+        curated = curated.withColumn(
+            "n_tokens_bpeish", F.size(tokenize_bpeish(F.col("text")))
+        )
         from pypers_spark.functions.rounding import dsum
 
         lang_stats = curated.groupBy("lang").agg(

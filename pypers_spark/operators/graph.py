@@ -712,12 +712,19 @@ def gr_k_core(t: dict[str, DataFrame]) -> DataFrame:
     deg = cur.groupBy("id_a").agg(F.count("*").alias("deg"))
     for r in range(1, KCORE_ROUNDS + 1):
         keep = deg.filter(F.col("deg") >= KCORE_K).select("id_a")
-        cur = tracked_persist(
-            cur.join(keep, "id_a", "left_semi").join(
-                keep.select(F.col("id_a").alias("id_b")), "id_b", "left_semi"
-            ),
-            f"graph.kcore_e{r}",
+        cur = cur.join(keep, "id_a", "left_semi").join(
+            keep.select(F.col("id_a").alias("id_b")), "id_b", "left_semi"
         )
+        # Persist every NON-terminal round: round r is referenced 3x by
+        # round r+1 (once directly, twice through keep), so skipping an
+        # intermediate persist re-executes its semi-join layer 3x —
+        # measured WORSE (2.80s vs 1.90s solo best at sf0.1 for the
+        # every-second-round variant; VERDICT r11 item #7 tried and
+        # rejected with numbers). The TERMINAL round feeds only its own
+        # census through one deg aggregation whose exchange stats(r)
+        # shares — its persist was pure cache-materialization overhead.
+        if r < KCORE_ROUNDS:
+            cur = tracked_persist(cur, f"graph.kcore_e{r}")
         # NOT persisted: stats(r) and keep(r+1) embed the identical
         # groupBy subtree over the cached edge set, so they share ONE
         # exchange via reuse — a persist here only added per-round

@@ -913,9 +913,24 @@ def _phash_table(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def _phash_rep_bands(ph: DataFrame) -> DataFrame:
-    """Band table over DISTINCT hashes (one row per hash per band)."""
+    """Band table over DISTINCT hashes (one row per hash per band).
+
+    ``phv`` is the 64-bit hash VALUE, parsed from the 16 hex chars once
+    per distinct hash (two 32-bit halves — ``conv`` returns a decimal
+    string, and a full 64-bit value with the top bit set would overflow
+    the bigint cast): the Hamming verify then costs ONE xor+bit_count
+    per candidate pair instead of 16 per-nibble substring/conv/xor
+    terms — and the verify filter is pushed below the candidate
+    ``distinct``, so it runs per EXPANDED pair (up to bands× the
+    distinct count). Consumers that don't need it (bucket stats) prune
+    the column at the scan.
+    """
+    phv = F.shiftleft(
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring("phash", 9, 8), 16, 10).cast("long"))
     return ph.select("phash").distinct().select(
         "phash",
+        phv.alias("phv"),
         F.posexplode(
             F.array(
                 *[
@@ -938,11 +953,21 @@ def _phash_within_pairs(pa: DataFrame, pb: DataFrame) -> DataFrame:
 
 def _phash_cross_candidates(ph: DataFrame) -> DataFrame:
     """Cross-hash candidates over representatives: capped
-    aggregate-and-expand per band bucket (C(w,2) ordered hash pairs)."""
+    aggregate-and-expand per band bucket (C(w,2) ordered hash pairs).
+
+    The collected elements are (hash, value) structs: sorting by the
+    struct sorts by the hex string (``v`` is a function of ``h``), so
+    the emitted pair set is identical to the string-only form, and the
+    pre-parsed ``v`` rides along for the one-word Hamming verify.
+    """
     buckets = (
         _phash_rep_bands(ph)
         .groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_list("phash")).alias("hs"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("phash").alias("h"), F.col("phv").alias("v")))
+            ).alias("hs")
+        )
         .filter(
             (F.size("hs") >= 2) & (F.size("hs") <= F.lit(PHP_MAX_BUCKET_WIDTH))
         )
@@ -952,14 +977,27 @@ def _phash_cross_candidates(ph: DataFrame) -> DataFrame:
             F.col("hs"),
             lambda x, i: F.transform(
                 F.slice(F.col("hs"), i + 2, F.size("hs")),
-                lambda y: F.struct(x.alias("ph_a"), y.alias("ph_b")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
             ),
         )
     )
+    # NOTE (r12, measured-then-rejected): emitting each pair only from
+    # its FIRST raw-matching band (cheap integer check on the pair xor)
+    # would remove this ``distinct`` exchange outright — but it is
+    # WRONG under the width cap: a pair whose earlier matching band
+    # sits in a dropped (> cap) bucket is only ever emitted from a
+    # later kept band, and the local check cannot see the earlier
+    # bucket's width. The distinct stays.
     return (
         buckets.select(F.explode(hash_pairs).alias("p"))
-        .select("p.ph_a", "p.ph_b")
+        .select("p.pa", "p.pb")
         .distinct()
+        .select(
+            F.col("pa.h").alias("ph_a"),
+            F.col("pa.v").alias("pv_a"),
+            F.col("pb.h").alias("ph_b"),
+            F.col("pb.v").alias("pv_b"),
+        )
     )
 
 
@@ -1022,16 +1060,18 @@ def mm_phash_pairs(t: dict[str, DataFrame]) -> DataFrame:
     within = _phash_within_pairs(pa, pb)
     cand = _phash_cross_candidates(ph)
 
-    def _nib(col: str, i: int) -> F.Column:
-        return F.conv(F.substring(col, i + 1, 1), 16, 10).cast("int")
-
-    hamming = sum(
-        F.bit_count(_nib("ph_a", i).bitwiseXOR(_nib("ph_b", i)))
-        for i in range(16)
+    # One-word Hamming verify (r12): the candidate table carries the
+    # pre-parsed 64-bit hash values, so the distance is a single
+    # xor+bit_count instead of 16 per-nibble substring/conv/xor terms —
+    # identical value (popcount distributes over the nibble split), and
+    # the copy of this filter the optimizer pushes below the candidate
+    # ``distinct`` (per EXPANDED band pair) becomes ~free.
+    hamming = F.bit_count(
+        F.col("pv_a").bitwiseXOR(F.col("pv_b"))
     ).cast("int")
     verified = cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= PHP_HAM_T
-    )
+    ).select("ph_a", "ph_b", "hamming")
     cross = (
         verified.join(pa.withColumnRenamed("phash", "ph_a"), "ph_a")
         .join(pb.withColumnRenamed("phash", "ph_b"), "ph_b")

@@ -448,3 +448,31 @@ def test_cell_expansion_spread(spark, sf_dir):
     for key in ("dd_semantic_dedup", "ann_knn_graph_cells"):
         plan = plan_of(spark, sf_dir, key)
         assert "hashpartitioning(cell" in plan, key
+
+
+def test_phash_hamming_single_word(spark, sf_dir):
+    """mm_phash_pairs (r12): the Hamming verify is one xor+bit_count on
+    pre-parsed 64-bit values — no per-nibble substring/conv chain may
+    reappear (it ran per EXPANDED band pair below the distinct)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "mm_phash_pairs")
+    assert "bit_count" in plan
+    # nibble form: conv(substring(<col>, i, 1), 16, 10)
+    assert re.search(r"substring\([^()]*, \d+, 1\), 16, 10", plan) is None
+
+
+def test_no_heavy_subtree_inside_lambda_bodies(spark, sf_dir):
+    """pipe_curation (r12): project collapsing must not re-inline the
+    tokenize chain into a per-element lambda body (it re-tokenized the
+    doc twice per token pair — O(tokens²)). The audit helper flags any
+    regex/split/hash call inside a lambdafunction body."""
+    from tools.lambda_inline_audit import audit_plan
+
+    df = entry_mod.queries()["pipe_curation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert audit_plan(plan) == []
