@@ -656,14 +656,20 @@ def dd_semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
     cos = F.when(denom > 0, dot(F.col("e_a"), F.col("e_b")) / denom).otherwise(
         F.lit(0.0)
     )
-    return (
+    out = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", rnd(cos, 4))
         .filter(F.col("cos_sim") >= F.lit(COS_T03))
         .select("cell", "id_a", "id_b", "cos_sim")
-        .orderBy("cell", "id_a", "id_b")
     )
+    # sort_barrier (r12, ADVICE): the C(k,2) within-cell cosine join sat
+    # directly under the rangepartitioning exchange, so the range
+    # sampler re-executed it end to end — the exact double execution
+    # fixed for nine other operators in r11 (functions/barrier.py).
+    from pypers_spark.functions.barrier import sort_barrier
+
+    return sort_barrier(out, "id_a").orderBy("cell", "id_a", "id_b")
 
 
 def _oracle_semdedup() -> str:
@@ -1127,12 +1133,19 @@ def ann_knn_graph(t: dict[str, DataFrame]) -> DataFrame:
         .select("label", "vec_id", "nbr_id", rnd(cos, 4).alias("cos_sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nbr_id")
-    return (
+    out = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("vec_id", "rank", "nbr_id", "cos_sim", "label")
-        .orderBy("vec_id", "rank")
     )
+    # sort_barrier (r12, sampler-audit extension): the top-k window sat
+    # directly under the final range sort, so the sampling pass re-ran
+    # the per-vector sort over the full block-pair stream; the barrier
+    # materializes the n·K readout once (measured 2.72 -> 2.38s solo
+    # best-of-5 at sf0.1).
+    from pypers_spark.functions.barrier import sort_barrier
+
+    return sort_barrier(out, "vec_id").orderBy("vec_id", "rank")
 
 
 ORACLE_ANN_KNN_GRAPH = f"""

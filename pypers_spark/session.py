@@ -5,6 +5,18 @@ AQE handles runtime re-planning (partition coalescing, skew joins) on a
 real cluster; shuffle partition count and scan split size are env-tunable
 so a 1000-executor deployment sets them per workload without code
 changes.
+
+Env overrides:
+- SPARK_GRAFT_SHUFFLE_PARTITIONS (default 32): shuffle partition count.
+- SPARK_GRAFT_CPUS (default 32): local[] core count (bench contract).
+- SPARK_GRAFT_CACHE_AQE (default "true"):
+  spark.sql.optimizer.canChangeCachedPlanOutputPartitioning — lets AQE
+  coalesce exchanges INSIDE cached plans. Set "false" if a consumer
+  ever depends on a cached plan's pinned output partitioning /
+  partition count (none does today; iterative operators over
+  tracked_persist caches would be the candidates).
+- SPARK_GRAFT_OPEN_COST (default 256K): files.openCostInBytes.
+- SPARK_GRAFT_SCHEDULER (default FAIR): job scheduling mode.
 """
 
 from __future__ import annotations

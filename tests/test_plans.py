@@ -420,10 +420,12 @@ def test_sort_barrier_survives_elision(spark, sf_dir):
     chain and the final range sort."""
     for key in ("txt_winnowing", "dd_containment_idx", "dd_ngram_jaccard_lsh"):
         plan = plan_of(spark, sf_dir, key)
-        assert "xxhash64" in plan, key
-        # the barrier must appear below the range sort's exchange
+        # the barrier EXCHANGE must appear below the range sort's
+        # exchange — "xxhash64" alone would stay green if a future
+        # xxhash64 projection survived while the exchange was elided
+        # (ADVICE r11).
         pre, _, post = plan.partition("rangepartitioning")
-        assert "xxhash64" in post, key
+        assert "hashpartitioning(xxhash64" in post, key
 
 
 def test_sort_barrier_preserves_rows(spark, sf_dir):

@@ -31,13 +31,19 @@ EXPENSIVE = re.compile(
 
 
 def audit_plan(plan: str) -> list[str]:
-    """Expensive operator names between the LAST rangepartitioning
-    exchange and the next boundary line, in pre-order text order."""
+    """Expensive operator names between the FIRST rangepartitioning
+    exchange and the next materialization boundary, in pre-order text
+    order. An inner rangepartitioning exchange IS a boundary (it
+    materializes the chain for the outer sort's sampler), so once the
+    scan has started another range exchange ends it rather than
+    re-arming it (ADVICE r11: nested-sort plans were misreported)."""
     lines = plan.splitlines()
     out: list[str] = []
     started = False
     for ln in lines:
         if "rangepartitioning" in ln and "Exchange" in ln:
+            if started:
+                break
             started = True
             continue
         if not started:
